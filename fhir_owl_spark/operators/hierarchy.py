@@ -1,0 +1,151 @@
+"""Subsumption hierarchy: iterative transitive closure + transitive reduction.
+
+The reference computes this via a reasoner's transitive superclass relation
+plus an in-memory reduction (GraphUtils.transitiveReduction,
+/root/reference/src/main/java/au/csiro/fhir/owl/util/GraphUtils.java:53-175
+— its own comment calls the core step "really doing a self-join",
+GraphUtils.java:131-133). Here both are set-oriented DataFrame programs:
+
+  closure   — semi-naive fixpoint: join only the frontier (new pairs) with
+              the base edges each round, exactly the reference's queue-based
+              BFS (GraphUtils.java:13-31) one frontier at a time. Driver
+              loops; ``localCheckpoint`` per iteration truncates lineage so
+              the plan does not grow with depth. Iterations = hierarchy
+              depth (log-ish), NOT edge count.
+  reduction — direct parents = closure MINUS (closure ∘ closure): one
+              self-join + one left-anti join, no recursion, no driver data.
+
+Scale note: ontology graphs are tiny next to transcripts (≤10^7 edges),
+but this code is written distributed anyway — the same loop handles a
+10^9-edge hierarchy: each iteration is a shuffle-partitioned hash join,
+AQE coalesces the frontier as it shrinks.
+
+Cycle parity: the reference aborts on a hierarchy cycle
+(RuntimeException "Cycle found...", GraphUtils.java:146). A cycle makes a
+node its own ancestor, so we detect child==parent rows in the closure and
+abort with the same error; the iteration cap is a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+from ..schemas import OWL_NOTHING, OWL_THING, TOP_ENTITIES
+
+
+class HierarchyCycleError(RuntimeError):
+    pass
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_iterations: int = 64,
+    child_col: str = "child_iri",
+    parent_col: str = "parent_iri",
+) -> DataFrame:
+    """All (descendant, ancestor) pairs reachable through ``edges``.
+
+    Semi-naive evaluation: frontier_{i+1} = (frontier_i ⋈ base) − closure_i.
+    """
+    base = edges.select(
+        F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
+    ).distinct()
+    base = base.filter(F.col("child") != F.col("parent")).localCheckpoint(eager=True)
+
+    # Renamed-column copy avoids self-join alias ambiguity (aliases do not
+    # survive localCheckpoint-ed plans reliably).
+    hop = base.select(F.col("child").alias("mid"), F.col("parent").alias("anc"))
+
+    closure = base
+    frontier = base
+    for _ in range(max_iterations):
+        stepped = (
+            frontier.join(hop, F.col("parent") == F.col("mid"))
+            .select("child", F.col("anc").alias("parent"))
+            .distinct()
+        )
+        frontier = stepped.join(closure, ["child", "parent"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if frontier.isEmpty():
+            break
+        cyc = frontier.filter(F.col("child") == F.col("parent")).limit(1).collect()
+        if cyc:
+            raise HierarchyCycleError(
+                f"Cycle found in hierarchy involving: {cyc[0]['child']}"
+            )
+        closure = closure.union(frontier).localCheckpoint(eager=True)
+    else:
+        raise HierarchyCycleError(
+            f"Hierarchy deeper than {max_iterations} levels — cycle suspected"
+        )
+    return closure.select(
+        F.col("child").alias(child_col), F.col("parent").alias(parent_col)
+    )
+
+
+def transitive_reduction(
+    closure: DataFrame, child_col: str = "child_iri", parent_col: str = "parent_iri"
+) -> DataFrame:
+    """Direct edges of a transitively closed DAG: closure − (closure ∘ closure).
+
+    A pair (c, a) is direct iff no b exists with (c, b) and (b, a) — the
+    set form of GraphUtils.filterAncestors (GraphUtils.java:160-175).
+    """
+    c = closure.select(
+        F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
+    )
+    hop = c.select(F.col("child").alias("mid"), F.col("parent").alias("anc"))
+    composed = (
+        c.join(hop, F.col("parent") == F.col("mid"))
+        .select("child", F.col("anc").alias("parent"))
+        .distinct()
+    )
+    direct = c.join(composed, ["child", "parent"], "left_anti")
+    return direct.select(
+        F.col("child").alias(child_col), F.col("parent").alias(parent_col)
+    )
+
+
+def build_hierarchy(
+    concepts: DataFrame, edges: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Asserted subClassOf → direct-parent edges (child_iri, parent_iri)
+    over all non-Nothing, non-unsatisfiable nodes.
+
+    Deprecated nodes stay IN the graph — the reference reduces over all
+    classes and filters deprecated parents only at emission
+    (FhirOwlService.java:532-541 vs :627-631); plans/build_graph.py does
+    the same.
+
+    Implicit ⊑Thing completion: every parentless non-top node gets an edge
+    to owl:Thing, standing in for the reasoner's inference that every class
+    has Thing among its superclasses (FhirOwlService.java:532-533) — this
+    is what terminates every reference concept chain at Thing.
+    """
+    dropped = concepts.filter(
+        (F.col("iri") == OWL_NOTHING) | F.coalesce("unsatisfiable", F.lit(False))
+    ).select("iri")
+
+    nodes = concepts.join(dropped, "iri", "left_anti").select("iri")
+
+    e = (
+        edges.filter(F.col("child_iri") != F.col("parent_iri"))
+        .join(dropped.withColumnRenamed("iri", "child_iri"), "child_iri", "left_anti")
+        .join(dropped.withColumnRenamed("iri", "parent_iri"), "parent_iri", "left_anti")
+        .select("child_iri", "parent_iri")
+        .distinct()
+    )
+
+    parentless = (
+        nodes.filter(~F.col("iri").isin(list(TOP_ENTITIES)))
+        .join(e.select(F.col("child_iri").alias("iri")).distinct(), "iri", "left_anti")
+        .select(
+            F.col("iri").alias("child_iri"), F.lit(OWL_THING).alias("parent_iri")
+        )
+    )
+    completed = e.unionByName(parentless)
+
+    closure = transitive_closure(completed, cfg.max_closure_iterations)
+    return transitive_reduction(closure)

@@ -1,0 +1,268 @@
+"""Mention detection / entity linking over turn text (the graft — no
+reference counterpart; north_star in BASELINE.json).
+
+A broadcast dictionary of canonical terms (display + synonyms from
+operators/dictionary.py, lowercased, deprecated/excluded filtered) drives
+whole-word, case-insensitive matching inside ``mapInPandas`` — Arrow
+batches in, Arrow batches out, zero per-row Python round trips to the JVM.
+
+Matching semantics (shared with the fixture model, fixtures.model_mentions):
+a term matches at [i, j) iff text.lower()[i:j] == term and the characters
+at i-1 and j are NOT in [a-z0-9]. ASCII word-boundary semantics —
+documented, deterministic, SQL-expressible for the DuckDB oracle when the
+corpus is space-separated.
+
+Two strategies, switched on dictionary size:
+  * ``regex``  — one compiled pattern per term, vectorized
+    ``pd.Series.str.count`` (C-speed). O(n_terms × corpus); wins while the
+    dictionary is small (≤ ~64 terms).
+  * ``ahocorasick`` — pure-Python Aho-Corasick automaton with output links
+    (reports ALL dictionary occurrences, including terms nested inside
+    longer terms — alternation regexes cannot). O(corpus + hits),
+    independent of dictionary size; the 10^5-term SNOMED-scale path. The
+    automaton is built once per executor worker and cached by dictionary
+    fingerprint, amortized over every Arrow batch that worker sees
+    (arrow.maxRecordsPerBatch keeps batches ≥10^4 rows).
+
+Scale notes (10^12 turns):
+  * the dictionary is driver-collected then ``sc.broadcast`` — bounded by
+    ontology size (HPO ≈ 18k concepts → a few MB), never by corpus size;
+  * the stage is map-only: no shuffle is introduced here; dedup of the
+    emitted pairs happens downstream on the hash-partitioned triple key;
+  * hub terms ("the common word problem") produce output skew, not input
+    skew — handled by salted two-phase aggregation (operators/skew.py) and
+    by dictionary-side stop-term exclusion (cfg.link_stop_terms).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import deque
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+from ..schemas import MENTIONS
+
+_WORD_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
+
+REGEX_STRATEGY_MAX_TERMS = 64
+
+
+# ---------------------------------------------------------------------------
+# Dictionary extraction
+# ---------------------------------------------------------------------------
+
+
+def linkable_terms(dictionary: DataFrame, cfg: PipelineConfig) -> list[tuple[str, str]]:
+    """CONCEPT_DICTIONARY rows → sorted [(term_lower, code)].
+
+    Deprecated concepts never link by default (FIXTURES.md §5); terms
+    shorter than min_term_chars and configured stop terms are dropped
+    (hub/stop-word guard). Driver-side collect is bounded by ontology size
+    (see module docstring) — transcript data is never collected.
+    """
+    d = dictionary
+    if not cfg.link_deprecated:
+        d = d.filter(~F.col("deprecated"))
+    terms = (
+        d.select(
+            F.explode(
+                F.array_union(
+                    F.array(F.col("display")), F.coalesce("synonyms", F.array())
+                )
+            ).alias("term"),
+            "code",
+        )
+        .filter(F.col("term").isNotNull())
+        .select(F.lower("term").alias("term"), "code")
+        .filter(F.length("term") >= cfg.min_term_chars)
+        .distinct()
+    )
+    stop = {t.lower() for t in cfg.link_stop_terms}
+    pairs = sorted(
+        (r["term"], r["code"]) for r in terms.collect() if r["term"] not in stop
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick (pure Python, output links → all occurrences)
+# ---------------------------------------------------------------------------
+
+
+class AhoCorasick:
+    """Classic Aho-Corasick keyword automaton.
+
+    ``find_counts(text)`` returns {term_index: n_boundary_checked_hits}.
+    Standard construction: trie + BFS failure links + output links, so
+    every dictionary occurrence is reported even when nested in a longer
+    term's match.
+    """
+
+    def __init__(self, terms: list[str]):
+        self.terms = terms
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        self.fail: list[int] = [0]
+        for idx, term in enumerate(terms):
+            state = 0
+            for ch in term:
+                nxt = self.goto[state].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[state][ch] = nxt
+                state = nxt
+            self.out[state].append(idx)
+        # BFS failure links
+        queue = deque()
+        for ch, s in self.goto[0].items():
+            self.fail[s] = 0
+            queue.append(s)
+        while queue:
+            r = queue.popleft()
+            for ch, s in self.goto[r].items():
+                queue.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                if self.fail[s] == s:
+                    self.fail[s] = 0
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+        self.term_lens = [len(t) for t in terms]
+
+    def find_counts(self, text: str) -> dict[int, int]:
+        counts: dict[int, int] = {}
+        goto, fail, out, lens = self.goto, self.fail, self.out, self.term_lens
+        state = 0
+        n = len(text)
+        for j in range(n):
+            ch = text[j]
+            while state and ch not in goto[state]:
+                state = fail[state]
+            state = goto[state].get(ch, 0)
+            if out[state]:
+                for idx in out[state]:
+                    i = j + 1 - lens[idx]
+                    if (i == 0 or text[i - 1] not in _WORD_CHARS) and (
+                        j + 1 == n or text[j + 1] not in _WORD_CHARS
+                    ):
+                        counts[idx] = counts.get(idx, 0) + 1
+        return counts
+
+
+_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+
+
+def _automaton_for(terms: tuple[str, ...]) -> AhoCorasick:
+    key = hash(terms)
+    ac = _AUTOMATON_CACHE.get(key)
+    if ac is None:
+        ac = AhoCorasick(list(terms))
+        _AUTOMATON_CACHE.clear()  # one dictionary per job; avoid leaks
+        _AUTOMATON_CACHE[key] = ac
+    return ac
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stage
+# ---------------------------------------------------------------------------
+
+
+def _term_regex(term: str) -> str:
+    return r"(?<![a-z0-9])" + re.escape(term) + r"(?![a-z0-9])"
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    cfg: PipelineConfig,
+    strategy: str = "auto",
+) -> DataFrame:
+    """transcripts × broadcast dictionary → MENTIONS rows.
+
+    One mention row per (turn, matched term) with an occurrence count and
+    a bounded link score. Map-only; Arrow-vectorized.
+    """
+    pairs = linkable_terms(dictionary, cfg)
+    if not pairs:
+        return transcripts.sparkSession.createDataFrame([], MENTIONS)
+
+    term_list = tuple(sorted({t for t, _ in pairs}))
+    term_codes: dict[str, tuple[str, ...]] = {}
+    for t, c in pairs:
+        term_codes.setdefault(t, ())
+    for t, c in pairs:
+        term_codes[t] = term_codes[t] + (c,)
+
+    if strategy == "auto":
+        strategy = "regex" if len(term_list) <= REGEX_STRATEGY_MAX_TERMS else "ahocorasick"
+
+    sc = transcripts.sparkSession.sparkContext
+    bc = sc.broadcast((term_list, term_codes, strategy))
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        terms, codes_of, strat = bc.value
+        compiled = None
+        ac = None
+        if strat == "regex":
+            compiled = [(t, re.compile(_term_regex(t))) for t in terms]
+        else:
+            ac = _automaton_for(terms)
+        for pdf in batches:
+            text = pdf["text"].fillna("").str.lower()
+            recs: dict[str, list] = {
+                "conv_id": [],
+                "turn_idx": [],
+                "code": [],
+                "term": [],
+                "n_hits": [],
+            }
+            if strat == "regex":
+                conv = pdf["conv_id"].to_numpy()
+                tidx = pdf["turn_idx"].to_numpy()
+                for term, pat in compiled:
+                    hits = text.str.count(pat)
+                    nz = hits.to_numpy().nonzero()[0]
+                    for i in nz:
+                        for code in codes_of[term]:
+                            recs["conv_id"].append(conv[i])
+                            recs["turn_idx"].append(int(tidx[i]))
+                            recs["code"].append(code)
+                            recs["term"].append(term)
+                            recs["n_hits"].append(int(hits.iat[i]))
+            else:
+                for conv_id, turn_idx, t in zip(
+                    pdf["conv_id"], pdf["turn_idx"], text
+                ):
+                    for idx, n in ac.find_counts(t).items():
+                        term = terms[idx]
+                        for code in codes_of[term]:
+                            recs["conv_id"].append(conv_id)
+                            recs["turn_idx"].append(int(turn_idx))
+                            recs["code"].append(code)
+                            recs["term"].append(term)
+                            recs["n_hits"].append(n)
+            out = pd.DataFrame(recs)
+            if len(out):
+                out["n_hits"] = out["n_hits"].astype("int32")
+                out["turn_idx"] = out["turn_idx"].astype("int32")
+                # bounded deterministic link score: more hits → higher, ≤1.0
+                out["score"] = (1.0 - 0.5 ** out["n_hits"]).astype("float64")
+            else:
+                out["score"] = pd.Series([], dtype="float64")
+            yield out[["conv_id", "turn_idx", "code", "term", "n_hits", "score"]]
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(gen, MENTIONS)
+
+
+def mention_conv_pairs(mentions: DataFrame) -> DataFrame:
+    """Distinct (code, conv_id) — the mentions-in edge payload."""
+    return mentions.select("code", "conv_id").distinct()

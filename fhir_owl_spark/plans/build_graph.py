@@ -1,0 +1,190 @@
+"""The end-to-end knowledge-graph build.
+
+Reference lifecycle being re-expressed (FhirOwlService.createCodeSystem,
+/root/reference/src/main/java/au/csiro/fhir/owl/FhirOwlService.java:192-591):
+ontology → dictionary → hierarchy (closure + reduction) → per-concept rows
+→ serialized output, PLUS the transcript graft (mention triples).
+
+Physical shape at 10^12-turn scale:
+  * ontology stages touch only the small side (broadcast-class data);
+  * mention extraction is map-only over transcripts — no shuffle;
+  * ONE transcript-scale shuffle exists in the whole job: the final
+    dedup, hash-partitioned on key_hash (uniform by construction — SHA256
+    of the triple — so no skew);
+  * the optional turn-ordering invariant check (W2) shuffles on conv_id;
+    it is an assertion stage, disabled on the hot path by default and run
+    as a separate validation pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..config import PipelineConfig
+from ..operators.dictionary import (
+    build_concept_dictionary,
+    derive_has_imports,
+    parent_code_col,
+)
+from ..operators.hierarchy import build_hierarchy
+from ..operators.mentions import extract_mentions, mention_conv_pairs
+from ..schemas import OWL_NOTHING
+
+# Field separator for the canonical key — unit separator, cannot appear in
+# IRIs/codes/conv ids.
+KEY_SEP = "\x1f"
+
+
+def triples_with_key(triples: DataFrame) -> DataFrame:
+    """A5: canonical-key hashing + dedup. dropDuplicates on the SHA256 key
+    runs as partial-then-final HashAggregate (map-side combine before the
+    shuffle); the hash key is uniformly distributed so the shuffle cannot
+    skew."""
+    keyed = triples.withColumn(
+        "key_hash",
+        F.sha2(
+            F.concat_ws(KEY_SEP, F.col("subj"), F.col("pred"), F.coalesce("obj", F.lit(""))),
+            256,
+        ),
+    )
+    return keyed.dropDuplicates(["key_hash"])
+
+
+def concept_triples(
+    dictionary: DataFrame,
+    direct_parents: DataFrame,
+    concepts: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Dictionary + reduced hierarchy → ontology-side triples.
+
+    Emits per concept: has-display, imported, deprecated, root,
+    synonym-of*, and is-a* for non-root concepts (deprecated parents
+    dropped WITHOUT relinking, Nothing parents dropped —
+    FhirOwlService.java:620-631).
+    """
+    d = dictionary
+
+    def lit_triple(pred: str, obj_col, obj_type: str) -> DataFrame:
+        return d.select(
+            F.col("code").alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj_col.cast("string").alias("obj"),
+            F.lit(obj_type).alias("obj_type"),
+            F.lit(None).cast("string").alias("conv_id"),
+        )
+
+    def bool_str(col):
+        return F.when(col, "true").otherwise("false")
+
+    parts = [
+        lit_triple("has-display", F.col("display"), "string"),
+        lit_triple("imported", bool_str(F.col("imported")), "boolean"),
+        lit_triple("deprecated", bool_str(F.col("deprecated")), "boolean"),
+        lit_triple("root", bool_str(F.col("root")), "boolean"),
+        d.select(
+            F.col("code").alias("subj"),
+            F.lit("synonym-of").alias("pred"),
+            F.explode("synonyms").alias("obj"),
+            F.lit("string").alias("obj_type"),
+            F.lit(None).cast("string").alias("conv_id"),
+        ),
+    ]
+
+    # is-a: children are emitted non-root concepts; parents keep the
+    # code-annotation-free derivation (parent_code_col).
+    has_imports = derive_has_imports(concepts, cfg)
+    parent_meta = concepts.select(
+        F.col("iri").alias("parent_iri"),
+        parent_code_col(cfg, has_imports, "iri").alias("parent_code"),
+        F.coalesce("deprecated", F.lit(False)).alias("parent_deprecated"),
+    )
+    isa = (
+        d.filter(~F.col("root"))
+        .select(F.col("iri").alias("child_iri"), F.col("code").alias("subj"))
+        .join(direct_parents, "child_iri")
+        .filter(F.col("parent_iri") != OWL_NOTHING)
+        .join(F.broadcast(parent_meta), "parent_iri", "left")
+    )
+    if not cfg.include_deprecated:
+        isa = isa.filter(~F.coalesce("parent_deprecated", F.lit(False)))
+    parts.append(
+        isa.select(
+            "subj",
+            F.lit("is-a").alias("pred"),
+            # parents outside the concepts table (undeclared) fall back to
+            # IRI-derived local code semantics
+            F.coalesce("parent_code", F.col("parent_iri")).alias("obj"),
+            F.lit("code").alias("obj_type"),
+            F.lit(None).cast("string").alias("conv_id"),
+        )
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def validate_turn_ordering(transcripts: DataFrame) -> DataFrame:
+    """W2 invariant check: within each conv_id, turn_idx must be unique
+    (stable ordering ⇒ per-turn text equality is well-defined). Returns the
+    violating rows — empty when the invariant holds. Shuffles on conv_id;
+    run as a validation pass, not on the hot path."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag("turn_idx").over(w))
+        .filter(F.col("turn_idx") == F.col("_prev"))
+        .drop("_rn", "_prev")
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    concepts: DataFrame,
+    edges: DataFrame,
+    synonyms: DataFrame,
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    check_order: bool = False,
+) -> DataFrame:
+    """Full pipeline → deduplicated TRIPLES DataFrame.
+
+    This is the seam the reference's unit tests treat as the public
+    contract (FhirOwlServiceTest calls createCodeSystem directly,
+    FhirOwlServiceTest.java:42-72) — pytest drives this function.
+    """
+    cfg = cfg or PipelineConfig()
+
+    if check_order:
+        bad = validate_turn_ordering(transcripts).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"turn-ordering invariant violated, e.g. conv_id={bad[0]['conv_id']} "
+                f"turn_idx={bad[0]['turn_idx']}"
+            )
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    # The dictionary is consumed twice (triples + mention broadcast) and is
+    # small by design — materialize once.
+    dictionary = dictionary.localCheckpoint(eager=True)
+
+    direct = build_hierarchy(concepts, edges, cfg)
+    onto = concept_triples(dictionary, direct, concepts, cfg)
+
+    if cfg.transcript_partitions:
+        transcripts = transcripts.repartition(cfg.transcript_partitions)
+    mentions = extract_mentions(transcripts, dictionary, cfg)
+    # No pre-distinct here: the final key-hash dropDuplicates dedups
+    # (code, conv_id) pairs in one shuffle with map-side partial aggregation.
+    mention_triples = mentions.select(
+        F.col("code").alias("subj"),
+        F.lit("mentions-in").alias("pred"),
+        F.col("conv_id").alias("obj"),
+        F.lit("conv").alias("obj_type"),
+        F.col("conv_id").alias("conv_id"),
+    )
+
+    return triples_with_key(onto.unionByName(mention_triples))
