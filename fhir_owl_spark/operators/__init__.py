@@ -1,1 +1,10 @@
-from . import dictionary, hierarchy, mentions  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    dictionary,
+    hierarchy,
+    mentions,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)

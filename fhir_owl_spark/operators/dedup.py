@@ -1,0 +1,293 @@
+"""Deduplication operators — canonical-key (A5) plus the document-dedup
+family a training-data pipeline needs at 100 TB (exact, MinHash+LSH,
+SimHash, n-gram Jaccard).
+
+Design rules:
+  * everything before the final shuffle is a map-side Column expression or
+    an Arrow-batched pandas UDF — no per-row Python;
+  * every shuffle key is a hash (uniform) or an LSH band bucket (bounded
+    by band width), never raw text;
+  * candidate generation (LSH banding) is separated from verification
+    (exact similarity on candidate pairs only) so the O(n²) step never
+    materializes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per exact text. One shuffle on the text hash
+    (sha256 — uniform; the raw text never travels as a key)."""
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+# Deterministic 64-bit mixing (splitmix64 finalizer) — portable across
+# executors, no Python hash() randomization.
+_MASK = (1 << 64) - 1
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> 30)) * np.uint64(0xBF58476D1CE4E5B9) & np.uint64(_MASK)
+    x = (x ^ (x >> 27)) * np.uint64(0x94D049BB133111EB) & np.uint64(_MASK)
+    return x ^ (x >> 31)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-shingles → uint64 hashes (vectorized mix of FNV-1a seeds)."""
+    words = text.lower().split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not shingles:
+        return np.zeros(0, dtype=np.uint64)
+    # FNV-1a over utf-8 bytes, then mix
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & _MASK)
+        out[i] = h
+    return _mix64(out)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature[array<long>]) via Arrow-batched pandas UDF.
+
+    Signature j = min over shingles of mix64(shingle_hash ^ seed_j) —
+    one permutation family, vectorized with numpy inside the batch.
+    """
+    seeds = _mix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("signature", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col].fillna("")):
+                sh = _shingle_hashes(text, shingle_k)
+                if len(sh) == 0:
+                    sig = np.zeros(len(seeds), dtype=np.uint64)
+                else:
+                    # outer xor then min → (n_hashes,) signature
+                    sig = _mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
+                ids.append(i)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash) buckets.
+
+    Only rows sharing a full band collide → candidate pair (id_a < id_b).
+    The shuffle key is the band hash (uniform); giant buckets only occur
+    for true duplicate clusters, which AQE skew-join splits.
+    """
+    rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.sha2(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                    ),
+                    256,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
+    pairs → verify with exact word-shingle Jaccard ≥ threshold.
+
+    Verification joins candidate ids back to text (two broadcast-or-shuffle
+    hash joins on ids) and computes exact Jaccard on the pair only.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    pairs = (
+        cands.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+    )
+    pairs = pairs.withColumn(
+        "jaccard", ngram_jaccard_col("text_a", "text_b", shingle_k)
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (pure Column expression — JVM-side, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles_col(text_col: str, k: int):
+    """array of word k-shingles as a Column expression (no UDF)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def ngram_jaccard_col(text_a: str, text_b: str, k: int = 3):
+    a = F.array_distinct(word_shingles_col(text_a, k))
+    b = F.array_distinct(word_shingles_col(text_b, k))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, word-feature) — pure Column expression
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text_col: str):
+    """64-bit SimHash over word features using xxhash64 (JVM-side).
+
+    For each bit position, sum ±1 over features and take the sign. The
+    whole computation is aggregate/transform Column code — stays inside
+    whole-stage codegen, no Python.
+    """
+    def shl(one, b):
+        # F.shiftleft only takes a Python int shift; the SQL function takes
+        # a column — call it directly.
+        return F.call_function("shiftleft", one, b)
+
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(shl(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            shl(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with block-permuted banding: split the
+    64-bit hash into n_blocks; by pigeonhole, any pair within max_hamming
+    (< n_blocks) shares at least one exact block → join per block, verify
+    Hamming distance exactly."""
+    width = 64 // n_blocks
+    h = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    blocks = h.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda b: F.call_function(
+                    "shiftrightunsigned", F.col("simhash"), b * width
+                ).bitwiseAND(F.lit((1 << width) - 1).cast("long")),
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    left = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
+    )
+    right = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
+    )
+    cand = (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline; query side broadcast,
+    corpus side scanned once, per-partition top-k then global top-k
+    (no full sort of the corpus);
+  * LSH-bucketed ANN (random-hyperplane signatures) — the scale path:
+    candidate generation by signature-prefix bucket join, exact re-rank
+    inside buckets only.
+
+Dot products use vectorized numpy inside Arrow-batched pandas UDFs (the
+64-dim × batch matrix product is one BLAS call per batch) — measured
+faster than F.aggregate/zip_with chains for d ≥ 32, and the sanctioned
+escape hatch per SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a small query set.
+
+    Queries are broadcast (driver list → closure); the corpus is scanned
+    once with mapInPandas computing a (batch × queries) matrix product;
+    per-batch top-k candidates are emitted, then one tiny shuffle
+    (row_number over query_id, candidates ≤ k × n_batches) finalizes.
+    Ties broken by corpus id — deterministic.
+    """
+    qids = [q for q, _ in queries]
+    qmat = _normalize(np.array([v for _, v in queries], dtype=np.float64))
+
+    schema = StructType(
+        [
+            StructField("query_id", StringType()),
+            StructField(id_col, LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = mat @ qmat.T  # (batch, n_queries)
+            out = {"query_id": [], id_col: [], "cosine": []}
+            kk = min(k, len(ids))
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                # per-batch top-k candidates (global top-k finalized later)
+                idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                for i in idx:
+                    out["query_id"].append(qid)
+                    out[id_col].append(int(ids[i]))
+                    out["cosine"].append(float(col[i]))
+            yield pd.DataFrame(out)
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 9).alias("cosine"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection bit signature per vector (deterministic planes
+    from a seeded RNG, broadcast in the UDF closure)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("sig", LongType())]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ planes) > 0  # (batch, n_planes)
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_planes):
+                sig |= bits[:, b].astype(np.int64) << b
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    n_probe_bits: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket the corpus by hyperplane signature, probe
+    each query's bucket plus all buckets within n_probe_bits bit flips
+    (multi-probe), exact re-rank inside the probed buckets only.
+
+    At 100 TB the bucket join replaces the full scan: corpus bucketed once
+    (write-time partitioning in production), per-query work ∝ bucket size.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    qids = [q for q, _ in queries]
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    qsigs = []
+    bits = (qmat @ planes) > 0
+    for row in bits:
+        s = 0
+        for b, bit in enumerate(row):
+            s |= int(bit) << b
+        qsigs.append(s)
+
+    # multi-probe: original signature + single/double bit flips
+    def probes(sig: int) -> set[int]:
+        out = {sig}
+        if n_probe_bits >= 1:
+            for b in range(n_planes):
+                out.add(sig ^ (1 << b))
+        if n_probe_bits >= 2:
+            for b1 in range(n_planes):
+                for b2 in range(b1 + 1, n_planes):
+                    out.add(sig ^ (1 << b1) ^ (1 << b2))
+        return out
+
+    probe_rows = [
+        (qid, int(s)) for qid, sig in zip(qids, qsigs) for s in probes(sig)
+    ]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, ["query_id", "sig"])
+
+    sigs = hyperplane_signatures(corpus, dim, n_planes, seed, id_col, vec_col)
+    bucketed = sigs.join(corpus.select(id_col, vec_col), id_col)
+    cands = F.broadcast(probe_df).join(bucketed, "sig").select(
+        "query_id", id_col, vec_col
+    )
+
+    qnorm = _normalize(qmat)
+    qindex = {qid: i for i, qid in enumerate(qids)}
+
+    schema = StructType(
+        [
+            StructField("query_id", StringType()),
+            StructField(id_col, LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def rerank(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qi = pdf["query_id"].map(qindex).to_numpy()
+            cos = np.einsum("ij,ij->i", mat, qnorm[qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    id_col: pdf[id_col],
+                    "cosine": cos,
+                }
+            )
+
+    scored = cands.mapInPandas(rerank, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 9).alias("cosine"), "rank")
+    )

@@ -1,0 +1,90 @@
+"""Skew handling: salted two-phase aggregation (A6 in SURVEY.md §2.5).
+
+Hub entities dominate mention streams — a stop-word-like synonym or an
+owl:Thing-adjacent concept can appear in 30%+ of all turns (the fixture
+plants exactly that). A plain groupBy(entity) sends every hub row to one
+reducer; at 10^12 turns that reducer is the job.
+
+Two-phase: phase 1 groups on (key, salt) — the hub key fans out over
+n_salt reducers and Spark's partial HashAggregate combines map-side —
+phase 2 sums the n_salt partials per key. AQE's skew handling is ALSO on
+(session.py) for the join side; the north rule requires the explicit
+version, so both exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_count(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    n_salt: int = 16,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """count(*) per key, skew-safe. Result ≡ df.groupBy(keys).count().
+
+    salt_source: a column whose hash spreads the hub key's rows (defaults
+    to spark_partition_id — already uniform, zero extra data movement
+    before the first shuffle).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if salt_source is None:
+        salt = F.pmod(F.spark_partition_id(), F.lit(n_salt))
+    elif isinstance(salt_source, str):
+        salt = F.pmod(F.hash(F.col(salt_source)), F.lit(n_salt))
+    else:
+        salt = F.pmod(F.hash(salt_source), F.lit(n_salt))
+
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("cnt"))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    aggs: dict[str, str],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Generalized two-phase agg for decomposable aggregates.
+
+    aggs: {column: fn} with fn in {'sum','count','min','max'}. Phase 1
+    computes the partial per (key, salt); phase 2 recombines (sum→sum,
+    count→sum, min→min, max→max). Result columns are '{fn}_{col}'.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    salt = F.pmod(F.spark_partition_id(), F.lit(n_salt))
+
+    phase1 = []
+    phase2 = []
+    for col, fn in aggs.items():
+        name = f"{fn}_{col}"
+        if fn == "count":
+            phase1.append(F.count(col).alias(name))
+            phase2.append(F.sum(name).alias(name))
+        elif fn == "sum":
+            phase1.append(F.sum(col).alias(name))
+            phase2.append(F.sum(name).alias(name))
+        elif fn == "min":
+            phase1.append(F.min(col).alias(name))
+            phase2.append(F.min(name).alias(name))
+        elif fn == "max":
+            phase1.append(F.max(col).alias(name))
+            phase2.append(F.max(name).alias(name))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)
+
+
+def mention_counts(mentions: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Mentions per entity — THE skewed aggregation of this pipeline
+    (hub entity ≈ 30% of turns in the bench corpus)."""
+    return salted_count(mentions, "code", n_salt=n_salt).withColumnRenamed(
+        "cnt", "n_mentions"
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All of these are pure Column expressions (JVM-side, inside whole-stage
+codegen) — no Python in the hot path. Each has a deterministic,
+SQL-expressible definition so DuckDB can act as the row-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+# a deterministic approximation of GPT-style pretokenization.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text_col: str = "text") -> Column:
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpeish_token_count(text_col: str = "text") -> Column:
+    """Count of BPE-ish pretokens via regexp_count (JVM regex)."""
+    return F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_ISH_REGEX))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite score.
+
+    score = clamp(0,1, 0.5*stopword_presence + 0.3*len_norm - 0.2*punct_ratio)
+    — a deterministic toy composite; the features are the real output.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = whitespace_token_count(text_col)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    words = F.split(F.lower(t), r"\s+")
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(w) for w in _EN_STOPWORDS])))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / F.lit(len(_EN_STOPWORDS))).otherwise(F.lit(0.0))
+    len_norm = F.least(n_chars / F.lit(1000.0), F.lit(1.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0), 0.5 * stop_ratio + 0.3 * len_norm - 0.2 * punct_ratio
+        ),
+    )
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "punct_ratio": punct_ratio.cast("double"),
+            "stopword_ratio": stop_ratio.cast("double"),
+            "quality_score": score.cast("double"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+# Top function words per language — public linguistic facts.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "la", "les", "est", "une"),
+}
+
+
+def lang_id_col(text_col: str = "text") -> Column:
+    """argmax over marker-word hit counts; 'und' (undetermined) on ties/zero.
+
+    Deterministic: ties broken by language code order. Pure Column code.
+    """
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    scores = {
+        lang: F.size(
+            F.filter(words, lambda w: w.isin(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so that earlier language codes win ties
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling-hash winnowing-lite)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_col(text_col: str = "text", k: int = 5, keep_every: int = 8) -> Column:
+    """Deterministic document fingerprint: xxhash64 of every k-word
+    shingle, keep hashes ≡ 0 (mod keep_every) (mod-sampling winnowing),
+    sorted array. Two documents share fingerprint elements ⇔ they share
+    sampled shingles."""
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(words)
+    shingles = F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    sampled = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
+    return F.array_sort(F.array_distinct(sampled))
