@@ -1,0 +1,542 @@
+"""Driver contract: queries() + oracle_sql() implementations.
+
+Each query is a callable (spark, sf_dir) → DataFrame over the driver's
+parquet tables (TESTDATA.md); each oracle is ANSI SQL DuckDB runs on the
+same tables (views pre-registered: region nation customer supplier part
+orders lineitem events documents embeddings). Column names and types are
+aligned on both sides — the driver hash-compares values after sorting
+columns by name.
+
+Ontology-dependent oracles inline the deterministic query-ops fixture as
+VALUES (the fixture is code, not data on disk — both sides derive from
+the same declarative rows, the computations are independent).
+
+Oracle text-matching note: documents.text is strictly space-separated
+lowercase alnum words (driver corpus), so the SQL whole-word test
+`' '||text||' ' LIKE '% '||term||' %'` is equivalent to the engine's
+alnum-boundary matcher on this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import fixtures as fx
+from .config import PipelineConfig
+from .operators import dedup, mentions, similarity, skew, text
+from .operators.hierarchy import transitive_closure, transitive_reduction
+from .plans.build_graph import build_graph
+from .schemas import TOP_ENTITIES
+
+US = "\x1f"  # unit separator for hash keys
+
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+
+
+# ---------------------------------------------------------------------------
+# query-ops fixture → SQL VALUES fragments
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _qops():
+    return fx.query_ops_fixture()
+
+
+def _qops_values() -> dict[str, str]:
+    ont, cfg = _qops()
+    concepts = ",\n    ".join(
+        f"({_sql_str(c['iri'])}, {_sql_str(c['label']) if c['label'] else 'NULL'}, "
+        f"{str(bool(c['deprecated'])).upper()}, {str(bool(c['unsatisfiable'])).upper()})"
+        for c in ont.concepts
+    )
+    edges = ",\n    ".join(
+        f"({_sql_str(e['child_iri'])}, {_sql_str(e['parent_iri'])})" for e in ont.edges
+    )
+    synonyms = ",\n    ".join(
+        f"({_sql_str(s['iri'])}, {_sql_str(s['synonym'])}, {_sql_str(s['prop'])})"
+        for s in ont.synonyms
+    )
+    rows = fx.model_concept_rows(ont, cfg)
+    # linkable dictionary (same rule as operators/mentions.linkable_terms)
+    pairs = set()
+    for r in rows.values():
+        if r["deprecated"]:
+            continue
+        for t in {r["display"], *r["synonyms"]}:
+            if t and len(t.lower()) >= cfg.min_term_chars:
+                pairs.add((t.lower(), r["code"]))
+    dict_values = ",\n    ".join(
+        f"({_sql_str(t)}, {_sql_str(c)})" for t, c in sorted(pairs)
+    )
+    tops = ", ".join(_sql_str(t) for t in TOP_ENTITIES)
+    return dict(
+        concepts=concepts, edges=edges, synonyms=synonyms, dict=dict_values, tops=tops
+    )
+
+
+_QOPS_CTE = """
+qc(iri, label, deprecated, unsat) AS (VALUES
+    {concepts}),
+qe(child, parent) AS (VALUES
+    {edges}),
+qs(iri, syn, prop) AS (VALUES
+    {synonyms}),
+qdict(term, code) AS (VALUES
+    {dict}),
+nodes AS (SELECT iri FROM qc WHERE NOT unsat AND iri <> 'http://www.w3.org/2002/07/owl#Nothing'),
+e0 AS (SELECT DISTINCT child, parent FROM qe
+       JOIN nodes n1 ON qe.child = n1.iri JOIN nodes n2 ON qe.parent = n2.iri
+       WHERE child <> parent),
+e AS (SELECT child, parent FROM e0
+      UNION
+      SELECT iri, 'http://www.w3.org/2002/07/owl#Thing' FROM nodes
+      WHERE iri NOT IN (SELECT child FROM e0) AND iri NOT IN ({tops})),
+cl AS (SELECT child, parent FROM e
+       UNION
+       SELECT cl.child, e.parent FROM cl JOIN e ON cl.parent = e.child),
+direct AS (SELECT c1.child, c1.parent FROM cl c1
+           ANTI JOIN (SELECT x.child AS child, y.parent AS parent
+                      FROM cl x JOIN cl y ON x.parent = y.child) comp
+           ON c1.child = comp.child AND c1.parent = comp.parent),
+pref AS (SELECT iri, min(syn) AS p FROM qs
+         WHERE prop = 'label' AND syn NOT IN ('the','a') GROUP BY iri),
+synu AS (SELECT iri, min(syn) AS m FROM qs
+         WHERE prop IN ('label','hasExactSynonym') AND syn NOT IN ('the','a') GROUP BY iri),
+emitted AS (SELECT qc.iri,
+                   regexp_extract(qc.iri, '([^/#]+)$', 1) AS code,
+                   coalesce(pref.p, synu.m, qc.label, regexp_extract(qc.iri, '([^/#]+)$', 1)) AS display,
+                   qc.iri IN ({tops}) AS is_root
+            FROM qc LEFT JOIN pref ON qc.iri = pref.iri LEFT JOIN synu ON qc.iri = synu.iri
+            WHERE NOT qc.deprecated AND NOT qc.unsat
+              AND qc.iri <> 'http://www.w3.org/2002/07/owl#Nothing')
+"""
+
+
+def _qops_cte() -> str:
+    return _QOPS_CTE.format(**_qops_values())
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _order_edges(spark, sf_dir, divisor: int = 10) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("child"),
+        F.expr(f"o_orderkey div {divisor}").alias("parent"),
+    ).filter(F.col("parent") > 0)
+
+
+def _query_vectors(spark, sf_dir, n=5) -> list[tuple[str, list[float]]]:
+    rows = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(str(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_kg_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full KG build (dictionary → closure/reduction → mention
+    detection → dedup) over documents-as-transcripts."""
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    triples = build_graph(spark, concepts, edges, synonyms, transcripts, cfg)
+    return triples.select("subj", "pred", "obj")
+
+
+def q_kg_isa(spark, sf_dir) -> DataFrame:
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir).limit(0)
+    triples = build_graph(spark, concepts, edges, synonyms, transcripts, cfg)
+    return triples.filter(F.col("pred") == "is-a").select("subj", "pred", "obj")
+
+
+def q_kg_mentions(spark, sf_dir) -> DataFrame:
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    return m.select(
+        F.col("code").alias("subj"),
+        F.lit("mentions-in").alias("pred"),
+        F.col("conv_id").alias("obj"),
+    ).distinct()
+
+
+def q_kg_mention_counts(spark, sf_dir) -> DataFrame:
+    """Skewed hub aggregation (A6): mention rows per entity via salted
+    two-phase agg ('scan' hub ≈ every document)."""
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    return skew.mention_counts(m, n_salt=16).select(
+        F.col("code"), F.col("n_mentions").cast("long").alias("n_mentions")
+    )
+
+
+def q_closure_orders(spark, sf_dir) -> DataFrame:
+    edges = _order_edges(spark, sf_dir)
+    c = transitive_closure(edges, child_col="child", parent_col="parent")
+    return c.select("child", F.col("parent").alias("anc"))
+
+
+def q_reduction_orders(spark, sf_dir) -> DataFrame:
+    e10 = _order_edges(spark, sf_dir, 10)
+    e100 = _order_edges(spark, sf_dir, 100)
+    edges = e10.unionByName(e100).distinct()
+    closure = transitive_closure(edges, child_col="child", parent_col="parent")
+    return transitive_reduction(closure, child_col="child", parent_col="parent")
+
+
+def q_min_label(spark, sf_dir) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(F.min("p_name").alias("min_name"))
+
+
+def q_dedup_hash(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.sha2(F.concat_ws(US, "lang", "source"), 256).alias("key_hash")
+        )
+        .groupBy("key_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_exact_dedup_docs(spark, sf_dir) -> DataFrame:
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_window_order(spark, sf_dir) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id", "event_id", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+def q_anti_join(spark, sf_dir) -> DataFrame:
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_salted_events(spark, sf_dir) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return skew.salted_count(events, "event_type", n_salt=16).select(
+        "event_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.whitespace_token_count().cast("long").alias("ws_tokens"),
+        text.bpeish_token_count().cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality_docs(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    q = text.quality_features(docs)
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_lang_id_docs(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id_col().alias("lang_pred"))
+
+
+def q_cosine_top3(spark, sf_dir) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, 5)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ngram_jaccard_adjacent(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b"))
+    return a.join(b, "id_a").select(
+        "id_a", F.round(dedup.ngram_jaccard_col("text_a", "text_b", 3), 6).alias("jaccard")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_docs(spark, sf_dir) -> DataFrame:  # rows-only (xxhash64 not in DuckDB)
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash_col("text").alias("simhash"))
+
+
+def q_fingerprint_docs(spark, sf_dir) -> DataFrame:  # rows-only
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(text.fingerprint_col()).cast("long").alias("n_fingerprints")
+    )
+
+
+def q_ann_lsh_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, 5)
+    out = similarity.ann_topk_lsh(emb, queries, dim=64, k=3, n_planes=12)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+QUERIES = {
+    "kg_triples_all": q_kg_triples_all,
+    "kg_isa": q_kg_isa,
+    "kg_mentions": q_kg_mentions,
+    "kg_mention_counts": q_kg_mention_counts,
+    "closure_orders": q_closure_orders,
+    "reduction_orders": q_reduction_orders,
+    "min_label": q_min_label,
+    "dedup_hash": q_dedup_hash,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "window_order": q_window_order,
+    "anti_join": q_anti_join,
+    "salted_events": q_salted_events,
+    "token_counts": q_token_counts,
+    "quality_docs": q_quality_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "cosine_top3": q_cosine_top3,
+    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_docs": q_simhash_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "ann_lsh_top3": q_ann_lsh_top3,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+
+def _oracle_mentions_select() -> str:
+    return """
+SELECT DISTINCT d.code AS subj, 'mentions-in' AS pred, CAST(doc_id AS VARCHAR) AS obj
+FROM documents, qdict d
+WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'
+"""
+
+
+def _oracle_isa_select() -> str:
+    return """
+SELECT ec.code AS subj, 'is-a' AS pred, ep.code AS obj
+FROM direct
+JOIN emitted ec ON direct.child = ec.iri AND NOT ec.is_root
+JOIN emitted ep ON direct.parent = ep.iri
+"""
+
+
+def _oracle_shingles_cte() -> str:
+    return """
+wd AS (SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\\s+') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                                     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+              END AS sset
+       FROM wd)
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    qops = _qops_cte()
+    oracles = {
+        "kg_triples_all": f"""
+WITH RECURSIVE {qops}
+SELECT code AS subj, 'has-display' AS pred, display AS obj FROM emitted
+UNION ALL
+SELECT code, 'imported', 'false' FROM emitted
+UNION ALL
+SELECT code, 'deprecated', 'false' FROM emitted
+UNION ALL
+SELECT code, 'root', CASE WHEN is_root THEN 'true' ELSE 'false' END FROM emitted
+UNION ALL
+SELECT DISTINCT e2.code, 'synonym-of', s.syn
+FROM qs s JOIN emitted e2 ON s.iri = e2.iri
+WHERE s.prop IN ('label','hasExactSynonym') AND s.syn NOT IN ('the','a')
+  AND s.syn <> e2.display
+UNION ALL
+{_oracle_isa_select()}
+UNION ALL
+{_oracle_mentions_select()}
+""",
+        "kg_isa": f"WITH RECURSIVE {qops} {_oracle_isa_select()}",
+        "kg_mentions": f"WITH RECURSIVE {qops} {_oracle_mentions_select()}",
+        "kg_mention_counts": f"""
+WITH RECURSIVE {qops}
+SELECT d.code AS code, count(*) AS n_mentions
+FROM documents, qdict d
+WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'
+GROUP BY d.code
+""",
+        "closure_orders": """
+WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent
+                     FROM orders WHERE o_orderkey // 10 > 0),
+cl AS (SELECT child, parent AS anc FROM e
+       UNION
+       SELECT cl.child, e.parent FROM cl JOIN e ON cl.anc = e.child)
+SELECT child, anc FROM cl
+""",
+        "reduction_orders": """
+WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent
+                     FROM orders WHERE o_orderkey // 10 > 0
+                     UNION
+                     SELECT o_orderkey, o_orderkey // 100 FROM orders
+                     WHERE o_orderkey // 100 > 0),
+cl AS (SELECT child, parent FROM e
+       UNION
+       SELECT cl.child, e.parent FROM cl JOIN e ON cl.parent = e.child)
+SELECT child, parent FROM cl
+EXCEPT
+SELECT x.child, y.parent FROM cl x JOIN cl y ON x.parent = y.child
+""",
+        "min_label": "SELECT p_brand, min(p_name) AS min_name FROM part GROUP BY p_brand",
+        "dedup_hash": f"""
+SELECT sha256(lang || chr(31) || source) AS key_hash, count(*) AS n
+FROM documents GROUP BY 1
+""",
+        "exact_dedup_docs": """
+SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "window_order": """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+""",
+        "anti_join": """
+SELECT c_custkey FROM customer
+ANTI JOIN orders ON c_custkey = o_custkey
+""",
+        "salted_events": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+        "token_counts": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+""",
+        "quality_docs": rf"""
+WITH f AS (
+  SELECT doc_id,
+         length(coalesce(text,'')) AS n_chars,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(coalesce(text,''), '[^\w\s]')) AS n_punct,
+         len(list_intersect(list_distinct(string_split_regex(lower(coalesce(text,'')), '\s+')),
+                            ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / 10.0 ELSE 0.0 END, 6) AS stopword_ratio,
+       round(greatest(0.0, least(1.0,
+             0.5 * (CASE WHEN n_tokens > 0 THEN n_stop / 10.0 ELSE 0.0 END)
+           + 0.3 * least(n_chars / 1000.0, 1.0)
+           - 0.2 * (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END))), 6) AS quality_score
+FROM f
+""",
+        "lang_id_docs": r"""
+WITH sc AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(coalesce(text,'')),'\s+'),
+                         x -> x IN ('the','and','is','of','to'))) AS s_en,
+         len(list_filter(string_split_regex(lower(coalesce(text,'')),'\s+'),
+                         x -> x IN ('der','die','und','ist','das'))) AS s_de,
+         len(list_filter(string_split_regex(lower(coalesce(text,'')),'\s+'),
+                         x -> x IN ('el','la','que','los','es'))) AS s_es,
+         len(list_filter(string_split_regex(lower(coalesce(text,'')),'\s+'),
+                         x -> x IN ('le','la','les','est','une'))) AS s_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+            WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+            WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM sc
+""",
+        "cosine_top3": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT CAST(q.qid AS VARCHAR) AS query_id, e.vec_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(c, 9) AS cosine, rank FROM r WHERE rank <= 3
+""",
+        "ngram_jaccard_adjacent": f"""
+WITH {_oracle_shingles_cte()}
+SELECT a.doc_id AS id_a,
+       round(CASE WHEN len(list_distinct(list_concat(a.sset, b.sset))) > 0
+                  THEN len(list_intersect(a.sset, b.sset))
+                       / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""",
+        "minhash_pairs": f"""
+WITH {_oracle_shingles_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sset, b.sset))
+             / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sset, b.sset))
+      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8
+""",
+        # simhash_docs / fingerprint_docs: xxhash64 has no DuckDB equivalent → rows-only
+        # ann_lsh_top3: approximate by design → rows-only
+    }
+    return oracles
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship on sf0.001: full KG build over documents-as-transcripts."""
+    return q_kg_triples_all(spark, "/root/testdata/sf0.001")

@@ -568,3 +568,98 @@ def transcripts_df(spark, turns: list[dict]):
     return spark.createDataFrame(
         [tuple(t[f.name] for f in TRANSCRIPTS.fields) for t in turns], TRANSCRIPTS
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-ops ontology — the flagship corpus ontology over the driver's
+# documents.parquet vocabulary (TESTDATA.md). Deterministic; labels are
+# exactly the tokens that occur in documents.text so mention detection has
+# real work to do. 'scan' is the hub term (appears in ~98% of docs) —
+# the skew exercise.
+# ---------------------------------------------------------------------------
+
+QOPS_NS = "http://example.org/queryops#"
+
+
+def query_ops_fixture() -> tuple[Ontology, PipelineConfig]:
+    o = Ontology()
+    q = lambda name: QOPS_NS + name  # noqa: E731
+
+    o.concept(OWL_THING, "qops", label="Thing")
+    o.concept(q("Operator"), "qops", label="operator")
+    o.edge(q("Operator"), OWL_THING)
+
+    # operators — labels/synonyms drawn from the documents vocabulary
+    o.concept(q("Scan"), "qops", label="scan")            # HUB
+    o.concept(q("Join"), "qops", label="join")
+    o.concept(q("Sort"), "qops", label="sort")
+    o.concept(q("Agg"), "qops", label="agg")
+    o.concept(q("Filter"), "qops", label="filter")
+    o.concept(q("Window"), "qops", label="window")
+    o.concept(q("Query"), "qops", label="query")
+    for c in ("Scan", "Join", "Sort", "Agg", "Filter", "Window", "Query"):
+        o.edge(q(c), q("Operator"))
+    o.synonym(q("Join"), "merge", prop="hasExactSynonym")
+    o.synonym(q("Sort"), "order", prop="hasExactSynonym")
+    o.synonym(q("Agg"), "group", prop="hasExactSynonym")
+    # redundant edge — reduction must drop it
+    o.edge(q("Scan"), OWL_THING)
+
+    # one level deeper: HashJoin under Join
+    o.concept(q("HashJoin"), "qops", label="hash join")
+    o.edge(q("HashJoin"), q("Join"))
+    o.synonym(q("HashJoin"), "hash", prop="hasExactSynonym")
+
+    # data objects
+    o.concept(q("DataObject"), "qops", label="data object")
+    o.edge(q("DataObject"), OWL_THING)
+    o.synonym(q("DataObject"), "data", prop="hasExactSynonym")
+    for name, label in (
+        ("Table", "table"), ("Row", "row"), ("Column", "column"),
+        ("Vector", "vector"), ("Batch", "batch"), ("Stream", "stream"),
+        ("Key", "key"), ("Value", "value"),
+    ):
+        o.concept(q(name), "qops", label=label)
+        o.edge(q(name), q("DataObject"))
+
+    # engine
+    o.concept(q("Engine"), "qops", label="spark engine")
+    o.edge(q("Engine"), OWL_THING)
+    o.synonym(q("Engine"), "spark", prop="hasExactSynonym")
+
+    # deprecated concept whose label ('slow') must NOT link
+    o.concept(q("SlowPath"), "qops", label="slow", deprecated=True)
+    o.edge(q("SlowPath"), q("Operator"))
+    # unsatisfiable concept whose label ('dup') must NOT link
+    o.concept(q("DupThing"), "qops", label="dup", unsatisfiable=True)
+    o.edge(q("DupThing"), q("DataObject"))
+
+    # rdfs:label is an annotation in OWL — mirror every label column value
+    # as a prop='label' synonym row so it feeds preferred-term selection
+    # (A1) rather than only the closure-map fallback.
+    for c in o.concepts:
+        if c["label"] is not None:
+            o.synonym(c["iri"], c["label"], prop="label")
+
+    cfg = PipelineConfig(
+        synonym_props=("label", "hasExactSynonym"),
+        labels_to_exclude=("the", "a"),
+        min_term_chars=2,
+    )
+    return o, cfg
+
+
+def documents_as_transcripts(spark, sf_dir: str):
+    """documents.parquet → the transcripts shape (input_hint): one doc =
+    one single-turn conversation."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

@@ -1,0 +1,78 @@
+"""Replicates the driver's correctness harness locally: run every
+queries() entry at sf0.001 and compare row counts + sorted values against
+oracle_sql() via DuckDB."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+ORACLES = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_query_against_oracle(spark, duck, name):
+    q = ALL_QUERIES[name]
+    df = q(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only contract
+        return
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    a = normalize(spark_rows, spark_cols)
+    b = normalize(duck_rows, duck_cols)
+    mism = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    assert a == b, f"{name}: first mismatches {mism}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert {"subj", "pred", "obj"} <= set(df.columns)
