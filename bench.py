@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+The transcript corpus is generated distributed + deterministically
+(fhir_owl_spark.benchgen — identical content at any parallelism),
+materialized to parquet OUTSIDE the timed region, sized to the sf
+(6M turns/sf unit → 600k at sf0.1).
+
+Extra keys (turns, turns_per_sec, cpus) supplement the required ones.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fhir_owl_spark import fixtures as fx  # noqa: E402
+from fhir_owl_spark.benchgen import bench_transcripts  # noqa: E402
+from fhir_owl_spark.operators import dedup, mentions, similarity, skew  # noqa: E402
+from fhir_owl_spark.operators.dictionary import build_concept_dictionary  # noqa: E402
+from fhir_owl_spark.operators.hierarchy import transitive_closure  # noqa: E402
+from fhir_owl_spark.plans.build_graph import build_graph  # noqa: E402
+from fhir_owl_spark.session import get_spark  # noqa: E402
+
+TURNS_PER_SF_UNIT = 6_000_000  # ≈ lineitem scaling: sf0.1 → 600k turns
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def prepare_transcripts(spark, sf: float, cpus: int) -> str:
+    n = max(10_000, int(TURNS_PER_SF_UNIT * sf))
+    path = f"/tmp/fhir_owl_spark_bench/transcripts_sf{sf}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        bench_transcripts(spark, n).repartition(cpus * 2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    spark = get_spark(app_name="fhir-owl-spark-bench", parallelism=cpus,
+                      shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tpath = prepare_transcripts(spark, sf, cpus)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    ont, cfg = fx.query_ops_fixture()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders_edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_orderkey as child", "o_orderkey div 10 as parent")
+        .filter("parent > 0")
+    )
+    qvecs = [
+        (str(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter("vec_id < 32").collect()
+    ]
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg).localCheckpoint()
+
+    # JVM/codegen warmup outside the timed region
+    transcripts.limit(1000).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # 1. full KG build over the bench corpus (the headline)
+    timed(
+        "kg_build",
+        lambda: build_graph(spark, concepts, edges, synonyms, transcripts, cfg).count(),
+    )
+    # 2. mention extraction alone — the turns/sec driver
+    timed(
+        "mentions",
+        lambda: mentions.extract_mentions(transcripts, dictionary, cfg).count(),
+    )
+    # 3. skewed hub aggregation over mentions
+    timed(
+        "mention_counts_salted",
+        lambda: skew.mention_counts(
+            mentions.extract_mentions(transcripts, dictionary, cfg), n_salt=16
+        ).count(),
+    )
+    # 4. iterative closure at sf scale
+    timed(
+        "closure_orders",
+        lambda: transitive_closure(orders_edges, child_col="child", parent_col="parent").count(),
+    )
+    # 5. minhash near-dup over documents
+    timed(
+        "minhash_dedup",
+        lambda: dedup.minhash_dedup_pairs(docs, threshold=0.8).count(),
+    )
+    # 6. brute-force cosine top-k
+    timed(
+        "cosine_topk",
+        lambda: similarity.cosine_topk_bruteforce(emb, qvecs, k=10).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["mentions"], 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

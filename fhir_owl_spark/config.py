@@ -67,6 +67,11 @@ class PipelineConfig:
     max_closure_iterations: int = 64
     # Salt fan-out for skewed hub aggregation (two-phase agg).
     n_salt: int = 16
+    # Ontology hierarchies at or below this many edges are closed/reduced
+    # driver-side (one bounded collect; the ontology is broadcast-class
+    # data by contract — see operators/hierarchy.py). Above it, the
+    # distributed iterative-self-join path runs.
+    small_graph_threshold: int = 100_000
     # Arrow batch size for pandas-UDF stages (amortizes automaton build).
     arrow_max_records_per_batch: int = 10_000
     # Target partitions for the transcript side; None → leave to AQE.

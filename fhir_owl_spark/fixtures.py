@@ -167,6 +167,7 @@ def pizza_fixture() -> tuple[Ontology, PipelineConfig]:
     cfg = PipelineConfig(
         synonym_props=("label", "hasExactSynonym"),
         labels_to_exclude=("wiki", "WIKI"),
+        has_imports=False,
     )
     return o, cfg
 
@@ -220,6 +221,7 @@ def duo_fixture() -> tuple[Ontology, PipelineConfig]:
     cfg = PipelineConfig(
         synonym_props=("label", "altLabel"),
         code_replace=("_", ":"),  # DUO_0000007 → DUO:0000007 (README.md:101 style)
+        has_imports=True,
         use_fhir_extension=True,
         date_regex=r"(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})",
     )
@@ -645,6 +647,7 @@ def query_ops_fixture() -> tuple[Ontology, PipelineConfig]:
         synonym_props=("label", "hasExactSynonym"),
         labels_to_exclude=("the", "a"),
         min_term_chars=2,
+        has_imports=False,
     )
     return o, cfg
 

@@ -59,23 +59,41 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> 31)
 
 
+# distinct odd multipliers per window position (splitmix-derived constants)
+_POS_PRIMES = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+    dtype=np.uint64,
+)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Word k-shingles → uint64 hashes (vectorized mix of FNV-1a seeds)."""
+    """Word k-shingles → uint64 hashes.
+
+    Vectorized: one crc32 per WORD (C-speed), then the k-window combine is
+    pure numpy (position-keyed multiply-xor, splitmix64 finalizer). Equal
+    word windows ⇒ equal hashes; no per-byte Python loops.
+    """
+    import zlib
+
     words = text.lower().split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not shingles:
+    if not words:
         return np.zeros(0, dtype=np.uint64)
-    # FNV-1a over utf-8 bytes, then mix
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & _MASK)
-        out[i] = h
-    return _mix64(out)
+    wh = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+    wh = _mix64(wh + np.uint64(1))
+    n = len(words)
+    if n < k:
+        k = n  # single whole-text shingle
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc ^= wh[j : j + m] * _POS_PRIMES[j % len(_POS_PRIMES)]
+    return _mix64(acc)
 
 
 def minhash_signatures(

@@ -43,10 +43,17 @@ def transitive_closure(
     max_iterations: int = 64,
     child_col: str = "child_iri",
     parent_col: str = "parent_iri",
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """All (descendant, ancestor) pairs reachable through ``edges``.
 
     Semi-naive evaluation: frontier_{i+1} = (frontier_i ⋈ base) − closure_i.
+    One driver action per iteration (combined emptiness + cycle probe);
+    frontier and closure are localCheckpoint-ed so the plan stays flat at
+    any depth. With broadcast_edges=True the per-iteration join is a
+    broadcast hash join — zero shuffles in the loop body except the
+    frontier distinct (right when the edge table fits in memory, e.g. any
+    real ontology; leave False for billion-edge graphs).
     """
     base = edges.select(
         F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
@@ -56,6 +63,8 @@ def transitive_closure(
     # Renamed-column copy avoids self-join alias ambiguity (aliases do not
     # survive localCheckpoint-ed plans reliably).
     hop = base.select(F.col("child").alias("mid"), F.col("parent").alias("anc"))
+    if broadcast_edges:
+        hop = F.broadcast(hop)
 
     closure = base
     frontier = base
@@ -68,13 +77,17 @@ def transitive_closure(
         frontier = stepped.join(closure, ["child", "parent"], "left_anti").localCheckpoint(
             eager=True
         )
-        if frontier.isEmpty():
-            break
-        cyc = frontier.filter(F.col("child") == F.col("parent")).limit(1).collect()
-        if cyc:
+        # single action: emptiness + cycle detection together
+        probe = frontier.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("child") == F.col("parent"), F.col("child"))).alias("cyc"),
+        ).first()
+        if probe["cyc"] is not None:
             raise HierarchyCycleError(
-                f"Cycle found in hierarchy involving: {cyc[0]['child']}"
+                f"Cycle found in hierarchy involving: {probe['cyc']}"
             )
+        if probe["n"] == 0:
+            break
         closure = closure.union(frontier).localCheckpoint(eager=True)
     else:
         raise HierarchyCycleError(
@@ -83,6 +96,48 @@ def transitive_closure(
     return closure.select(
         F.col("child").alias(child_col), F.col("parent").alias(parent_col)
     )
+
+
+def _closure_reduction_driver_side(
+    edge_rows: list[tuple[str, str]], max_iterations: int = 64
+) -> list[tuple[str, str]]:
+    """Small-graph fast path: exact closure + reduction in driver memory.
+
+    The ontology side is broadcast-class data by contract (HPO ≈ 18k
+    concepts; the reference itself holds the whole graph in one JVM —
+    GraphUtils.java:72-74), so below a size threshold the driver computes
+    the hierarchy directly instead of scheduling ~4 Spark jobs per depth
+    level. Distributed and driver paths produce identical results (both
+    are tested against the fixture model AND each other).
+    """
+    parents_of: dict[str, set[str]] = {}
+    for c, p in edge_rows:
+        if c != p:
+            parents_of.setdefault(c, set()).add(p)
+            parents_of.setdefault(p, set())
+    anc: dict[str, set[str]] = {}
+    for n, direct_parents in parents_of.items():
+        seen: set[str] = set()
+        stack = list(direct_parents)
+        depth_guard = 0
+        while stack:
+            a = stack.pop()
+            if a in seen:
+                continue
+            seen.add(a)
+            stack.extend(parents_of.get(a, ()))
+            depth_guard += 1
+            if depth_guard > max_iterations * len(parents_of):
+                break
+        if n in seen:
+            raise HierarchyCycleError(f"Cycle found in hierarchy involving: {n}")
+        anc[n] = seen
+    out: list[tuple[str, str]] = []
+    for n, ancestors in anc.items():
+        for a in ancestors:
+            if not any(a in anc.get(b, ()) for b in ancestors):
+                out.append((n, a))
+    return out
 
 
 def transitive_reduction(
@@ -147,5 +202,20 @@ def build_hierarchy(
     )
     completed = e.unionByName(parentless)
 
-    closure = transitive_closure(completed, cfg.max_closure_iterations)
+    # Small-graph fast path (see _closure_reduction_driver_side): one
+    # bounded collect instead of ~4 scheduled jobs per hierarchy level.
+    head = completed.limit(cfg.small_graph_threshold + 1).collect()
+    if len(head) <= cfg.small_graph_threshold:
+        spark = concepts.sparkSession
+        reduced = _closure_reduction_driver_side(
+            [(r["child_iri"], r["parent_iri"]) for r in head],
+            cfg.max_closure_iterations,
+        )
+        from ..schemas import ONTOLOGY_EDGES
+
+        return spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
+
+    closure = transitive_closure(
+        completed, cfg.max_closure_iterations, broadcast_edges=True
+    )
     return transitive_reduction(closure)

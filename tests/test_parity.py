@@ -184,6 +184,20 @@ class TestDuoParity:
         assert "DUO:0000003" not in subjects
 
 
+class TestDistributedHierarchyPath:
+    def test_distributed_equals_driver_side(self, spark):
+        """The iterative-self-join path (small_graph_threshold=0) must
+        produce the same triples as the driver-side fast path and the
+        model."""
+        ont, cfg0 = fx.pizza_fixture()
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg0, small_graph_threshold=0)
+        got = engine_triples(spark, ont, [], cfg)
+        expected = fx.model_build_graph(ont, [], cfg0)
+        assert got == expected
+
+
 class TestIncludeDeprecated:
     def test_deprecated_kept_and_flagged(self, spark):
         ont, cfg0 = fx.pizza_fixture()
