@@ -44,13 +44,22 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def n_turns_for(sf: float) -> int:
+    override = os.environ.get("SPARK_GRAFT_BENCH_TURNS")
+    if override:
+        return int(override)
+    return max(10_000, int(TURNS_PER_SF_UNIT * sf))
+
+
 def prepare_transcripts(spark, sf: float, cpus: int) -> str:
-    n = max(10_000, int(TURNS_PER_SF_UNIT * sf))
-    path = f"/tmp/fhir_owl_spark_bench/transcripts_sf{sf}"
+    n = n_turns_for(sf)
+    # partition count is fixed (64) so the SAME parquet input feeds every
+    # parallelism level in the scaling comparison
+    path = f"/tmp/fhir_owl_spark_bench/transcripts_n{n}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
-        bench_transcripts(spark, n).repartition(cpus * 2).write.mode("overwrite").parquet(path)
+        bench_transcripts(spark, n).repartition(64).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -58,8 +67,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    spark = get_spark(app_name="fhir-owl-spark-bench", parallelism=cpus,
-                      shuffle_partitions=cpus * 2)
+    # Small-file scan splitting: the bench corpus is a few hundred MB of
+    # snappy parquet; the 128MB default maxPartitionBytes would pack it
+    # into ~5 scan partitions and starve 32 cores (measured: scaling
+    # efficiency 0.27). 4MB splits ≈ one partition per written file —
+    # the same files.maxPartitionBytes tuning a real job does per input.
+    spark = get_spark(
+        app_name="fhir-owl-spark-bench",
+        parallelism=cpus,
+        shuffle_partitions=cpus * 2,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     tpath = prepare_transcripts(spark, sf, cpus)

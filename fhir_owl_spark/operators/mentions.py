@@ -49,7 +49,42 @@ from ..schemas import MENTIONS
 
 _WORD_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
 
-REGEX_STRATEGY_MAX_TERMS = 64
+REGEX_STRATEGY_MAX_TERMS = 256
+
+
+def _layer_terms(terms: list[str]) -> list[list[str]]:
+    """Split terms into layers such that within a layer no term is a
+    word-boundary prefix of another (e.g. 'data' of 'data object').
+
+    A single alternation pass can only report ONE match per start
+    position (the longest), so prefix-nested terms must be searched in a
+    later pass. Sorted-order scan → near-linear: prefixes are contiguous
+    with the terms they prefix."""
+    remaining = sorted(set(terms))
+    layers: list[list[str]] = []
+    while remaining:
+        conflicted: set[str] = set()
+        for i, a in enumerate(remaining):
+            la = len(a)
+            for b in remaining[i + 1 :]:
+                if not b.startswith(a):
+                    break
+                if len(b) > la and b[la] not in _WORD_CHARS:
+                    conflicted.add(a)
+                    break
+        layers.append(
+            sorted((t for t in remaining if t not in conflicted), key=len, reverse=True)
+        )
+        remaining = sorted(conflicted)
+    return layers
+
+
+def _layer_regex(layer: list[str]) -> "re.Pattern[str]":
+    alt = "|".join(re.escape(t) for t in layer)  # already longest-first
+    # zero-width: every start position is examined, so overlapping matches
+    # at DIFFERENT positions are all found; trailing-boundary failure
+    # backtracks into shorter branches automatically.
+    return re.compile(r"(?<![a-z0-9])(?=(" + alt + r")(?![a-z0-9]))")
 
 
 # ---------------------------------------------------------------------------
@@ -210,54 +245,61 @@ def extract_mentions(
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         terms, codes_of, strat = bc.value
-        compiled = None
+        patterns = None
         ac = None
         if strat == "regex":
-            compiled = [(t, re.compile(_term_regex(t))) for t in terms]
+            patterns = [_layer_regex(layer) for layer in _layer_terms(list(terms))]
         else:
             ac = _automaton_for(terms)
+        code_map = pd.DataFrame(
+            [(t, c) for t, cs in codes_of.items() for c in cs],
+            columns=["term", "code"],
+        )
         for pdf in batches:
             text = pdf["text"].fillna("").str.lower()
-            recs: dict[str, list] = {
-                "conv_id": [],
-                "turn_idx": [],
-                "code": [],
-                "term": [],
-                "n_hits": [],
-            }
+            parts: list[pd.DataFrame] = []
             if strat == "regex":
-                conv = pdf["conv_id"].to_numpy()
-                tidx = pdf["turn_idx"].to_numpy()
-                for term, pat in compiled:
-                    hits = text.str.count(pat)
-                    nz = hits.to_numpy().nonzero()[0]
-                    for i in nz:
-                        for code in codes_of[term]:
-                            recs["conv_id"].append(conv[i])
-                            recs["turn_idx"].append(int(tidx[i]))
-                            recs["code"].append(code)
-                            recs["term"].append(term)
-                            recs["n_hits"].append(int(hits.iat[i]))
+                # single alternation pass per layer (usually 1-2 layers):
+                # findall → explode → group counts; all C-speed
+                for pat in patterns:
+                    found = text.str.findall(pat)
+                    ex = found.explode().dropna()
+                    if len(ex) == 0:
+                        continue
+                    counts = ex.groupby([ex.index, ex.to_numpy()]).size()
+                    counts.index.names = ["_row", "term"]
+                    parts.append(counts.rename("n_hits").reset_index())
             else:
-                for conv_id, turn_idx, t in zip(
-                    pdf["conv_id"], pdf["turn_idx"], text
-                ):
+                recs = {"_row": [], "term": [], "n_hits": []}
+                for row, t in zip(pdf.index, text):
                     for idx, n in ac.find_counts(t).items():
-                        term = terms[idx]
-                        for code in codes_of[term]:
-                            recs["conv_id"].append(conv_id)
-                            recs["turn_idx"].append(int(turn_idx))
-                            recs["code"].append(code)
-                            recs["term"].append(term)
-                            recs["n_hits"].append(n)
-            out = pd.DataFrame(recs)
-            if len(out):
-                out["n_hits"] = out["n_hits"].astype("int32")
-                out["turn_idx"] = out["turn_idx"].astype("int32")
-                # bounded deterministic link score: more hits → higher, ≤1.0
-                out["score"] = (1.0 - 0.5 ** out["n_hits"]).astype("float64")
-            else:
-                out["score"] = pd.Series([], dtype="float64")
+                        recs["_row"].append(row)
+                        recs["term"].append(terms[idx])
+                        recs["n_hits"].append(n)
+                if recs["_row"]:
+                    parts.append(pd.DataFrame(recs))
+            if not parts:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pd.Series([], dtype="object"),
+                        "turn_idx": pd.Series([], dtype="int32"),
+                        "code": pd.Series([], dtype="object"),
+                        "term": pd.Series([], dtype="object"),
+                        "n_hits": pd.Series([], dtype="int32"),
+                        "score": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            hits = pd.concat(parts, ignore_index=True)
+            # term → one or more codes (ontology homonyms fan out here)
+            out = hits.merge(code_map, on="term", how="inner")
+            out["conv_id"] = pdf["conv_id"].reindex(out["_row"]).to_numpy()
+            out["turn_idx"] = (
+                pdf["turn_idx"].reindex(out["_row"]).to_numpy().astype("int32")
+            )
+            out["n_hits"] = out["n_hits"].astype("int32")
+            # bounded deterministic link score: more hits → higher, ≤1.0
+            out["score"] = (1.0 - 0.5 ** out["n_hits"]).astype("float64")
             yield out[["conv_id", "turn_idx", "code", "term", "n_hits", "score"]]
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(gen, MENTIONS)

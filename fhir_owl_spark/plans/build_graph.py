@@ -48,7 +48,12 @@ def triples_with_key(triples: DataFrame) -> DataFrame:
             256,
         ),
     )
-    return keyed.dropDuplicates(["key_hash"])
+    # Full-row dropDuplicates instead of dropDuplicates([key_hash]): the
+    # non-key columns are functions of the key here, and keys-only dedup
+    # compiles to HashAggregate (no sort), while subset-dedup would carry
+    # first(string) aggregates that force SortAggregate — a per-partition
+    # sort of every triple at 10^12 scale for nothing.
+    return keyed.dropDuplicates()
 
 
 def concept_triples(

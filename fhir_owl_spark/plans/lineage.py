@@ -1,0 +1,150 @@
+"""Checkpointed, resumable graph build with per-partition lineage.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics" (BASELINE.json). The reference has no counterpart —
+it is a one-shot single-JVM batch job; this is scale infrastructure.
+
+Protocol (works on plain parquet here; the production seam is Iceberg —
+swap the chunk write for an Iceberg append and pin the input to a
+snapshot id for byte-identical resume reads):
+
+  * Work is split into CHUNKS by a stable hash of conv_id
+    (pmod(xxhash64(conv_id), n_chunks)) — deterministic under any input
+    partitioning or parallelism. Conversations never straddle chunks, so
+    per-chunk dedup ≡ global dedup for mention triples (the triple key
+    embeds conv_id), and the ontology triples are their own chunk (-1).
+  * Each completed chunk appends one lineage row
+    (run_id, partition_id, input_rows, output_triples, timestamps,
+    checkpoint_id) AFTER its data directory is fully written — the
+    lineage row is the commit record.
+  * Resume: chunks present in lineage are skipped; data directories of
+    non-committed chunks are deleted and rewritten (write-ahead dirs,
+    commit via lineage) — exactly-once output regardless of where the
+    previous run died.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..operators.dictionary import build_concept_dictionary
+from ..operators.hierarchy import build_hierarchy
+from ..operators.mentions import extract_mentions
+from ..plans.build_graph import concept_triples, triples_with_key
+from ..schemas import LINEAGE
+
+ONTOLOGY_CHUNK = -1
+
+
+def _lineage_path(output_dir: str) -> str:
+    return f"{output_dir}/_lineage"
+
+
+def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
+    p = Path(_lineage_path(output_dir))
+    if not p.exists() or not any(p.iterdir()):
+        return spark.createDataFrame([], LINEAGE)
+    return spark.read.schema(LINEAGE).parquet(str(p))
+
+
+def completed_chunks(spark: SparkSession, output_dir: str) -> set[int]:
+    return {
+        r["partition_id"] for r in read_lineage(spark, output_dir).select("partition_id").collect()
+    }
+
+
+def _commit_lineage(spark, output_dir, run_id, chunk, input_rows, output_rows,
+                    started, checkpoint_id):
+    row = [
+        (
+            run_id,
+            chunk,
+            input_rows,
+            output_rows,
+            started,
+            dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            checkpoint_id,
+        )
+    ]
+    spark.createDataFrame(row, LINEAGE).coalesce(1).write.mode("append").parquet(
+        _lineage_path(output_dir)
+    )
+
+
+def build_graph_resumable(
+    spark: SparkSession,
+    concepts: DataFrame,
+    edges: DataFrame,
+    synonyms: DataFrame,
+    transcripts: DataFrame,
+    output_dir: str,
+    cfg: PipelineConfig | None = None,
+    n_chunks: int = 8,
+    run_id: str | None = None,
+    fail_after_chunks: int | None = None,
+) -> str:
+    """Write the full triple set under ``output_dir/triples`` with
+    exactly-once chunk commits. Returns the run_id.
+
+    fail_after_chunks: test hook — raise after committing that many
+    transcript chunks (simulates a mid-job kill for resume tests).
+    """
+    cfg = cfg or PipelineConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = completed_chunks(spark, output_dir)
+    triples_dir = f"{output_dir}/triples"
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg).localCheckpoint(
+        eager=True
+    )
+
+    def write_chunk(chunk: int, df: DataFrame, input_rows: int) -> None:
+        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        chunk_dir = f"{triples_dir}/chunk={chunk}"
+        # non-committed leftovers from a dead run are discarded
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        ckpt = f"{run_id}:{chunk}"
+        df.write.parquet(chunk_dir)
+        n_out = spark.read.parquet(chunk_dir).count()
+        _commit_lineage(
+            spark, output_dir, run_id, chunk, input_rows, n_out, started, ckpt
+        )
+
+    if ONTOLOGY_CHUNK not in done:
+        direct = build_hierarchy(concepts, edges, cfg)
+        onto = triples_with_key(concept_triples(dictionary, direct, concepts, cfg))
+        write_chunk(ONTOLOGY_CHUNK, onto, concepts.count())
+
+    chunked = transcripts.withColumn(
+        "_chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)).cast("int")
+    )
+    written = 0
+    for chunk in range(n_chunks):
+        if chunk in done:
+            continue
+        part = chunked.filter(F.col("_chunk") == chunk).drop("_chunk")
+        part = part.localCheckpoint(eager=True)  # checkpoint: pin chunk input
+        n_in = part.count()
+        mentions = extract_mentions(part, dictionary, cfg)
+        mention_triples = mentions.select(
+            F.col("code").alias("subj"),
+            F.lit("mentions-in").alias("pred"),
+            F.col("conv_id").alias("obj"),
+            F.lit("conv").alias("obj_type"),
+            F.col("conv_id").alias("conv_id"),
+        )
+        write_chunk(chunk, triples_with_key(mention_triples), n_in)
+        written += 1
+        if fail_after_chunks is not None and written >= fail_after_chunks:
+            raise RuntimeError(f"simulated failure after {written} chunks")
+    return run_id
+
+
+def read_triples(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{output_dir}/triples").drop("chunk")

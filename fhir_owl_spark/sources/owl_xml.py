@@ -1,0 +1,194 @@
+"""Driver-side RDF/XML ontology reader → tabular ontology (S1 in
+SURVEY.md §2.1).
+
+The reference loads ontologies with the OWL API
+(FhirOwlService.java:196-201); at production scale OUR input is already
+tabular (concepts/edges/synonyms parquet or Iceberg). This reader exists
+for fixture-scale parity runs against the reference's own test resources
+(pizza.owl, duo.owl) — a single-digit-MB XML file parsed on the driver
+with xml.etree, then parallelized via createDataFrame.
+
+Subset of RDF/XML handled (everything the reference's emitted concept
+facts depend on):
+  * owl:Class / owl:ObjectProperty / owl:DatatypeProperty with rdf:about
+  * rdfs:subClassOf / rdfs:subPropertyOf with rdf:resource (anonymous
+    restriction superclasses are ignored — they never become parent
+    codes in the reference either: reasoner superclass nodes are named)
+  * literal annotations (any child element with text) keyed by FULL
+    property IRI; language tags recorded but NOT used for preference,
+    matching the reference (all literals compete in one TreeSet,
+    FhirOwlService.java:709-718)
+  * owl:deprecated by property SHORT FORM in any namespace
+    (isDeprecated, FhirOwlService.java:661-679)
+  * owl:imports declarations (drives hasImports; imported documents are
+    NOT fetched — no network here; the reference downloads them,
+    Application.java:86-113)
+
+Unsatisfiability (equivalent-to-Nothing) needs a DL reasoner the engine
+deliberately does not reimplement (SURVEY.md §7.4); callers supply the
+reasoner-produced IRI set via ``unsatisfiable_iris``.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+
+from ..fixtures import Ontology
+from ..schemas import OWL_THING, OWL_TOP_OBJECT_PROPERTY
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_LABEL = RDFS_NS + "label"
+
+_ABOUT = f"{{{RDF_NS}}}about"
+_RESOURCE = f"{{{RDF_NS}}}resource"
+
+
+def _prop_iri(tag: str) -> str:
+    # '{ns}local' → 'ns' + 'local'
+    m = re.match(r"\{(.+)\}(.+)", tag)
+    return (m.group(1) + m.group(2)) if m else tag
+
+
+def _shortform(iri: str) -> str:
+    m = re.search(r"([^/#]+)$", iri)
+    return m.group(1) if m else iri
+
+
+@dataclass
+class ParsedOntology:
+    ontology_iri: str | None
+    version_iri: str | None
+    has_imports: bool
+    tables: Ontology
+
+
+def parse_owl_xml(
+    path: str,
+    include_object_properties: bool = True,
+    include_data_properties: bool = False,
+    unsatisfiable_iris: set[str] | None = None,
+    ontology_id: str = "root",
+) -> ParsedOntology:
+    unsat = unsatisfiable_iris or set()
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    ont = Ontology()
+    ontology_iri = None
+    version_iri = None
+    has_imports = False
+
+    kinds = [(f"{{{OWL_NS}}}Class", f"{{{RDFS_NS}}}subClassOf")]
+    if include_object_properties:
+        kinds.append((f"{{{OWL_NS}}}ObjectProperty", f"{{{RDFS_NS}}}subPropertyOf"))
+    if include_data_properties:
+        kinds.append((f"{{{OWL_NS}}}DatatypeProperty", f"{{{RDFS_NS}}}subPropertyOf"))
+
+    for el in root:
+        if el.tag == f"{{{OWL_NS}}}Ontology":
+            ontology_iri = el.get(_ABOUT)
+            for ch in el:
+                if ch.tag == f"{{{OWL_NS}}}versionIRI":
+                    version_iri = ch.get(_RESOURCE)
+                elif ch.tag == f"{{{OWL_NS}}}imports":
+                    has_imports = True
+
+    seen: set[str] = set()
+    kind_of: dict[str, str] = {}
+    children: set[str] = set()
+    for kind_tag, sub_tag in kinds:
+        for el in root.iter(kind_tag):
+            iri = el.get(_ABOUT)
+            if iri is None or iri in seen:
+                continue
+            seen.add(iri)
+            kind_of[iri] = kind_tag
+            deprecated = False
+            labels: list[str] = []
+            for ch in el:
+                prop = _prop_iri(ch.tag)
+                res = ch.get(_RESOURCE)
+                if ch.tag == sub_tag and res is not None:
+                    ont.edge(iri, res)
+                    children.add(iri)
+                    continue
+                text = (ch.text or "").strip()
+                if not text:
+                    continue
+                # deprecated by property short form, boolean literal only
+                if _shortform(prop) == "deprecated":
+                    if text in ("true", "false"):
+                        deprecated = text == "true"
+                    continue
+                ont.synonym(iri, text, prop=prop)
+                if prop == RDFS_LABEL:
+                    labels.append(text)
+            ont.concept(
+                iri,
+                ontology_id,
+                label=min(labels) if labels else None,
+                deprecated=deprecated,
+                imported=False,  # imports closure not fetched (see docstring)
+                unsatisfiable=iri in unsat,
+            )
+
+    # Reasoner-completion stand-in for PROPERTIES: the reasoner reports
+    # topObjectProperty among every object property's superproperties
+    # (reasoner.getSuperObjectProperties, FhirOwlService.java:550); classes
+    # are completed to owl:Thing by the engine (operators/hierarchy.py),
+    # but the engine is kind-blind, so the parser — which knows the kind —
+    # roots parentless properties here.
+    n_object_props = 0
+    for iri, kind_tag in kind_of.items():
+        if kind_tag.endswith("ObjectProperty"):
+            n_object_props += 1
+            if iri not in children:
+                ont.edge(iri, OWL_TOP_OBJECT_PROPERTY)
+
+    # The reference adds owl:Thing explicitly (classes.add(factory.getOWLThing()),
+    # FhirOwlService.java:519); with imports present Thing is not in the main
+    # signature → imported (what FhirOwlServiceTest.java:166 asserts for DUO).
+    if OWL_THING not in seen:
+        ont.concept(OWL_THING, ontology_id, imported=has_imports)
+    # topObjectProperty is only added when object properties are processed
+    # (the jfact-only path, FhirOwlService.java:543-564)
+    if include_object_properties and n_object_props and OWL_TOP_OBJECT_PROPERTY not in seen:
+        ont.concept(OWL_TOP_OBJECT_PROPERTY, ontology_id, imported=has_imports)
+
+    return ParsedOntology(ontology_iri, version_iri, has_imports, ont)
+
+
+# ---------------------------------------------------------------------------
+# CodeSystem-metadata projection (F9/C3/C4 in SURVEY.md §2.2-2.3): one
+# driver-side row — the reference builds it at FhirOwlService.java:309-475.
+# ---------------------------------------------------------------------------
+
+
+def ontology_metadata(parsed: ParsedOntology, cfg) -> dict:
+    url = parsed.ontology_iri
+    if url and url.endswith(".owl") and cfg.use_fhir_extension:
+        url = url[:-3] + "fhir"  # '.owl' → '.fhir' (FhirOwlService.java:335-337)
+    version = cfg.version or parsed.version_iri or "NA"
+    if cfg.date_regex:
+        m = re.search(cfg.date_regex, version)
+        if m:
+            try:
+                version = m.group("year") + m.group("month") + m.group("day")
+            except (IndexError, re.error):
+                pass  # regex without the named groups → keep raw version
+                # (the reference logs and keeps going, FhirOwlService.java:367-369)
+    valueset = cfg.valueset or (
+        (url + "&vs") if url and "?" in url else (url + "?vs") if url else None
+    )
+    return dict(
+        url=url,
+        version=version,
+        valueset=valueset,
+        hierarchy_meaning=cfg.hierarchy_meaning,
+        status=cfg.status,
+        content=cfg.content,
+    )

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the knowledge-graph build.
+
+    spark-submit --py-files fhir_owl_spark.zip jobs/build_graph.py \
+        --transcripts /data/transcripts --output /data/graph \
+        --concepts /data/ont/concepts --edges /data/ont/edges \
+        --synonyms /data/ont/synonyms [options]
+
+Options mirror the reference CLI (Application.java:122-304): the concept
+options map 1:1 onto ConceptProperties / CodeSystemProperties flags.
+Runs the checkpoint/lineage-resumable plan; re-running with the same
+--output resumes from the last committed chunk.
+
+Local smoke (no cluster): python jobs/build_graph.py --fixture qops \
+    --transcripts-from-documents /root/testdata/sf0.001 --output /tmp/g
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Build a knowledge graph from transcripts")
+    p.add_argument("--transcripts", help="parquet dir of transcripts (input_hint shape)")
+    p.add_argument(
+        "--transcripts-from-documents",
+        help="sf dir: adapt documents.parquet into the transcript shape",
+    )
+    p.add_argument("--concepts", help="parquet dir: ontology_concepts")
+    p.add_argument("--edges", help="parquet dir: ontology_edges")
+    p.add_argument("--synonyms", help="parquet dir: ontology_synonyms")
+    p.add_argument("--fixture", choices=["pizza", "duo", "qops"],
+                   help="use a built-in fixture ontology instead of --concepts/...")
+    p.add_argument("--output", required=True, help="output dir (triples + _lineage)")
+    p.add_argument("--chunks", type=int, default=8)
+    p.add_argument("--run-id", default=None)
+    # ConceptProperties analogs
+    p.add_argument("--code-prop", default=None)
+    p.add_argument("--display-prop", default="label")
+    p.add_argument("--synonym-props", default="label",
+                   help="comma-separated synonym properties")
+    p.add_argument("--code-replace", default=None, metavar="OLD:NEW",
+                   help="literal replacement applied to local codes only")
+    p.add_argument("--labels-to-exclude", default="", help="comma-separated")
+    p.add_argument("--include-deprecated", action="store_true")
+    p.add_argument("--main-ns", default="", help="comma-separated namespace prefixes")
+    # graft options
+    p.add_argument("--link-deprecated", action="store_true")
+    p.add_argument("--link-stop-terms", default="")
+    p.add_argument("--check-order", action="store_true",
+                   help="fail on duplicate (conv_id, turn_idx)")
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from fhir_owl_spark.config import PipelineConfig
+
+    code_replace = tuple(args.code_replace.split(":", 1)) if args.code_replace else None
+    return PipelineConfig(
+        code_prop=args.code_prop,
+        display_prop=args.display_prop,
+        synonym_props=tuple(s for s in args.synonym_props.split(",") if s),
+        code_replace=code_replace,
+        labels_to_exclude=tuple(s for s in args.labels_to_exclude.split(",") if s),
+        include_deprecated=args.include_deprecated,
+        main_namespaces=tuple(s for s in args.main_ns.split(",") if s),
+        link_deprecated=args.link_deprecated,
+        link_stop_terms=tuple(s for s in args.link_stop_terms.split(",") if s),
+    )
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from fhir_owl_spark import fixtures as fx
+    from fhir_owl_spark.plans.build_graph import validate_turn_ordering
+    from fhir_owl_spark.plans.lineage import (
+        build_graph_resumable,
+        read_lineage,
+        read_triples,
+    )
+    from fhir_owl_spark.session import get_spark
+
+    # under spark-submit a session already exists; standalone we build one
+    spark = SparkSession.getActiveSession() or get_spark(
+        app_name="fhir-owl-spark-build", parallelism=args.cpus
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.fixture:
+        ont, fixture_cfg = {
+            "pizza": fx.pizza_fixture,
+            "duo": fx.duo_fixture,
+            "qops": fx.query_ops_fixture,
+        }[args.fixture]()
+        concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+        cfg = fixture_cfg
+    else:
+        for req in ("concepts", "edges", "synonyms"):
+            if not getattr(args, req):
+                raise SystemExit(f"--{req} is required without --fixture")
+        concepts = spark.read.parquet(args.concepts)
+        edges = spark.read.parquet(args.edges)
+        synonyms = spark.read.parquet(args.synonyms)
+        cfg = build_config(args)
+
+    if args.transcripts:
+        transcripts = spark.read.parquet(args.transcripts)
+    elif args.transcripts_from_documents:
+        transcripts = fx.documents_as_transcripts(spark, args.transcripts_from_documents)
+    else:
+        raise SystemExit("--transcripts or --transcripts-from-documents is required")
+
+    if args.check_order:
+        bad = validate_turn_ordering(transcripts).limit(1).collect()
+        if bad:
+            raise SystemExit(
+                f"turn-ordering invariant violated: conv_id={bad[0]['conv_id']}"
+            )
+
+    run_id = build_graph_resumable(
+        spark, concepts, edges, synonyms, transcripts, args.output, cfg,
+        n_chunks=args.chunks, run_id=args.run_id,
+    )
+    lineage = read_lineage(spark, args.output)
+    n_triples = read_triples(spark, args.output).count()
+    summary = {
+        "run_id": run_id,
+        "output": args.output,
+        "chunks": lineage.count(),
+        "triples": n_triples,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

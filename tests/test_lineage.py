@@ -1,0 +1,71 @@
+"""Checkpoint/resume: a job killed mid-run must resume from lineage and
+produce the identical triple set (BASELINE.md resume-correctness row)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fhir_owl_spark import fixtures as fx
+from fhir_owl_spark.plans.build_graph import build_graph
+from fhir_owl_spark.plans.lineage import (
+    build_graph_resumable,
+    completed_chunks,
+    read_lineage,
+    read_triples,
+)
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    ont, cfg = fx.pizza_fixture()
+    turns = fx.make_transcripts(ont, cfg, n_conv=40, seed=42)
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    tdf = fx.transcripts_df(spark, turns).localCheckpoint()
+    return concepts, edges, synonyms, tdf, cfg
+
+
+def triple_set(df):
+    return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+
+def test_kill_and_resume_identical(spark, inputs, tmp_path):
+    concepts, edges, synonyms, tdf, cfg = inputs
+    out = str(tmp_path / "graph")
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        build_graph_resumable(
+            spark, concepts, edges, synonyms, tdf, out, cfg,
+            n_chunks=4, fail_after_chunks=2,
+        )
+    done = completed_chunks(spark, out)
+    assert -1 in done and len(done) == 3  # ontology + 2 transcript chunks
+
+    run2 = build_graph_resumable(
+        spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=4
+    )
+    lineage = read_lineage(spark, out)
+    rows = lineage.collect()
+    assert {r["partition_id"] for r in rows} == {-1, 0, 1, 2, 3}
+    assert len(rows) == 5  # each chunk committed exactly once
+    # resumed chunks carry the resuming run_id, original ones the first
+    assert any(r["run_id"] == run2 for r in rows)
+    assert any(r["run_id"] != run2 for r in rows)
+    # metrics recorded
+    assert all(r["output_triples"] >= 0 and r["finished_ts"] is not None for r in rows)
+
+    resumed = triple_set(read_triples(spark, out))
+    single_shot = triple_set(
+        build_graph(spark, concepts, edges, synonyms, tdf, cfg)
+    )
+    assert resumed == single_shot
+
+
+def test_rerun_is_noop(spark, inputs, tmp_path):
+    concepts, edges, synonyms, tdf, cfg = inputs
+    out = str(tmp_path / "graph2")
+    build_graph_resumable(spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=3)
+    before = triple_set(read_triples(spark, out))
+    n_lineage = read_lineage(spark, out).count()
+    build_graph_resumable(spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=3)
+    assert read_lineage(spark, out).count() == n_lineage  # nothing re-ran
+    assert triple_set(read_triples(spark, out)) == before

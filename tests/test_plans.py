@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the optimizations the engine claims must be
+visible in .explain() — predicate pushdown to the parquet scan, broadcast
+joins on the dictionary side, no transcript-scale shuffle before mention
+extraction, uniform hash dedup as the only transcript-scale exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fhir_owl_spark import fixtures as fx
+from fhir_owl_spark.operators.dictionary import build_concept_dictionary
+from fhir_owl_spark.operators.mentions import extract_mentions
+from fhir_owl_spark.plans.build_graph import build_graph, triples_with_key
+
+
+@pytest.fixture(scope="module")
+def transcripts_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    ont, cfg = fx.pizza_fixture()
+    turns = fx.make_transcripts(ont, cfg, n_conv=30, seed=42)
+    fx.transcripts_df(spark, turns).write.parquet(path)
+    return path
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_scan(spark, transcripts_parquet):
+    df = spark.read.parquet(transcripts_parquet).filter(F.col("role") == "user").select(
+        "conv_id", "text"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
+    # column pruning: the scan must not read the unused columns
+    assert "tool" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_mentions_no_shuffle_before_udf(spark, transcripts_parquet):
+    """Mention extraction is map-only: no Exchange between the scan and
+    the Python UDF stage."""
+    ont, cfg = fx.pizza_fixture()
+    concepts, _, synonyms = fx.ontology_dfs(spark, ont)
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    tdf = spark.read.parquet(transcripts_parquet)
+    m = extract_mentions(tdf, dictionary, cfg)
+    plan = plan_of(m)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    # only the needed columns reach the UDF
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read_schema and "ts" not in read_schema
+
+
+def test_isa_parent_join_is_broadcast(spark, transcripts_parquet):
+    ont, cfg = fx.pizza_fixture()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    tdf = spark.read.parquet(transcripts_parquet)
+    out = build_graph(spark, concepts, edges, synonyms, tdf, cfg)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    # dedup on the uniform sha256 key is hash-partitioned
+    assert "key_hash" in plan
+
+
+def test_single_exchange_for_dedup(spark, transcripts_parquet):
+    """The transcript-scale lineage (scan → UDF → dedup) contains exactly
+    one Exchange: the hash partition on key_hash."""
+    ont, cfg = fx.pizza_fixture()
+    concepts, _, synonyms = fx.ontology_dfs(spark, ont)
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    tdf = spark.read.parquet(transcripts_parquet)
+    m = extract_mentions(tdf, dictionary, cfg)
+    mt = m.select(
+        F.col("code").alias("subj"),
+        F.lit("mentions-in").alias("pred"),
+        F.col("conv_id").alias("obj"),
+        F.lit("conv").alias("obj_type"),
+        F.col("conv_id").alias("conv_id"),
+    )
+    plan = plan_of(triples_with_key(mt))
+    # exactly one Exchange operator in the tree (the plan tree section
+    # lists each operator once with an id)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert "hashpartitioning" in plan
+    # hash dedup, not sort dedup: no Sort operator anywhere
+    assert "Sort" not in tree, plan
+    assert "HashAggregate" in tree
