@@ -319,6 +319,49 @@ def q_fingerprint_docs(spark, sf_dir) -> DataFrame:  # rows-only
     )
 
 
+def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline with the
+    JVM-side zip_with/aggregate dot product (no UDF)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.5, method="exact")
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_scalar_funcs(spark, sf_dir) -> DataFrame:
+    """Scalar-function family on one table: C1 literal replace, C2 IRI
+    shortform, C4 date-regex → YYYYMMDD, C5 multi-format date parse."""
+    from .operators.dictionary import shortform
+
+    orders = _read(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    # C5: three rotating text formats, parsed back via coalesce(try_to_timestamp)
+    fmt = F.pmod(F.col("o_orderkey"), F.lit(3))
+    varied = (
+        F.when(fmt == 0, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .when(fmt == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "MM/dd/yyyy"))
+    )
+    reparsed = F.coalesce(
+        *[
+            F.try_to_timestamp(varied, F.lit(f))
+            for f in ("yyyy/MM/dd", "yyyy-MM-dd", "MM/dd/yyyy")
+        ]
+    )
+    return orders.select(
+        "o_orderkey",
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit(":")).alias("prio_replaced"),
+        shortform(
+            F.concat(F.lit("http://ex/o#K"), F.col("o_orderkey").cast("string"))
+        ).alias("short"),
+        F.concat(
+            F.regexp_extract(date_str, r"(\d{4})-(\d{2})-(\d{2})", 1),
+            F.regexp_extract(date_str, r"(\d{4})-(\d{2})-(\d{2})", 2),
+            F.regexp_extract(date_str, r"(\d{4})-(\d{2})-(\d{2})", 3),
+        ).alias("yyyymmdd"),
+        reparsed.alias("reparsed_ts"),
+    )
+
+
 def q_ann_lsh_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
     emb = _read(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir, 5)
@@ -348,6 +391,8 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "ann_lsh_top3": q_ann_lsh_top3,
+    "embedding_near_dup": q_embedding_near_dup,
+    "scalar_funcs": q_scalar_funcs,
 }
 
 
@@ -530,6 +575,37 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sset, b.sset))
       / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8
+""",
+        "embedding_near_dup": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+""",
+        "scalar_funcs": r"""
+SELECT o_orderkey,
+       replace(o_orderpriority, '-', ':') AS prio_replaced,
+       regexp_extract('http://ex/o#K' || CAST(o_orderkey AS VARCHAR), '([^/#]+)$', 1) AS short,
+       regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '(\d{4})-(\d{2})-(\d{2})', 1)
+       || regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '(\d{4})-(\d{2})-(\d{2})', 2)
+       || regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '(\d{4})-(\d{2})-(\d{2})', 3)
+       AS yyyymmdd,
+       coalesce(
+         try_strptime(CASE o_orderkey % 3
+                        WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                        WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%m/%d/%Y') END, '%Y/%m/%d'),
+         try_strptime(CASE o_orderkey % 3
+                        WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                        WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%m/%d/%Y') END, '%Y-%m-%d'),
+         try_strptime(CASE o_orderkey % 3
+                        WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+                        WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%m/%d/%Y') END, '%m/%d/%Y')
+       ) AS reparsed_ts
+FROM orders
 """,
         # simhash_docs / fingerprint_docs: xxhash64 has no DuckDB equivalent → rows-only
         # ann_lsh_top3: approximate by design → rows-only

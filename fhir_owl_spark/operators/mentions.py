@@ -220,15 +220,25 @@ def extract_mentions(
     dictionary: DataFrame,
     cfg: PipelineConfig,
     strategy: str = "auto",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """transcripts × broadcast dictionary → MENTIONS rows.
 
     One mention row per (turn, matched term) with an occurrence count and
-    a bounded link score. Map-only; Arrow-vectorized.
+    a bounded link score. Map-only; Arrow-vectorized. Works on batch AND
+    streaming DataFrames (no shuffle, no state). carry_cols: extra input
+    columns threaded through to the output (e.g. the event-time column
+    for streaming window aggs).
     """
+    from pyspark.sql.types import StructType as _St
+
+    out_schema = _St(
+        MENTIONS.fields
+        + [transcripts.schema[c] for c in carry_cols]
+    )
     pairs = linkable_terms(dictionary, cfg)
     if not pairs:
-        return transcripts.sparkSession.createDataFrame([], MENTIONS)
+        return transcripts.sparkSession.createDataFrame([], out_schema)
 
     term_list = tuple(sorted({t for t, _ in pairs}))
     term_codes: dict[str, tuple[str, ...]] = {}
@@ -278,17 +288,21 @@ def extract_mentions(
                         recs["n_hits"].append(n)
                 if recs["_row"]:
                     parts.append(pd.DataFrame(recs))
+            out_cols = ["conv_id", "turn_idx", "code", "term", "n_hits", "score"] + list(
+                carry
+            )
             if not parts:
-                yield pd.DataFrame(
-                    {
-                        "conv_id": pd.Series([], dtype="object"),
-                        "turn_idx": pd.Series([], dtype="int32"),
-                        "code": pd.Series([], dtype="object"),
-                        "term": pd.Series([], dtype="object"),
-                        "n_hits": pd.Series([], dtype="int32"),
-                        "score": pd.Series([], dtype="float64"),
-                    }
-                )
+                empty = {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                    "code": pd.Series([], dtype="object"),
+                    "term": pd.Series([], dtype="object"),
+                    "n_hits": pd.Series([], dtype="int32"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+                for c in carry:
+                    empty[c] = pdf[c].iloc[:0]
+                yield pd.DataFrame(empty)
                 continue
             hits = pd.concat(parts, ignore_index=True)
             # term → one or more codes (ontology homonyms fan out here)
@@ -300,9 +314,14 @@ def extract_mentions(
             out["n_hits"] = out["n_hits"].astype("int32")
             # bounded deterministic link score: more hits → higher, ≤1.0
             out["score"] = (1.0 - 0.5 ** out["n_hits"]).astype("float64")
-            yield out[["conv_id", "turn_idx", "code", "term", "n_hits", "score"]]
+            for c in carry:
+                out[c] = pdf[c].reindex(out["_row"]).to_numpy()
+            yield out[out_cols]
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(gen, MENTIONS)
+    carry = tuple(carry_cols)
+    return transcripts.select("conv_id", "turn_idx", "text", *carry).mapInPandas(
+        gen, out_schema
+    )
 
 
 def mention_conv_pairs(mentions: DataFrame) -> DataFrame:

@@ -211,3 +211,64 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 9).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
+# family). The dot product here is PURE Column code — F.zip_with +
+# F.aggregate — demonstrating the JVM-side path; the top-k operators above
+# use numpy because a (batch × queries) GEMM beats per-row aggregates once
+# the query set is dense.
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold.
+
+    method='exact': all-pairs join — the correctness baseline, O(n²);
+    fine for ≤10^4 vectors or inside an LSH bucket.
+    method='lsh': hyperplane-signature bucket join first (the scale path;
+    a pair must share its full signature — recall < 1 by design).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("vec_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vec_b"),
+    )
+    if method == "exact":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        sigs = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
+        sa = sigs.select(F.col(id_col).alias("id_a"), "sig")
+        sb = sigs.select(F.col(id_col).alias("id_b"), "sig")
+        cand = sa.join(sb, "sig").filter(F.col("id_a") < F.col("id_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(method)
+    out = pairs.withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+    return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,85 @@
+"""Structured Streaming: the batch mention operator composed with a file
+stream must produce exactly the batch result; windowed watermarked counts
+aggregate by event time."""
+
+from __future__ import annotations
+
+import pytest
+
+from fhir_owl_spark import fixtures as fx
+from fhir_owl_spark.operators.dictionary import build_concept_dictionary
+from fhir_owl_spark.operators.mentions import extract_mentions
+from fhir_owl_spark.streaming.ingest import (
+    read_transcript_stream,
+    start_mention_stream,
+    windowed_mention_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    ont, cfg = fx.pizza_fixture()
+    turns = fx.make_transcripts(ont, cfg, n_conv=25, seed=42)
+    inp = str(base / "in")
+    fx.transcripts_df(spark, turns).write.parquet(inp)
+    concepts, _, synonyms = fx.ontology_dfs(spark, ont)
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg).localCheckpoint()
+    return base, inp, dictionary, cfg
+
+
+def test_stream_equals_batch(spark, setup):
+    base, inp, dictionary, cfg = setup
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    q = start_mention_stream(spark, inp, out, ckpt, dictionary, cfg)
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["subj"], r["obj"])
+        for r in spark.read.parquet(out).select("subj", "obj").collect()
+    }
+    batch = extract_mentions(spark.read.parquet(inp), dictionary, cfg)
+    expected = {(r["code"], r["conv_id"]) for r in batch.collect()}
+    assert streamed == expected and streamed
+
+    # restart with no new input: checkpoint makes it a no-op (exactly-once)
+    q2 = start_mention_stream(spark, inp, out, ckpt, dictionary, cfg)
+    q2.awaitTermination(120)
+    again = {
+        (r["subj"], r["obj"])
+        for r in spark.read.parquet(out).select("subj", "obj").collect()
+    }
+    assert spark.read.parquet(out).count() == len(
+        extract_mentions(spark.read.parquet(inp), dictionary, cfg).collect()
+    )
+    assert again == expected
+
+
+def test_windowed_counts_match_batch_grouping(spark, setup):
+    base, inp, dictionary, cfg = setup
+    stream = read_transcript_stream(spark, inp)
+    counts = windowed_mention_counts(stream, dictionary, cfg, window="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["start"], r["code"], r["n_mentions"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    batch = extract_mentions(spark.read.parquet(inp), dictionary, cfg, carry_cols=("ts",))
+    expected = {
+        (r["start"], r["code"], r["n"])
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "code", "n")
+        .collect()
+    }
+    assert got == expected and got
