@@ -201,6 +201,21 @@ def q_kg_mention_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_co_mentions(spark, sf_dir) -> DataFrame:
+    """Per-conversation entity co-occurrence pairs with conversation
+    counts (salted two-phase agg over the pair key)."""
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    return skew.co_mention_pairs(m, n_salt=16).select(
+        "code_a", "code_b", F.col("n_convs").cast("long").alias("n_convs")
+    )
+
+
 def q_closure_orders(spark, sf_dir) -> DataFrame:
     edges = _order_edges(spark, sf_dir)
     c = transitive_closure(edges, child_col="child", parent_col="parent")
@@ -374,6 +389,7 @@ QUERIES = {
     "kg_isa": q_kg_isa,
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
+    "co_mentions": q_co_mentions,
     "closure_orders": q_closure_orders,
     "reduction_orders": q_reduction_orders,
     "min_label": q_min_label,
@@ -460,6 +476,15 @@ SELECT d.code AS code, count(*) AS n_mentions
 FROM documents, qdict d
 WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'
 GROUP BY d.code
+""",
+        "co_mentions": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %')
+SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
+FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
+GROUP BY a.code, b.code
 """,
         "closure_orders": """
 WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent

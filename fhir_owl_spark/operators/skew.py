@@ -88,3 +88,23 @@ def mention_counts(mentions: DataFrame, n_salt: int = 16) -> DataFrame:
     return salted_count(mentions, "code", n_salt=n_salt).withColumnRenamed(
         "cnt", "n_mentions"
     )
+
+
+def co_mention_pairs(mentions: "DataFrame", n_salt: int = 16) -> "DataFrame":
+    """(entity_a, co-mentioned-with, entity_b) evidence per conversation:
+    unordered entity pairs that appear in the SAME conversation, with the
+    number of conversations as weight.
+
+    Shape: distinct (conv, code) → conv-keyed self-join → salted count per
+    pair. The self-join key is conv_id; hub CONVERSATIONS (many distinct
+    entities) fan out quadratically, so the per-conv distinct comes first
+    (bounds the blow-up at dictionary size) and AQE skew-join splitting
+    handles residual heavy convs.
+    """
+    per_conv = mentions.select("conv_id", "code").distinct()
+    a = per_conv.withColumnRenamed("code", "code_a")
+    b = per_conv.withColumnRenamed("code", "code_b")
+    pairs = a.join(b, "conv_id").filter(F.col("code_a") < F.col("code_b"))
+    return salted_count(pairs, ["code_a", "code_b"], n_salt=n_salt).withColumnRenamed(
+        "cnt", "n_convs"
+    )

@@ -110,7 +110,10 @@ def build_graph_resumable(
         # non-committed leftovers from a dead run are discarded
         shutil.rmtree(chunk_dir, ignore_errors=True)
         ckpt = f"{run_id}:{chunk}"
-        df.write.parquet(chunk_dir)
+        # pred partitioning (north star: triples partitioned by pred) —
+        # layout: triples/chunk=N/pred=X/part-*.parquet; readers prune
+        # whole predicate subtrees (e.g. only mentions-in) at the scan.
+        df.write.partitionBy("pred").parquet(chunk_dir)
         n_out = spark.read.parquet(chunk_dir).count()
         _commit_lineage(
             spark, output_dir, run_id, chunk, input_rows, n_out, started, ckpt

@@ -162,6 +162,37 @@ def parse_owl_xml(
     return ParsedOntology(ontology_iri, version_iri, has_imports, ont)
 
 
+def union_ontologies(*parsed: ParsedOntology) -> Ontology:
+    """Imports-closure union (S2 in SURVEY.md §2.1): merge per-document
+    tables the way the reference unions signatures over
+    manager.getImportsClosure (FhirOwlService.java:219). The FIRST
+    ontology is the root; everything else is marked imported (the
+    set-difference semantics of calculateIrisInMain,
+    FhirOwlService.java:265-281: an IRI present in any imported document
+    is imported, even if also in the root signature)."""
+    merged = Ontology()
+    imported_iris = {
+        c["iri"] for p in parsed[1:] for c in p.tables.concepts
+    }
+    seen: set[str] = set()
+    for i, p in enumerate(parsed):
+        for c in p.tables.concepts:
+            if c["iri"] in seen:
+                continue
+            seen.add(c["iri"])
+            row = dict(c)
+            row["imported"] = c["iri"] in imported_iris or (i > 0)
+            merged.concepts.append(row)
+        merged.edges.extend(p.tables.edges)
+        # annotations outside the root document don't feed preferred-term
+        # selection (EntitySearcher scans the root ontology only,
+        # FhirOwlService.java:710) — imported labels only feed the closure
+        # display map, which is the concepts.label column here.
+        if i == 0:
+            merged.synonyms.extend(p.tables.synonyms)
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # CodeSystem-metadata projection (F9/C3/C4 in SURVEY.md §2.2-2.3): one
 # driver-side row — the reference builds it at FhirOwlService.java:309-475.

@@ -6,12 +6,15 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; CI-style full check: CONTRACT_SF_DIR=.../sf0.01
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

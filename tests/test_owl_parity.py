@@ -139,3 +139,44 @@ class TestDuoReal:
     def test_display_from_label(self, duo):
         _, _, triples = duo
         assert ("DUO_0000007", "has-display", "disease specific research") in triples
+
+
+class TestImportsClosureUnion:
+    def test_union_marks_imported(self, spark):
+        """S2: union of root + imported documents — imported concepts keep
+        full-IRI codes, root concepts shortform (set-difference mode)."""
+        from fhir_owl_spark.fixtures import Ontology
+        from fhir_owl_spark.sources.owl_xml import ParsedOntology, union_ontologies
+
+        root = Ontology()
+        root.concept("http://r#A", "root", label="A root")
+        root.concept("http://shared#S", "root", label="S shared")
+        root.edge("http://r#A", "http://shared#S")
+        root.synonym("http://r#A", "A root", prop="label")
+
+        imp = Ontology()
+        imp.concept("http://shared#S", "imp", label="S imported")
+        imp.concept("http://i#B", "imp", label="B imported")
+        imp.synonym("http://i#B", "ignored imported annotation", prop="label")
+
+        merged = union_ontologies(
+            ParsedOntology("http://r", None, True, root),
+            ParsedOntology("http://i", None, False, imp),
+        )
+        by_iri = {c["iri"]: c for c in merged.concepts}
+        assert by_iri["http://r#A"]["imported"] is False
+        # shared IRI appears in an imported document → imported
+        assert by_iri["http://shared#S"]["imported"] is True
+        assert by_iri["http://i#B"]["imported"] is True
+        # imported-document annotations don't feed preferred-term selection
+        assert all(s["iri"] != "http://i#B" for s in merged.synonyms)
+
+        from fhir_owl_spark.fixtures import model_concept_rows
+        from fhir_owl_spark.config import PipelineConfig
+
+        rows = model_concept_rows(merged, PipelineConfig(has_imports=True))
+        assert rows["http://r#A"]["code"] == "A"
+        assert rows["http://shared#S"]["code"] == "http://shared#S"
+        assert rows["http://i#B"]["code"] == "http://i#B"
+        # closure display map (label column) still supplies the display
+        assert rows["http://i#B"]["display"] == "B imported"
