@@ -377,6 +377,29 @@ def q_scalar_funcs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_conv_features(spark, sf_dir) -> DataFrame:
+    """Grouped-map (applyInPandas) per-conversation features over events
+    adapted to the transcript shape (conv=user, turn order by ts)."""
+    from .operators.conversations import conversation_features
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "user").otherwise("assistant").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    out = conversation_features(t)
+    return out.select(
+        "conv_id", "n_turns", "n_user_turns", "total_chars",
+        "first_ts", "last_ts", F.round("max_gap_s", 6).alias("max_gap_s"),
+        F.col("n_roles").cast("long").alias("n_roles"),
+    )
+
+
 def q_ann_lsh_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
     emb = _read(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir, 5)
@@ -407,6 +430,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "ann_lsh_top3": q_ann_lsh_top3,
+    "conv_features": q_conv_features,
     "embedding_near_dup": q_embedding_near_dup,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -600,6 +624,22 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sset, b.sset))
       / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8
+""",
+        "conv_features": """
+WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
+                  CASE WHEN event_type = 'click' THEN 'user' ELSE 'assistant' END AS role,
+                  props AS text,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
+       sum(length(coalesce(text,''))) AS total_chars,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       round(coalesce(max(epoch(ts) - epoch(prev_ts)), 0.0), 6) AS max_gap_s,
+       count(DISTINCT role) AS n_roles
+FROM t GROUP BY conv_id
 """,
         "embedding_near_dup": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

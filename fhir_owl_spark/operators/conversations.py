@@ -1,0 +1,63 @@
+"""Per-conversation operators — the grouped-map (applyInPandas) pattern.
+
+``conversation_features`` computes per-conversation shape statistics with
+one Arrow batch per conversation group. NOTE: these particular aggregates
+are also expressible as groupBy + window Column code (and that is what
+the DuckDB oracle does — the two implementations cross-check each other);
+the grouped-map form is here because it is the extension seam for
+context-dependent per-conversation scoring (mention disambiguation using
+surrounding turns), which Column code cannot express.
+
+Scale shape: one shuffle on conv_id; conversations are bounded (10^2-10^3
+turns), so group memory is bounded; skewed giant conversations are the
+pathological case — cap enforced via cfg in the caller if needed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CONV_FEATURES = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_user_turns", LongType()),
+        StructField("total_chars", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("max_gap_s", DoubleType()),
+        StructField("n_roles", IntegerType()),
+    ]
+)
+
+
+def conversation_features(transcripts: DataFrame) -> DataFrame:
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        ts = pdf["ts"]
+        gaps = ts.diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "n_user_turns": [int((pdf["role"] == "user").sum())],
+                "total_chars": [int(pdf["text"].fillna("").str.len().sum())],
+                "first_ts": [ts.min()],
+                "last_ts": [ts.max()],
+                "max_gap_s": [float(gaps.max()) if len(gaps) else 0.0],
+                "n_roles": [int(pdf["role"].nunique())],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandas(per_conv, CONV_FEATURES)

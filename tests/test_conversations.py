@@ -1,0 +1,97 @@
+"""Grouped-map conversation features + stateful streaming running counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fhir_owl_spark import fixtures as fx
+from fhir_owl_spark.operators.conversations import conversation_features
+from fhir_owl_spark.streaming.sessions import running_conversation_counts
+
+
+def test_conversation_features_match_column_impl(spark):
+    """The grouped-map result must equal the pure-Column groupBy/window
+    computation of the same statistics (cross-implementation check)."""
+    ont, cfg = fx.pizza_fixture()
+    tdf = fx.transcripts_df(spark, fx.make_transcripts(ont, cfg, n_conv=25, seed=5))
+
+    got = {
+        (r["conv_id"], r["n_turns"], r["n_user_turns"], r["total_chars"],
+         r["first_ts"], r["last_ts"], round(r["max_gap_s"], 6), r["n_roles"])
+        for r in conversation_features(tdf).collect()
+    }
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = tdf.withColumn(
+        "gap", F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    )
+    expected = {
+        (r["conv_id"], r["n_turns"], r["n_user_turns"], r["total_chars"],
+         r["first_ts"], r["last_ts"], round(r["max_gap_s"], 6), r["n_roles"])
+        for r in gaps.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("total_chars"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.coalesce(F.max("gap"), F.lit(0.0)).alias("max_gap_s"),
+            F.size(F.collect_set("role")).alias("n_roles"),
+        )
+        .collect()
+    }
+    assert got == expected and got
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: with
+    maxFilesPerTrigger=1 the second batch's emitted rows reflect state
+    from the first; final totals equal the batch groupBy."""
+    ont, cfg = fx.pizza_fixture()
+    turns = fx.make_transcripts(ont, cfg, n_conv=12, seed=9)
+    half = len(turns) // 2
+    inp = tmp_path / "in"
+    fx.transcripts_df(spark, turns[:half]).write.parquet(str(inp / "f1.parquet"))
+    fx.transcripts_df(spark, turns[half:]).write.parquet(str(inp / "f2.parquet"))
+
+    from fhir_owl_spark.schemas import TRANSCRIPTS
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{inp}/*/")
+    )
+    q = (
+        running_conversation_counts(stream)
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # memory sink in update mode appends each update → take the LAST row
+    # per conv (max n_turns, counts are monotone)
+    rows = spark.sql(
+        "select conv_id, max(n_turns) n_turns, max(n_chars) n_chars "
+        "from running group by conv_id"
+    ).collect()
+    got = {(r["conv_id"], r["n_turns"], r["n_chars"]) for r in rows}
+
+    batch = fx.transcripts_df(spark, turns)
+    expected = {
+        (r["conv_id"], r["n"], r["c"])
+        for r in batch.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("c"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+    # at least one conversation must actually have been updated across
+    # batches (update rows > final conversations)
+    assert spark.sql("select count(*) c from running").first()["c"] > len(rows)
