@@ -373,7 +373,10 @@ def q_scalar_funcs(spark, sf_dir) -> DataFrame:
             F.regexp_extract(date_str, r"(\d{4})-(\d{2})-(\d{2})", 2),
             F.regexp_extract(date_str, r"(\d{4})-(\d{2})-(\d{2})", 3),
         ).alias("yyyymmdd"),
-        reparsed.alias("reparsed_ts"),
+        # string round-trip, not a timestamp/epoch: wall-clock → parse →
+        # format is session-TZ-invariant either way the harness configures
+        # its session
+        F.date_format(reparsed, "yyyy-MM-dd").alias("reparsed_date"),
     )
 
 
@@ -393,9 +396,13 @@ def q_conv_features(spark, sf_dir) -> DataFrame:
         F.col("ts"),
     )
     out = conversation_features(t)
+    # epoch seconds, not timestamps: TZ-proof against whatever session
+    # timezone the driver's harness uses
     return out.select(
         "conv_id", "n_turns", "n_user_turns", "total_chars",
-        "first_ts", "last_ts", F.round("max_gap_s", 6).alias("max_gap_s"),
+        F.col("first_ts").cast("double").alias("first_epoch"),
+        F.col("last_ts").cast("double").alias("last_epoch"),
+        F.round("max_gap_s", 6).alias("max_gap_s"),
         F.col("n_roles").cast("long").alias("n_roles"),
     )
 
@@ -635,8 +642,8 @@ SELECT conv_id,
        count(*) AS n_turns,
        sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
        sum(length(coalesce(text,''))) AS total_chars,
-       min(ts) AS first_ts,
-       max(ts) AS last_ts,
+       epoch(min(ts)) AS first_epoch,
+       epoch(max(ts)) AS last_epoch,
        round(coalesce(max(epoch(ts) - epoch(prev_ts)), 0.0), 6) AS max_gap_s,
        count(DISTINCT role) AS n_roles
 FROM t GROUP BY conv_id
@@ -656,7 +663,7 @@ SELECT o_orderkey,
        || regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '(\d{4})-(\d{2})-(\d{2})', 2)
        || regexp_extract(strftime(o_orderdate, '%Y-%m-%d'), '(\d{4})-(\d{2})-(\d{2})', 3)
        AS yyyymmdd,
-       coalesce(
+       strftime(coalesce(
          try_strptime(CASE o_orderkey % 3
                         WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
                         WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
@@ -669,7 +676,7 @@ SELECT o_orderkey,
                         WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
                         WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
                         ELSE strftime(o_orderdate, '%m/%d/%Y') END, '%m/%d/%Y')
-       ) AS reparsed_ts
+       ), '%Y-%m-%d') AS reparsed_date
 FROM orders
 """,
         # simhash_docs / fingerprint_docs: xxhash64 has no DuckDB equivalent → rows-only
