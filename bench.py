@@ -144,6 +144,18 @@ def main() -> None:
         "cosine_topk",
         lambda: similarity.cosine_topk_bruteforce(emb, qvecs, k=10).count(),
     )
+    # 7. HPO-scale ontology anchor (BASELINE.md: ~18k concepts must build
+    #    + close in seconds)
+    ont18, cfg18 = fx.synthetic_ontology(18_000)
+    c18, e18, s18 = fx.ontology_dfs(spark, ont18)
+
+    def _onto18():
+        from fhir_owl_spark.operators.hierarchy import build_hierarchy
+
+        build_concept_dictionary(c18, s18, cfg18).count()
+        build_hierarchy(c18, e18, cfg18).count()
+
+    timed("ontology_18k", _onto18)
 
     total = round(sum(timings.values()), 3)
     out = {

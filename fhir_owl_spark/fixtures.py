@@ -666,3 +666,37 @@ def documents_as_transcripts(spark, sf_dir: str):
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+
+
+def synthetic_ontology(
+    n_concepts: int = 18_000, seed: int = 42, branching: int = 8
+) -> tuple[Ontology, PipelineConfig]:
+    """HPO-scale synthetic ontology (BASELINE.md sanity anchor: the
+    reference's largest real-world input is the ~18k-class Human Phenotype
+    Ontology, README.md:98-104). Deterministic tree + ~10% extra redundant
+    edges, one label each, ~30% with a synonym, ~2% deprecated."""
+    rng = random.Random(seed)
+    o = Ontology()
+    o.concept(OWL_THING, "syn", label="Thing")
+    ns = "http://example.org/scale#"
+    for i in range(n_concepts):
+        iri = f"{ns}C{i:06d}"
+        o.concept(
+            iri, "syn",
+            label=f"concept {i:06d}",
+            deprecated=(rng.random() < 0.02),
+        )
+        # parent drawn uniformly from earlier nodes → DAG, depth ~log n
+        if i == 0:
+            o.edge(iri, OWL_THING)
+        else:
+            o.edge(iri, f"{ns}C{rng.randrange(i):06d}")
+            if rng.random() < 0.1:  # redundant extra edge
+                o.edge(iri, f"{ns}C{rng.randrange(i):06d}")
+        o.synonym(iri, f"concept {i:06d}", prop="label")
+        if rng.random() < 0.3:
+            o.synonym(iri, f"syn {i:06d} term", prop="hasExactSynonym")
+    cfg = PipelineConfig(
+        synonym_props=("label", "hasExactSynonym"), has_imports=False
+    )
+    return o, cfg

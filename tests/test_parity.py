@@ -211,3 +211,18 @@ class TestIncludeDeprecated:
         assert got == expected
         assert ("OldTopping", "deprecated", "true") in got
         assert ("NewTopping", "is-a", "OldTopping") in got
+
+
+class TestSyntheticScale:
+    def test_18k_paths_agree_sampled(self, spark):
+        """HPO-scale sanity (BASELINE.md anchor): a 2k-concept slice of the
+        synthetic ontology — driver fast path ≡ distributed path ≡ model."""
+        import dataclasses
+
+        ont, cfg = fx.synthetic_ontology(2_000)
+        expected = fx.model_build_graph(ont, [], cfg)
+        got_fast = engine_triples(spark, ont, [], cfg)
+        assert got_fast == expected
+        cfg2 = dataclasses.replace(cfg, small_graph_threshold=0)
+        got_dist = engine_triples(spark, ont, [], cfg2)
+        assert got_dist == expected
