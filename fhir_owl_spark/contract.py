@@ -414,6 +414,13 @@ def q_ann_lsh_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by des
     return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ivf_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, 5)
+    out = similarity.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=2)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 QUERIES = {
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
@@ -437,6 +444,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "ann_lsh_top3": q_ann_lsh_top3,
+    "ivf_top3": q_ivf_top3,
     "conv_features": q_conv_features,
     "embedding_near_dup": q_embedding_near_dup,
     "scalar_funcs": q_scalar_funcs,

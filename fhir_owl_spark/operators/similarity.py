@@ -272,3 +272,132 @@ def embedding_near_dup_pairs(
         raise ValueError(method)
     out = pairs.withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
     return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-probed search.
+# The quantizer is trained with distributed Lloyd iterations — assignment
+# is a numpy argmin inside mapInPandas, the centroid update is a pure
+# Column element-wise mean (posexplode → groupBy(cluster, dim) → avg),
+# so only k×dim numbers ever reach the driver per iteration.
+# ---------------------------------------------------------------------------
+
+
+def _assign_clusters(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    cent = centroids.astype(np.float64)
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # squared L2 distance argmin (‖x‖² constant per row → argmin of
+            # -2x·c + ‖c‖²)
+            d = -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cluster": d.argmin(axis=1)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    n_iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's algorithm: init = the k lowest-id vectors
+    (seeded, reproducible), fixed iteration count (no convergence
+    nondeterminism)."""
+    init = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    dim = centroids.shape[1]
+    for _ in range(n_iterations):
+        assigned = _assign_clusters(df, centroids, id_col, vec_col).join(
+            df.select(id_col, vec_col), id_col
+        )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("mean"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in sums:
+            new[r["cluster"], r["pos"]] = r["mean"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: list[tuple[str, list[float]]],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    n_iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: assign the corpus to k-means cells once (write-time
+    partitioning in production), probe each query's n_probe nearest cells,
+    exact cosine re-rank inside the probed cells only.
+
+    Recall property: a query that IS a corpus vector always probes its own
+    cell (its nearest centroid is the assignment centroid) → self-recall 1.
+    """
+    centroids = kmeans_fit(corpus, n_clusters, n_iterations, id_col, vec_col)
+    assigned = _assign_clusters(corpus, centroids, id_col, vec_col)
+    bucketed = assigned.join(corpus.select(id_col, vec_col), id_col)
+
+    qids = [q for q, _ in queries]
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    d = -2.0 * (qmat @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+    probe_rows = [
+        (qid, int(c))
+        for qid, row in zip(qids, d)
+        for c in np.argsort(row, kind="stable")[:n_probe]
+    ]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, ["query_id", "cluster"])
+    cands = F.broadcast(probe_df).join(bucketed, "cluster").select(
+        "query_id", id_col, vec_col
+    )
+
+    qnorm = _normalize(qmat)
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    schema = StructType(
+        [
+            StructField("query_id", StringType()),
+            StructField(id_col, LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def rerank(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qi = pdf["query_id"].map(qindex).to_numpy()
+            cos = np.einsum("ij,ij->i", mat, qnorm[qi])
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], id_col: pdf[id_col], "cosine": cos}
+            )
+
+    scored = cands.mapInPandas(rerank, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 9).alias("cosine"), "rank")
+    )

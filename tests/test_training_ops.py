@@ -219,3 +219,23 @@ class TestMultimodal:
         media = multimodal.fake_media_df(spark, n=3)
         with pytest.raises(Exception):
             multimodal.image_features(media, strict=True).collect()
+
+
+class TestIVF:
+    def test_ivf_self_recall(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = [(f"q{i}", rows[i][1]) for i in range(8)]
+        got = similarity.ivf_topk(df, queries, k=3, n_clusters=8, n_probe=1)
+        top1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in got.collect() if r["rank"] == 1}
+        assert all(top1[f"q{i}"][0] == i for i in range(8))
+        assert all(abs(c - 1.0) < 1e-9 for _, c in top1.values())
+
+    def test_kmeans_deterministic(self, spark):
+        rng = np.random.default_rng(12)
+        rows = [(i, rng.standard_normal(8).tolist()) for i in range(100)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        a = similarity.kmeans_fit(df, k=4, n_iterations=2)
+        b = similarity.kmeans_fit(df, k=4, n_iterations=2)
+        assert np.allclose(a, b)
