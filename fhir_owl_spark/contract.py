@@ -216,6 +216,34 @@ def q_co_mentions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_context_scores(spark, sf_dir) -> DataFrame:
+    """Context-aware link scoring: boost when the entity's direct parent
+    is co-mentioned in the same conversation."""
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+    from .operators.hierarchy import build_hierarchy
+    from .operators.mentions import score_mentions_with_context
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg).localCheckpoint()
+    direct = build_hierarchy(concepts, edges, cfg)
+    code_of = dictionary.select("iri", "code")
+    isa = (
+        direct.join(code_of.withColumnsRenamed({"iri": "child_iri", "code": "child_code"}), "child_iri")
+        .join(code_of.withColumnsRenamed({"iri": "parent_iri", "code": "parent_code"}), "parent_iri")
+        .select("child_code", "parent_code")
+    )
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    out = score_mentions_with_context(m, isa)
+    return out.select(
+        "conv_id", "code", "term",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round("score", 9).alias("score"),
+        "context_score",
+    )
+
+
 def q_closure_orders(spark, sf_dir) -> DataFrame:
     edges = _order_edges(spark, sf_dir)
     c = transitive_closure(edges, child_col="child", parent_col="parent")
@@ -259,8 +287,10 @@ def q_window_order(spark, sf_dir) -> DataFrame:
 
 
 def q_anti_join(spark, sf_dir) -> DataFrame:
+    """Customers with no 'P'-status orders (filtered anti join — non-empty
+    at every sf, unlike the unfiltered version)."""
     customer = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey")
@@ -427,6 +457,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
+    "context_scores": q_context_scores,
     "closure_orders": q_closure_orders,
     "reduction_orders": q_reduction_orders,
     "min_label": q_min_label,
@@ -525,6 +556,35 @@ SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
 FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
 GROUP BY a.code, b.code
 """,
+        "context_scores": f"""
+WITH RECURSIVE {qops},
+-- word-aligned occurrence counts (handles ADJACENT repeats, which a
+-- replace-counting trick on ' term ' misses because repeats share the
+-- boundary space)
+words AS (SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                 string_split(lower(text), ' ') AS ws FROM documents),
+dn AS (SELECT term, code, len(string_split(term, ' ')) AS nwords FROM qdict),
+hits0 AS (SELECT conv_id, code, term,
+                 len(list_filter(generate_series(1, len(ws) - nwords + 1),
+                     i -> array_to_string(list_slice(ws, i, i + nwords - 1), ' ') = term))
+                 AS nh
+          FROM words, dn),
+hits AS (SELECT conv_id, code, term, nh AS n_hits_overlapless FROM hits0 WHERE nh > 0),
+isa AS (SELECT ec.code AS child_code, ep.code AS parent_code
+        FROM direct JOIN emitted ec ON direct.child = ec.iri AND NOT ec.is_root
+        JOIN emitted ep ON direct.parent = ep.iri),
+conv_codes AS (SELECT DISTINCT conv_id, code FROM hits),
+n AS (SELECT conv_id, code, term, n_hits_overlapless AS n_hits FROM hits)
+SELECT n.conv_id, n.code, n.term, CAST(n.n_hits AS BIGINT) AS n_hits,
+       round(1.0 - power(0.5, n.n_hits), 9) AS score,
+       round(least(1.0, 1.0 - power(0.5, n.n_hits)
+             + CASE WHEN EXISTS (SELECT 1 FROM isa JOIN conv_codes cc
+                                 ON isa.parent_code = cc.code
+                                 AND cc.conv_id = n.conv_id
+                                 WHERE isa.child_code = n.code)
+                    THEN 0.2 ELSE 0.0 END), 9) AS context_score
+FROM n
+""",
         "closure_orders": """
 WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent
                      FROM orders WHERE o_orderkey // 10 > 0),
@@ -562,7 +622,8 @@ FROM events
 """,
         "anti_join": """
 SELECT c_custkey FROM customer
-ANTI JOIN orders ON c_custkey = o_custkey
+ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') o
+ON c_custkey = o_custkey
 """,
         "salted_events": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
         "token_counts": r"""

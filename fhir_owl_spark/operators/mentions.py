@@ -327,3 +327,44 @@ def extract_mentions(
 def mention_conv_pairs(mentions: DataFrame) -> DataFrame:
     """Distinct (code, conv_id) — the mentions-in edge payload."""
     return mentions.select("code", "conv_id").distinct()
+
+
+def score_mentions_with_context(
+    mentions_df: DataFrame,
+    isa_edges: DataFrame,
+    boost: float = 0.2,
+) -> DataFrame:
+    """Context-aware entity-link scoring: a mention's score is boosted
+    when the entity's DIRECT PARENT is also mentioned somewhere in the
+    same conversation — hierarchy-consistent context is linking evidence
+    (north-star 'entity-link scoring'; no reference counterpart).
+
+    isa_edges: (child_code, parent_code) — the reduced hierarchy keyed by
+    CODES (broadcast side). One conv-keyed semi-join against the distinct
+    per-conversation entity set; output schema = input + context_score.
+    """
+    per_conv = mentions_df.select("conv_id", F.col("code").alias("parent_code")).distinct()
+    child_parent = F.broadcast(
+        isa_edges.select(
+            F.col("child_code").alias("code"), F.col("parent_code")
+        )
+    )
+    with_parent = mentions_df.join(child_parent, "code", "left")
+    boosted = (
+        with_parent.join(
+            per_conv.withColumn("_ctx", F.lit(True)),
+            ["conv_id", "parent_code"],
+            "left",
+        )
+        .groupBy(*mentions_df.columns)
+        .agg(F.max(F.coalesce("_ctx", F.lit(False))).alias("_has_ctx"))
+    )
+    return boosted.withColumn(
+        "context_score",
+        F.round(
+            F.least(
+                F.lit(1.0), F.col("score") + F.when(F.col("_has_ctx"), boost).otherwise(0.0)
+            ),
+            9,
+        ),
+    ).drop("_has_ctx")
