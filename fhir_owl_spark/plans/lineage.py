@@ -37,7 +37,7 @@ from ..operators.dictionary import build_concept_dictionary
 from ..operators.hierarchy import build_hierarchy
 from ..operators.mentions import extract_mentions
 from ..plans.build_graph import concept_triples, triples_with_key
-from ..schemas import LINEAGE
+from ..schemas import LINEAGE, TRIPLES
 
 ONTOLOGY_CHUNK = -1
 
@@ -114,7 +114,9 @@ def build_graph_resumable(
         # layout: triples/chunk=N/pred=X/part-*.parquet; readers prune
         # whole predicate subtrees (e.g. only mentions-in) at the scan.
         df.write.partitionBy("pred").parquet(chunk_dir)
-        n_out = spark.read.parquet(chunk_dir).count()
+        # explicit schema: an empty chunk writes no part files and schema
+        # inference would fail (TRIPLES includes the pred partition column)
+        n_out = spark.read.schema(TRIPLES).parquet(chunk_dir).count()
         _commit_lineage(
             spark, output_dir, run_id, chunk, input_rows, n_out, started, ckpt
         )
@@ -150,4 +152,8 @@ def build_graph_resumable(
 
 
 def read_triples(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{output_dir}/triples").drop("chunk")
+    try:
+        return spark.read.parquet(f"{output_dir}/triples").drop("chunk")
+    except Exception:
+        # every chunk empty → no part files anywhere → schema-less dirs
+        return spark.createDataFrame([], TRIPLES)

@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--synonyms", help="parquet dir: ontology_synonyms")
     p.add_argument("--fixture", choices=["pizza", "duo", "qops"],
                    help="use a built-in fixture ontology instead of --concepts/...")
+    p.add_argument("--owl", help="parse an OWL RDF/XML file as the ontology "
+                                 "(driver-side, fixture scale; sources/owl_xml)")
+    p.add_argument("--owl-no-object-properties", action="store_true",
+                   help="elk-style: classes only (FhirOwlService.java:543 guard)")
+    p.add_argument("--unsatisfiable", default="",
+                   help="comma-separated IRIs of reasoner-detected unsatisfiable classes")
     p.add_argument("--output", required=True, help="output dir (triples + _lineage)")
     p.add_argument("--chunks", type=int, default=8)
     p.add_argument("--run-id", default=None)
@@ -103,6 +109,23 @@ def main(argv=None) -> int:
         }[args.fixture]()
         concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
         cfg = fixture_cfg
+    elif args.owl:
+        import dataclasses
+
+        from fhir_owl_spark.sources.owl_xml import RDFS_LABEL, parse_owl_xml
+
+        parsed = parse_owl_xml(
+            args.owl,
+            include_object_properties=not args.owl_no_object_properties,
+            unsatisfiable_iris={s for s in args.unsatisfiable.split(",") if s},
+        )
+        concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)
+        cfg = build_config(args)
+        if cfg.display_prop == "label":  # default → rdfs:label IRI for OWL input
+            cfg = dataclasses.replace(
+                cfg, display_prop=RDFS_LABEL, synonym_props=(RDFS_LABEL,),
+                has_imports=parsed.has_imports,
+            )
     else:
         for req in ("concepts", "edges", "synonyms"):
             if not getattr(args, req):
