@@ -215,12 +215,30 @@ def _term_regex(term: str) -> str:
     return r"(?<![a-z0-9])" + re.escape(term) + r"(?![a-z0-9])"
 
 
+def extract_mention_pairs(
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    cfg: PipelineConfig,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Distinct-ish (code, conv_id) pairs, deduped batch-locally inside
+    the UDF before any data returns to the JVM. For the triple path the
+    turn/term/score detail is dead weight — batch-local dedup cuts the
+    Arrow return volume and the dedup-shuffle input by the per-batch
+    duplication factor (hub terms repeat in most turns of a conv).
+    Global dedup still happens downstream on the triple key."""
+    return extract_mentions(
+        transcripts, dictionary, cfg, strategy=strategy, pairs_only=True
+    )
+
+
 def extract_mentions(
     transcripts: DataFrame,
     dictionary: DataFrame,
     cfg: PipelineConfig,
     strategy: str = "auto",
     carry_cols: tuple[str, ...] = (),
+    pairs_only: bool = False,
 ) -> DataFrame:
     """transcripts × broadcast dictionary → MENTIONS rows.
 
@@ -230,12 +248,17 @@ def extract_mentions(
     columns threaded through to the output (e.g. the event-time column
     for streaming window aggs).
     """
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _Sf
     from pyspark.sql.types import StructType as _St
 
-    out_schema = _St(
-        MENTIONS.fields
-        + [transcripts.schema[c] for c in carry_cols]
-    )
+    if pairs_only:
+        out_schema = _St([_Sf("code", _Str()), _Sf("conv_id", _Str())])
+    else:
+        out_schema = _St(
+            MENTIONS.fields
+            + [transcripts.schema[c] for c in carry_cols]
+        )
     pairs = linkable_terms(dictionary, cfg)
     if not pairs:
         return transcripts.sparkSession.createDataFrame([], out_schema)
@@ -288,6 +311,21 @@ def extract_mentions(
                         recs["n_hits"].append(n)
                 if recs["_row"]:
                     parts.append(pd.DataFrame(recs))
+            if pairs_only:
+                if not parts:
+                    yield pd.DataFrame(
+                        {"code": pd.Series([], dtype="object"),
+                         "conv_id": pd.Series([], dtype="object")}
+                    )
+                    continue
+                hits = pd.concat(parts, ignore_index=True)
+                out = hits.merge(code_map, on="term", how="inner")
+                out["conv_id"] = pdf["conv_id"].reindex(out["_row"]).to_numpy()
+                # batch-local dedup: the hub term repeats across the turns
+                # of a conversation within the batch — collapse before the
+                # rows ever cross Arrow back to the JVM
+                yield out[["code", "conv_id"]].drop_duplicates(ignore_index=True)
+                continue
             out_cols = ["conv_id", "turn_idx", "code", "term", "n_hits", "score"] + list(
                 carry
             )

@@ -181,10 +181,11 @@ def build_graph(
 
     if cfg.transcript_partitions:
         transcripts = transcripts.repartition(cfg.transcript_partitions)
-    mentions = extract_mentions(transcripts, dictionary, cfg)
-    # No pre-distinct here: the final key-hash dropDuplicates dedups
-    # (code, conv_id) pairs in one shuffle with map-side partial aggregation.
-    mention_triples = mentions.select(
+    # pairs_only: batch-local dedup inside the UDF (hub terms repeat in
+    # most turns of a conversation) — global dedup still happens in the
+    # final key-hash dropDuplicates, one shuffle, map-side combined.
+    pairs = extract_mentions(transcripts, dictionary, cfg, pairs_only=True)
+    mention_triples = pairs.select(
         F.col("code").alias("subj"),
         F.lit("mentions-in").alias("pred"),
         F.col("conv_id").alias("obj"),

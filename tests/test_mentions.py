@@ -105,3 +105,20 @@ def test_ahocorasick_overlaps():
     counts = ac.find_counts("a data object here")
     assert counts == {0: 1, 1: 1, 2: 1}
     assert ac.find_counts("database") == {}
+
+
+def test_pairs_only_equals_distinct_pairs(spark):
+    """pairs_only batch-dedup path must equal distinct (code, conv_id)
+    of the full mention output."""
+    from fhir_owl_spark import fixtures as fx
+    from fhir_owl_spark.operators.mentions import extract_mention_pairs
+
+    ont, cfg = fx.pizza_fixture()
+    texts = [t["text"] for t in fx.make_transcripts(ont, cfg, n_conv=15, seed=4)]
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    d = build_concept_dictionary(concepts, synonyms, cfg)
+    tdf = transcripts_df(spark, turns(*texts))
+    full = extract_mentions(tdf, d, cfg)
+    a = {(r["code"], r["conv_id"]) for r in full.select("code", "conv_id").distinct().collect()}
+    b = {tuple(r) for r in extract_mention_pairs(tdf, d, cfg).distinct().collect()}
+    assert a == b and a
