@@ -126,15 +126,31 @@ def build_graph_resumable(
         onto = triples_with_key(concept_triples(dictionary, direct, concepts, cfg))
         write_chunk(ONTOLOGY_CHUNK, onto, concepts.count())
 
-    chunked = transcripts.withColumn(
-        "_chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)).cast("int")
-    )
+    # Stage the input ONCE, partitioned by the chunk key: one scan of the
+    # transcripts total, and every per-chunk read below is a pruned scan
+    # of a single _chunk directory (filtering the raw input per chunk
+    # would re-scan everything n_chunks times). The staging dir is also
+    # the pinned-input checkpoint: a resumed run reads the identical bytes
+    # (the Iceberg analog is a snapshot-id-pinned read, table_io.py).
+    todo = [c for c in range(n_chunks) if c not in done]
+    staging = f"{output_dir}/_staged_input"
+    if todo and not Path(f"{staging}/_SUCCESS").exists():
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            transcripts.withColumn(
+                "_chunk", F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)).cast("int")
+            )
+            .write.partitionBy("_chunk")
+            .parquet(staging)
+        )
     written = 0
-    for chunk in range(n_chunks):
-        if chunk in done:
-            continue
-        part = chunked.filter(F.col("_chunk") == chunk).drop("_chunk")
-        part = part.localCheckpoint(eager=True)  # checkpoint: pin chunk input
+    for chunk in todo:
+        part = (
+            spark.read.schema(transcripts.schema)
+            .parquet(f"{staging}/_chunk={chunk}")
+            if Path(f"{staging}/_chunk={chunk}").exists()
+            else transcripts.limit(0)
+        )
         n_in = part.count()
         mentions = extract_mentions(part, dictionary, cfg)
         mention_triples = mentions.select(
@@ -148,6 +164,9 @@ def build_graph_resumable(
         written += 1
         if fail_after_chunks is not None and written >= fail_after_chunks:
             raise RuntimeError(f"simulated failure after {written} chunks")
+    # all chunks committed → the staged input has served its purpose
+    if completed_chunks(spark, output_dir) >= set(range(n_chunks)) | {ONTOLOGY_CHUNK}:
+        shutil.rmtree(staging, ignore_errors=True)
     return run_id
 
 
