@@ -89,5 +89,7 @@ PIZZA_CONFIG = PipelineConfig()
 # DUO test config (FhirOwlServiceTest.java:152-162)
 DUO_CONFIG = PipelineConfig(
     use_fhir_extension=True,
-    date_regex=r"(?<year>\d{4})-(?<month>\d{2})-(?<day>\d{2})",
+    # Python named-group syntax (the reference's Java regex is (?<year>...),
+    # FhirOwlServiceTest.java:154 — semantics identical)
+    date_regex=r"(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})",
 )

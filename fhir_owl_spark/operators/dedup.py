@@ -144,6 +144,13 @@ def lsh_candidate_pairs(
     The shuffle key is the band hash (uniform); giant buckets only occur
     for true duplicate clusters, which AQE skew-join splits.
     """
+    first = signatures.select(F.size("signature").alias("n")).first()
+    if first is not None and first["n"] < n_bands:
+        raise ValueError(
+            f"signature length {first['n']} < n_bands={n_bands}: every band "
+            "would hash an empty slice and all documents would collide into "
+            "one bucket"
+        )
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
     banded = signatures.select(
         F.col(id_col),
@@ -274,11 +281,22 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-permuted banding: split the
     64-bit hash into n_blocks; by pigeonhole, any pair within max_hamming
     (< n_blocks) shares at least one exact block → join per block, verify
     Hamming distance exactly."""
+    if max_hamming >= n_blocks:
+        # pigeonhole only guarantees a shared block for hamming < n_blocks;
+        # beyond that the result is candidates-that-share-a-block, not "all
+        # pairs within max_hamming" — callers must opt in explicitly
+        if not allow_partial_recall:
+            raise ValueError(
+                f"max_hamming={max_hamming} >= n_blocks={n_blocks}: recall is "
+                "not guaranteed; pass allow_partial_recall=True to accept "
+                "shared-block candidates only, or raise n_blocks"
+            )
     width = 64 // n_blocks
     h = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
     blocks = h.select(

@@ -215,7 +215,13 @@ def build_hierarchy(
 
         return spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
 
+    # broadcast the loop's edge side only while it plausibly fits in
+    # executor memory (~5M edges ≈ low hundreds of MB); beyond that the
+    # per-iteration join must shuffle — the billion-edge path.
+    n_edges = completed.count()
     closure = transitive_closure(
-        completed, cfg.max_closure_iterations, broadcast_edges=True
+        completed,
+        cfg.max_closure_iterations,
+        broadcast_edges=n_edges <= 5_000_000,
     )
     return transitive_reduction(closure)

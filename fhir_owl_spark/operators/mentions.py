@@ -261,7 +261,17 @@ def extract_mentions(
         )
     pairs = linkable_terms(dictionary, cfg)
     if not pairs:
-        return transcripts.sparkSession.createDataFrame([], out_schema)
+        # Emit via a mapInPandas no-op so STREAMING inputs still get a
+        # streaming (empty) result — createDataFrame([]) would be a batch
+        # frame and writeStream on it would fail.
+        def empty_gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {f.name: pd.Series([], dtype="object") for f in out_schema.fields}
+                )
+
+        cols = ["conv_id", "turn_idx", "text", *carry_cols]
+        return transcripts.select(*cols).mapInPandas(empty_gen, out_schema)
 
     term_list = tuple(sorted({t for t, _ in pairs}))
     term_codes: dict[str, tuple[str, ...]] = {}

@@ -28,7 +28,7 @@ from ..operators.dictionary import (
     parent_code_col,
 )
 from ..operators.hierarchy import build_hierarchy
-from ..operators.mentions import extract_mentions, mention_conv_pairs
+from ..operators.mentions import extract_mentions
 from ..schemas import OWL_NOTHING
 
 # Field separator for the canonical key — unit separator, cannot appear in
@@ -139,10 +139,9 @@ def validate_turn_ordering(transcripts: DataFrame) -> DataFrame:
     run as a validation pass, not on the hot path."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
-        transcripts.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_prev", F.lag("turn_idx").over(w))
+        transcripts.withColumn("_prev", F.lag("turn_idx").over(w))
         .filter(F.col("turn_idx") == F.col("_prev"))
-        .drop("_rn", "_prev")
+        .drop("_prev")
     )
 
 

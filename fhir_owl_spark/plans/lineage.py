@@ -26,6 +26,7 @@ snapshot id for byte-identical resume reads):
 from __future__ import annotations
 
 import datetime as dt
+import json
 import shutil
 import uuid
 from pathlib import Path
@@ -100,6 +101,22 @@ def build_graph_resumable(
     done = completed_chunks(spark, output_dir)
     triples_dir = f"{output_dir}/triples"
 
+    # The chunk keying (pmod(hash, n_chunks)) is part of the output's
+    # identity: resuming with a different n_chunks would silently skip or
+    # double-process conversations. Pin it on first run, validate after.
+    meta_path = Path(output_dir) / "_job_meta.json"
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        if meta["n_chunks"] != n_chunks:
+            raise ValueError(
+                f"resume with n_chunks={n_chunks} but this output was started "
+                f"with n_chunks={meta['n_chunks']} — chunk keying would change; "
+                f"pass --chunks {meta['n_chunks']} or use a fresh output dir"
+            )
+    else:
+        meta_path.parent.mkdir(parents=True, exist_ok=True)
+        meta_path.write_text(json.dumps({"n_chunks": n_chunks}))
+
     dictionary = build_concept_dictionary(concepts, synonyms, cfg).localCheckpoint(
         eager=True
     )
@@ -152,8 +169,9 @@ def build_graph_resumable(
             else transcripts.limit(0)
         )
         n_in = part.count()
-        mentions = extract_mentions(part, dictionary, cfg)
-        mention_triples = mentions.select(
+        # pairs_only: batch-local dedup inside the UDF (same as build_graph)
+        pairs_df = extract_mentions(part, dictionary, cfg, pairs_only=True)
+        mention_triples = pairs_df.select(
             F.col("code").alias("subj"),
             F.lit("mentions-in").alias("pred"),
             F.col("conv_id").alias("obj"),

@@ -97,18 +97,22 @@ def parse_owl_xml(
                 elif ch.tag == f"{{{OWL_NS}}}imports":
                     has_imports = True
 
+    # Axioms for one IRI may be split across MULTIPLE rdf:about blocks
+    # (legal RDF/XML; the OWL API merges them) — accumulate per IRI, then
+    # emit one concept row each.
     seen: set[str] = set()
     kind_of: dict[str, str] = {}
     children: set[str] = set()
+    deprecated_of: dict[str, bool] = {}
+    labels_of: dict[str, list[str]] = {}
     for kind_tag, sub_tag in kinds:
         for el in root.iter(kind_tag):
             iri = el.get(_ABOUT)
-            if iri is None or iri in seen:
+            if iri is None:
                 continue
             seen.add(iri)
-            kind_of[iri] = kind_tag
-            deprecated = False
-            labels: list[str] = []
+            kind_of.setdefault(iri, kind_tag)
+            labels = labels_of.setdefault(iri, [])
             for ch in el:
                 prop = _prop_iri(ch.tag)
                 res = ch.get(_RESOURCE)
@@ -122,19 +126,21 @@ def parse_owl_xml(
                 # deprecated by property short form, boolean literal only
                 if _shortform(prop) == "deprecated":
                     if text in ("true", "false"):
-                        deprecated = text == "true"
+                        deprecated_of[iri] = text == "true"
                     continue
                 ont.synonym(iri, text, prop=prop)
                 if prop == RDFS_LABEL:
                     labels.append(text)
-            ont.concept(
-                iri,
-                ontology_id,
-                label=min(labels) if labels else None,
-                deprecated=deprecated,
-                imported=False,  # imports closure not fetched (see docstring)
-                unsatisfiable=iri in unsat,
-            )
+    for iri in kind_of:
+        labels = labels_of.get(iri, [])
+        ont.concept(
+            iri,
+            ontology_id,
+            label=min(labels) if labels else None,
+            deprecated=deprecated_of.get(iri, False),
+            imported=False,  # imports closure not fetched (see docstring)
+            unsatisfiable=iri in unsat,
+        )
 
     # Reasoner-completion stand-in for PROPERTIES: the reasoner reports
     # topObjectProperty among every object property's superproperties

@@ -121,11 +121,14 @@ def main(argv=None) -> int:
         )
         concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)
         cfg = build_config(args)
-        if cfg.display_prop == "label":  # default → rdfs:label IRI for OWL input
-            cfg = dataclasses.replace(
-                cfg, display_prop=RDFS_LABEL, synonym_props=(RDFS_LABEL,),
-                has_imports=parsed.has_imports,
-            )
+        # remap only the UNTOUCHED defaults to the rdfs:label IRI — an
+        # explicitly passed --display-prop/--synonym-props wins
+        updates: dict = {"has_imports": parsed.has_imports}
+        if args.display_prop == "label":
+            updates["display_prop"] = RDFS_LABEL
+        if args.synonym_props == "label":
+            updates["synonym_props"] = (RDFS_LABEL,)
+        cfg = dataclasses.replace(cfg, **updates)
     else:
         for req in ("concepts", "edges", "synonyms"):
             if not getattr(args, req):

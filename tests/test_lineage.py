@@ -69,3 +69,20 @@ def test_rerun_is_noop(spark, inputs, tmp_path):
     build_graph_resumable(spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=3)
     assert read_lineage(spark, out).count() == n_lineage  # nothing re-ran
     assert triple_set(read_triples(spark, out)) == before
+
+
+def test_resume_rejects_chunk_count_change(spark, inputs, tmp_path):
+    concepts, edges, synonyms, tdf, cfg = inputs
+    out = str(tmp_path / "graph3")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        build_graph_resumable(
+            spark, concepts, edges, synonyms, tdf, out, cfg,
+            n_chunks=4, fail_after_chunks=1,
+        )
+    with pytest.raises(ValueError, match="n_chunks"):
+        build_graph_resumable(
+            spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=2
+        )
+    # correct count resumes fine
+    build_graph_resumable(spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=4)
+    assert len(completed_chunks(spark, out)) == 5

@@ -180,3 +180,29 @@ class TestImportsClosureUnion:
         assert rows["http://i#B"]["code"] == "http://i#B"
         # closure display map (label column) still supplies the display
         assert rows["http://i#B"]["display"] == "B imported"
+
+
+class TestSplitBlocks:
+    def test_split_rdf_about_blocks_merge(self, tmp_path, spark):
+        """Axioms split across multiple rdf:about blocks for the same IRI
+        must merge (the OWL API merges class descriptions)."""
+        f = tmp_path / "split.owl"
+        f.write_text("""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+  <owl:Ontology rdf:about="http://x/split.owl"/>
+  <owl:Class rdf:about="http://x#A"><rdfs:label>a label</rdfs:label></owl:Class>
+  <owl:Class rdf:about="http://x#B"><rdfs:label>b label</rdfs:label></owl:Class>
+  <owl:Class rdf:about="http://x#A">
+    <rdfs:subClassOf rdf:resource="http://x#B"/>
+    <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>
+  </owl:Class>
+</rdf:RDF>""")
+        parsed = parse_owl_xml(str(f))
+        edges = {(e["child_iri"], e["parent_iri"]) for e in parsed.tables.edges}
+        assert ("http://x#A", "http://x#B") in edges
+        by_iri = {c["iri"]: c for c in parsed.tables.concepts}
+        assert by_iri["http://x#A"]["deprecated"] is True
+        assert by_iri["http://x#A"]["label"] == "a label"
+        assert len([c for c in parsed.tables.concepts if c["iri"] == "http://x#A"]) == 1

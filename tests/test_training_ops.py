@@ -67,7 +67,9 @@ class TestSimHash:
         max_h = 16
         pairs = {
             (r["id_a"], r["id_b"]): r["hamming"]
-            for r in dedup.simhash_near_dup_pairs(docs, max_hamming=max_h).collect()
+            for r in dedup.simhash_near_dup_pairs(
+                docs, max_hamming=max_h, allow_partial_recall=True
+            ).collect()
         }
         assert pairs.get((0, 1)) == 0  # identical text → identical simhash
 
@@ -239,3 +241,14 @@ class TestIVF:
         a = similarity.kmeans_fit(df, k=4, n_iterations=2)
         b = similarity.kmeans_fit(df, k=4, n_iterations=2)
         assert np.allclose(a, b)
+
+
+class TestDedupParamValidation:
+    def test_simhash_rejects_unguaranteed_hamming(self, docs):
+        with pytest.raises(ValueError, match="recall is not guaranteed"):
+            dedup.simhash_near_dup_pairs(docs, max_hamming=4, n_blocks=4).collect()
+
+    def test_lsh_rejects_short_signatures(self, spark):
+        sigs = spark.createDataFrame([(0, [1, 2]), (1, [3, 4])], ["doc_id", "signature"])
+        with pytest.raises(ValueError, match="signature length"):
+            dedup.lsh_candidate_pairs(sigs, n_bands=16)
