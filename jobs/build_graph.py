@@ -61,6 +61,11 @@ def parse_args(argv=None):
     p.add_argument("--link-stop-terms", default="")
     p.add_argument("--check-order", action="store_true",
                    help="fail on duplicate (conv_id, turn_idx)")
+    p.add_argument("--export-codesystem",
+                   help="also write a FHIR-CodeSystem-shaped JSON of the "
+                        "ontology side to this path (reference-diffable)")
+    p.add_argument("--use-fhir-extension", action="store_true")
+    p.add_argument("--date-regex", default=None)
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     return p.parse_args(argv)
 
@@ -77,6 +82,8 @@ def build_config(args):
         labels_to_exclude=tuple(s for s in args.labels_to_exclude.split(",") if s),
         include_deprecated=args.include_deprecated,
         main_namespaces=tuple(s for s in args.main_ns.split(",") if s),
+        use_fhir_extension=args.use_fhir_extension,
+        date_regex=args.date_regex,
         link_deprecated=args.link_deprecated,
         link_stop_terms=tuple(s for s in args.link_stop_terms.split(",") if s),
     )
@@ -164,6 +171,17 @@ def main(argv=None) -> int:
         "chunks": lineage.count(),
         "triples": n_triples,
     }
+
+    if args.export_codesystem:
+        from fhir_owl_spark.plans.export import export_codesystem, write_codesystem_json
+        from fhir_owl_spark.sources.owl_xml import ontology_metadata
+
+        meta = ontology_metadata(parsed, cfg) if args.owl else None
+        cs = export_codesystem(spark, concepts, edges, synonyms, cfg, metadata=meta)
+        write_codesystem_json(cs, args.export_codesystem)
+        summary["codesystem"] = args.export_codesystem
+        summary["concepts"] = cs["count"]
+
     print(json.dumps(summary))
     return 0
 
