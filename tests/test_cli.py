@@ -1,0 +1,95 @@
+"""E2E job test (SURVEY.md §5.2 #4): run the spark-submit entry point
+in-process on fixture tables, read back the written triples + lineage,
+verify the CodeSystem export, and check that a re-run resumes to a no-op."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from fhir_owl_spark import fixtures as fx
+
+import jobs.build_graph as job
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "transcripts")
+    ont, cfg = fx.pizza_fixture()
+    fx.transcripts_df(spark, fx.make_transcripts(ont, cfg, n_conv=20)).write.parquet(path)
+    return path
+
+
+def run_main(argv, capsys):
+    rc = job.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_end_to_end_and_resume(spark, transcripts_path, tmp_path, capsys):
+    out_dir = str(tmp_path / "graph")
+    cs_path = str(tmp_path / "cs.json")
+    argv = [
+        "--fixture", "pizza",
+        "--transcripts", transcripts_path,
+        "--output", out_dir,
+        "--chunks", "3",
+        "--check-order",
+        "--export-codesystem", cs_path,
+    ]
+    rc, summary = run_main(argv, capsys)
+    assert rc == 0
+    assert summary["chunks"] == 4  # ontology + 3 transcript chunks
+    assert summary["triples"] > 0
+    assert summary["concepts"] > 0
+
+    # written triples match the library pipeline
+    from fhir_owl_spark.plans.build_graph import build_graph
+    from fhir_owl_spark.plans.lineage import read_lineage, read_triples
+
+    ont, cfg = fx.pizza_fixture()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    expected = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_graph(
+            spark, concepts, edges, synonyms, spark.read.parquet(transcripts_path), cfg
+        ).collect()
+    }
+    got = {
+        (r["subj"], r["pred"], r["obj"]) for r in read_triples(spark, out_dir).collect()
+    }
+    assert got == expected
+
+    # lineage metrics present
+    lin = read_lineage(spark, out_dir).collect()
+    assert all(r["output_triples"] >= 0 and r["checkpoint_id"] for r in lin)
+
+    # CodeSystem export written and consistent
+    cs = json.load(open(cs_path))
+    assert cs["resourceType"] == "CodeSystem"
+    assert cs["count"] == summary["concepts"]
+
+    # re-run: no-op resume, identical output
+    rc2, summary2 = run_main(argv, capsys)
+    assert rc2 == 0
+    assert summary2["triples"] == summary["triples"]
+    assert read_lineage(spark, out_dir).count() == 4
+
+
+def test_cli_rejects_bad_ordering(spark, tmp_path, capsys):
+    import datetime as dt
+
+    bad_path = str(tmp_path / "bad")
+    rows = [
+        dict(conv_id="c", turn_idx=0, role="user", text="x", tool=None,
+             ts=dt.datetime(2026, 1, 1)),
+        dict(conv_id="c", turn_idx=0, role="user", text="y", tool=None,
+             ts=dt.datetime(2026, 1, 1)),
+    ]
+    fx.transcripts_df(spark, rows).write.parquet(bad_path)
+    with pytest.raises(SystemExit, match="turn-ordering"):
+        job.main([
+            "--fixture", "pizza", "--transcripts", bad_path,
+            "--output", str(tmp_path / "g2"), "--check-order",
+        ])
