@@ -352,6 +352,14 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs → connected components with canonical (min-id)
+    representative — iterative min-label propagation."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.dup_clusters(pairs)
+
+
 def q_simhash_docs(spark, sf_dir) -> DataFrame:  # rows-only (xxhash64 not in DuckDB)
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash_col("text").alias("simhash"))
@@ -472,6 +480,7 @@ QUERIES = {
     "cosine_top3": q_cosine_top3,
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "minhash_pairs": q_minhash_pairs,
+    "dup_clusters": q_dup_clusters,
     "simhash_docs": q_simhash_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "ann_lsh_top3": q_ann_lsh_top3,
@@ -748,6 +757,18 @@ SELECT o_orderkey,
        ), '%Y-%m-%d') AS reparsed_date
 FROM orders
 """,
+        "dup_clusters": f"""
+WITH RECURSIVE {{shingles}},
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sset, b.sset))
+            / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8),
+und AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT s AS id, s AS r FROM und
+          UNION
+          SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+""".format(shingles=_oracle_shingles_cte().lstrip()),
         # simhash_docs / fingerprint_docs: xxhash64 has no DuckDB equivalent → rows-only
         # ann_lsh_top3: approximate by design → rows-only
     }

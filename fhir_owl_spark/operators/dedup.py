@@ -327,3 +327,67 @@ def simhash_near_dup_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup PAIRS → connected components with
+# a canonical representative (min id) per cluster — the step that turns
+# pairwise similarity into "keep one, drop the rest".
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 32,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, cluster_id) for every id in ``pairs``; cluster_id = the
+    minimum id reachable through the undirected pair graph.
+
+    Iterative min-label propagation (the standard Spark
+    connected-components loop): each round every node adopts the minimum
+    label in its neighborhood; converges in O(component diameter) rounds
+    — near-dup components are tiny (dup clusters), so this is 2-4 rounds
+    in practice. localCheckpoint per round keeps plans flat; one shuffle
+    per round on the node id.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.withColumnRenamed("new_label", "label").localCheckpoint(
+            eager=True
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -252,3 +252,24 @@ class TestDedupParamValidation:
         sigs = spark.createDataFrame([(0, [1, 2]), (1, [3, 4])], ["doc_id", "signature"])
         with pytest.raises(ValueError, match="signature length"):
             dedup.lsh_candidate_pairs(sigs, n_bands=16)
+
+
+class TestDupClusters:
+    def test_components(self, spark):
+        # components: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            ["id_a", "id_b"],
+        )
+        got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dup_clusters(pairs).collect()}
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+
+    def test_end_to_end_with_minhash(self, docs):
+        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+        got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dup_clusters(pairs).collect()}
+        # docs 0,1 exact dups and 2 near dup → one cluster rooted at 0
+        assert {(0, 0), (1, 0), (2, 0)} <= got
