@@ -171,6 +171,18 @@ def q_kg_isa(spark, sf_dir) -> DataFrame:
     return triples.filter(F.col("pred") == "is-a").select("subj", "pred", "obj")
 
 
+def q_kg_ancestors(spark, sf_dir) -> DataFrame:
+    """Terminology query over the OUTPUT graph: full ancestor sets
+    (transitive closure of emitted is-a; plans/graph_queries.ancestors)."""
+    from .plans.graph_queries import ancestors
+
+    triples = q_kg_isa(spark, sf_dir)
+    full = triples.select("subj", "pred", "obj", F.lit(None).cast("string").alias("obj_type"),
+                          F.lit(None).cast("string").alias("conv_id"),
+                          F.lit(None).cast("string").alias("key_hash"))
+    return ancestors(full).select("code", "ancestor")
+
+
 def q_kg_mentions(spark, sf_dir) -> DataFrame:
     ont, cfg = _qops()
     concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
@@ -462,6 +474,7 @@ def q_ivf_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
 QUERIES = {
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
+    "kg_ancestors": q_kg_ancestors,
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
@@ -549,6 +562,16 @@ UNION ALL
 """,
         "kg_isa": f"WITH RECURSIVE {qops} {_oracle_isa_select()}",
         "kg_mentions": f"WITH RECURSIVE {qops} {_oracle_mentions_select()}",
+        "kg_ancestors": f"""
+WITH RECURSIVE {qops},
+isa AS (SELECT ec.code AS child, ep.code AS parent
+        FROM direct JOIN emitted ec ON direct.child = ec.iri AND NOT ec.is_root
+        JOIN emitted ep ON direct.parent = ep.iri),
+anc AS (SELECT child, parent FROM isa
+        UNION
+        SELECT anc.child, isa.parent FROM anc JOIN isa ON anc.parent = isa.child)
+SELECT child AS code, parent AS ancestor FROM anc
+""",
         "kg_mention_counts": f"""
 WITH RECURSIVE {qops}
 SELECT d.code AS code, count(*) AS n_mentions

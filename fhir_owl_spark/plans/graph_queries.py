@@ -1,0 +1,94 @@
+"""Query API over the produced triple graph — what a reference user does
+with the emitted CodeSystem today (terminology-server-style operations:
+$lookup, parent/child navigation, $subsumes, ECL-ish descendant-of) plus
+the transcript-side lookups the graft adds.
+
+All operations are DataFrame programs over the TRIPLES table (pred-
+partitioned parquet/Iceberg → predicate pruning at the scan); ancestor /
+descendant sets reuse the same iterative-closure operator as the build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.hierarchy import transitive_closure
+
+
+def _isa_edges(triples: DataFrame) -> DataFrame:
+    return triples.filter(F.col("pred") == "is-a").select(
+        F.col("subj").alias("child"), F.col("obj").alias("parent")
+    )
+
+
+def lookup(triples: DataFrame, code: str) -> dict:
+    """$lookup analog: one concept's display, flags, synonyms, parents."""
+    rows = triples.filter(F.col("subj") == code).collect()
+    out: dict = {"code": code, "synonyms": [], "parents": []}
+    for r in rows:
+        if r["pred"] == "has-display":
+            out["display"] = r["obj"]
+        elif r["pred"] == "synonym-of":
+            out["synonyms"].append(r["obj"])
+        elif r["pred"] == "is-a":
+            out["parents"].append(r["obj"])
+        elif r["pred"] in ("deprecated", "imported", "root"):
+            out[r["pred"]] = r["obj"] == "true"
+    out["synonyms"].sort()
+    out["parents"].sort()
+    return out
+
+
+def parents_of(triples: DataFrame, code: str) -> DataFrame:
+    return _isa_edges(triples).filter(F.col("child") == code).select(
+        F.col("parent").alias("code")
+    )
+
+
+def children_of(triples: DataFrame, code: str) -> DataFrame:
+    return _isa_edges(triples).filter(F.col("parent") == code).select(
+        F.col("child").alias("code")
+    )
+
+
+def ancestors(triples: DataFrame, max_depth: int = 64) -> DataFrame:
+    """(code, ancestor) for every concept — full transitive closure of the
+    emitted is-a graph (the inverse of what the build reduced; useful for
+    subsumption filtering and ECL '<<' semantics)."""
+    return transitive_closure(
+        _isa_edges(triples), max_depth, child_col="child", parent_col="parent"
+    ).select(F.col("child").alias("code"), F.col("parent").alias("ancestor"))
+
+
+def descendants_of(triples: DataFrame, code: str, max_depth: int = 64) -> DataFrame:
+    return ancestors(triples, max_depth).filter(F.col("ancestor") == code).select("code")
+
+
+def subsumes(triples: DataFrame, ancestor_code: str, code: str) -> bool:
+    """$subsumes analog: is `code` a (transitive) descendant of
+    `ancestor_code`?"""
+    return (
+        not ancestors(triples)
+        .filter((F.col("code") == code) & (F.col("ancestor") == ancestor_code))
+        .isEmpty()
+    )
+
+
+def conversations_mentioning(
+    triples: DataFrame, code: str, include_descendants: bool = False
+) -> DataFrame:
+    """The graft query: conversations where a concept (optionally any of
+    its descendants) is mentioned."""
+    mentions = triples.filter(F.col("pred") == "mentions-in")
+    if include_descendants:
+        codes = descendants_of(triples, code).union(
+            triples.sparkSession.createDataFrame([(code,)], ["code"])
+        )
+        return (
+            mentions.join(codes, mentions.subj == codes.code)
+            .select(F.col("obj").alias("conv_id"))
+            .distinct()
+        )
+    return mentions.filter(F.col("subj") == code).select(
+        F.col("obj").alias("conv_id")
+    ).distinct()
