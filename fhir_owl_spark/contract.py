@@ -386,9 +386,26 @@ def q_fingerprint_docs(spark, sf_dir) -> DataFrame:  # rows-only
 
 def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact all-pairs baseline with the
-    JVM-side zip_with/aggregate dot product (no UDF)."""
+    JVM-side zip_with/aggregate dot product (no UDF). Explicit
+    allow_quadratic opt-in: this is the bounded-input correctness baseline
+    matched against DuckDB's exact oracle; the production default is the
+    banded-LSH path (see q_embedding_near_dup_lsh)."""
     emb = _read(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.5, method="exact")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.5, method="exact", allow_quadratic=True
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir) -> DataFrame:
+    """The scale path: banded hyperplane-LSH candidate join, exact cosine
+    verify on candidates only. Same exact DuckDB oracle as the quadratic
+    baseline — at this threshold/banding the candidate recall is ~0.99+ and
+    the fixture's qualifying pairs are deterministic, so the outputs agree;
+    a recall miss here would be a real regression signal, not flake (all
+    hashing is seeded)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.5, method="lsh")
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -446,13 +463,15 @@ def q_conv_features(spark, sf_dir) -> DataFrame:
         F.col("ts"),
     )
     out = conversation_features(t)
-    # epoch seconds, not timestamps: TZ-proof against whatever session
-    # timezone the driver's harness uses
+    # integer epoch-microseconds, not timestamps/doubles: TZ-proof AND
+    # float-canonicalization-proof (double epoch subtraction in the oracle
+    # loses sub-µs precision; stringified doubles also format differently
+    # across engines)
     return out.select(
         "conv_id", "n_turns", "n_user_turns", "total_chars",
-        F.col("first_ts").cast("double").alias("first_epoch"),
-        F.col("last_ts").cast("double").alias("last_epoch"),
-        F.round("max_gap_s", 6).alias("max_gap_s"),
+        F.unix_micros(F.col("first_ts")).alias("first_epoch_us"),
+        F.unix_micros(F.col("last_ts")).alias("last_epoch_us"),
+        F.col("max_gap_us").alias("max_gap_us"),
         F.col("n_roles").cast("long").alias("n_roles"),
     )
 
@@ -500,6 +519,7 @@ QUERIES = {
     "ivf_top3": q_ivf_top3,
     "conv_features": q_conv_features,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "scalar_funcs": q_scalar_funcs,
 }
 
@@ -743,13 +763,20 @@ SELECT conv_id,
        count(*) AS n_turns,
        sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
        sum(length(coalesce(text,''))) AS total_chars,
-       epoch(min(ts)) AS first_epoch,
-       epoch(max(ts)) AS last_epoch,
-       round(coalesce(max(epoch(ts) - epoch(prev_ts)), 0.0), 6) AS max_gap_s,
+       epoch_us(min(ts)) AS first_epoch_us,
+       epoch_us(max(ts)) AS last_epoch_us,
+       coalesce(max(epoch_us(ts) - epoch_us(prev_ts)), 0) AS max_gap_us,
        count(DISTINCT role) AS n_roles
 FROM t GROUP BY conv_id
 """,
         "embedding_near_dup": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+""",
+        "embedding_near_dup_lsh": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cosine

@@ -37,6 +37,7 @@ CONV_FEATURES = StructType(
         StructField("first_ts", TimestampType()),
         StructField("last_ts", TimestampType()),
         StructField("max_gap_s", DoubleType()),
+        StructField("max_gap_us", LongType()),
         StructField("n_roles", IntegerType()),
     ]
 )
@@ -46,7 +47,14 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         ts = pdf["ts"]
-        gaps = ts.diff().dt.total_seconds().dropna()
+        # exact integer-microsecond gaps: float total_seconds() on epoch-scale
+        # timestamps loses sub-microsecond precision, which breaks
+        # cross-engine value equality (the DuckDB oracle computes the same
+        # quantity via epoch_us bigint subtraction)
+        # normalize to ns first: Arrow may hand us datetime64[us], whose
+        # int64 view would be µs, not ns
+        gaps_us = ts.astype("datetime64[ns]").astype("int64").diff().dropna() // 1000
+        max_gap_us = int(gaps_us.max()) if len(gaps_us) else 0
         return pd.DataFrame(
             {
                 "conv_id": [pdf["conv_id"].iloc[0]],
@@ -55,7 +63,8 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
                 "total_chars": [int(pdf["text"].fillna("").str.len().sum())],
                 "first_ts": [ts.min()],
                 "last_ts": [ts.max()],
-                "max_gap_s": [float(gaps.max()) if len(gaps) else 0.0],
+                "max_gap_s": [max_gap_us / 1e6],
+                "max_gap_us": [max_gap_us],
                 "n_roles": [int(pdf["role"].nunique())],
             }
         )

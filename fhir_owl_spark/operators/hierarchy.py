@@ -98,6 +98,70 @@ def transitive_closure(
     )
 
 
+def reachable_set(
+    edges: DataFrame,
+    seeds: list[str],
+    child_col: str = "child",
+    parent_col: str = "parent",
+    direction: str = "up",
+    max_iterations: int = 64,
+    broadcast_edges: bool = True,
+) -> DataFrame:
+    """Seeded-frontier BFS: all nodes reachable from ``seeds`` following
+    edges upward (child→parent: the ancestor set) or downward
+    (parent→child: the descendant set). Returns one column ``node``
+    (seeds excluded unless they are reachable from themselves via a cycle).
+
+    This is the single-probe shape for $subsumes / descendant-of queries:
+    cost scales with |reached set| × depth, NOT with the full graph closure
+    (transitive_closure is all-pairs — the wrong plan for one lookup on a
+    SNOMED-scale graph). Termination is guaranteed by the visited-set
+    anti-join even on cyclic inputs.
+
+    With broadcast_edges=True (default — right whenever the edge table is
+    ontology-bounded) each hop is a broadcast hash join: zero shuffles in
+    the loop body except the frontier distinct.
+    """
+    if direction == "up":
+        src, dst = child_col, parent_col
+    elif direction == "down":
+        src, dst = parent_col, child_col
+    else:
+        raise ValueError(direction)
+    spark = edges.sparkSession
+    hop = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt")).filter(
+        F.col("node") != F.col("nxt")
+    )
+    if broadcast_edges:
+        hop = F.broadcast(hop)
+
+    frontier = spark.createDataFrame([(s,) for s in seeds], ["node"]).localCheckpoint(
+        eager=True
+    )
+    visited = None
+    for _ in range(max_iterations):
+        stepped = (
+            frontier.join(hop, "node")
+            .select(F.col("nxt").alias("node"))
+            .distinct()
+        )
+        if visited is not None:
+            stepped = stepped.join(visited, "node", "left_anti")
+        frontier = stepped.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        # frontier is distinct and anti-joined against visited → the union
+        # is already duplicate-free, no extra distinct shuffle needed
+        visited = (
+            frontier if visited is None else visited.union(frontier)
+        ).localCheckpoint(eager=True)
+    return (
+        visited
+        if visited is not None
+        else spark.createDataFrame([], "node string")
+    )
+
+
 def _closure_reduction_driver_side(
     edge_rows: list[tuple[str, str]], max_iterations: int = 64
 ) -> list[tuple[str, str]]:

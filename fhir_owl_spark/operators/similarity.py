@@ -240,16 +240,27 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "exact",
+    method: str = "lsh",
     n_planes: int = 16,
+    n_bands: int = 8,
     seed: int = 42,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold.
 
-    method='exact': all-pairs join — the correctness baseline, O(n²);
-    fine for ≤10^4 vectors or inside an LSH bucket.
-    method='lsh': hyperplane-signature bucket join first (the scale path;
-    a pair must share its full signature — recall < 1 by design).
+    method='lsh' (DEFAULT — the only scale-safe shape): banded
+    hyperplane-signature bucket join. The n_planes-bit signature is split
+    into n_bands bands; a pair is a candidate if it matches on ANY band
+    (standard banding: candidate prob = 1-(1-p^r)^b for per-plane match
+    prob p = 1-θ/π), then the exact cosine is computed on candidates only.
+    Recall < 1 by design but tunable: 16 planes / 8 bands gives ~0.99
+    candidate recall at cosine 0.5 and better above.
+
+    method='exact': all-pairs crossJoin — the correctness baseline, O(n²).
+    A job-killer at corpus scale, so it requires an explicit
+    allow_quadratic=True opt-in (same guard pattern as simhash banding's
+    recall guard); use only for tests / bounded inputs / within-bucket
+    verification.
     """
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -260,13 +271,43 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias("vec_b"),
     )
     if method == "exact":
+        if not allow_quadratic:
+            raise ValueError(
+                "method='exact' is O(n²) (crossJoin); pass "
+                "allow_quadratic=True to confirm the input is bounded, or "
+                "use the default method='lsh'."
+            )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
+        if n_planes % n_bands != 0:
+            raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+        r = n_planes // n_bands
         dim = len(df.select(vec_col).first()[0])
         sigs = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
-        sa = sigs.select(F.col(id_col).alias("id_a"), "sig")
-        sb = sigs.select(F.col(id_col).alias("id_b"), "sig")
-        cand = sa.join(sb, "sig").filter(F.col("id_a") < F.col("id_b"))
+        # band the signature: (band_idx, r-bit slice) rows, one shuffle key
+        # per band — candidates are pairs sharing any band, verified exactly
+        # below, so banding only affects recall, never precision.
+        mask = (1 << r) - 1
+        bands = sigs.select(
+            id_col,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * r).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ])
+            ).alias("bk"),
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        sa = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+        sb = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+        cand = (
+            sa.join(sb, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         raise ValueError(method)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.hierarchy import transitive_closure
+from ..operators.hierarchy import reachable_set, transitive_closure
 
 
 def _isa_edges(triples: DataFrame) -> DataFrame:
@@ -61,17 +61,24 @@ def ancestors(triples: DataFrame, max_depth: int = 64) -> DataFrame:
 
 
 def descendants_of(triples: DataFrame, code: str, max_depth: int = 64) -> DataFrame:
-    return ancestors(triples, max_depth).filter(F.col("ancestor") == code).select("code")
+    """Seeded-frontier BFS downward from `code` — cost scales with the
+    descendant set of one node, not the all-pairs closure (the full-closure
+    shape is the wrong plan for one probe on a SNOMED-scale graph)."""
+    return reachable_set(
+        _isa_edges(triples), [code], child_col="child", parent_col="parent",
+        direction="down", max_iterations=max_depth,
+    ).select(F.col("node").alias("code"))
 
 
 def subsumes(triples: DataFrame, ancestor_code: str, code: str) -> bool:
     """$subsumes analog: is `code` a (transitive) descendant of
-    `ancestor_code`?"""
-    return (
-        not ancestors(triples)
-        .filter((F.col("code") == code) & (F.col("ancestor") == ancestor_code))
-        .isEmpty()
+    `ancestor_code`? Seeded-frontier BFS upward from `code` — touches only
+    the ancestor set of one node."""
+    anc = reachable_set(
+        _isa_edges(triples), [code], child_col="child", parent_col="parent",
+        direction="up",
     )
+    return not anc.filter(F.col("node") == ancestor_code).isEmpty()
 
 
 def conversations_mentioning(

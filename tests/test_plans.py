@@ -91,3 +91,52 @@ def test_single_exchange_for_dedup(spark, transcripts_parquet):
     # hash dedup, not sort dedup: no Sort operator anywhere
     assert "Sort" not in tree, plan
     assert "HashAggregate" in tree
+
+
+def test_near_dup_default_is_not_quadratic(spark):
+    """The default embedding-near-dup plan must not contain a cartesian /
+    unconditioned cross join; the quadratic baseline requires an explicit
+    allow_quadratic=True opt-in."""
+    from fhir_owl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    out = embedding_near_dup_pairs(emb, threshold=0.9)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_near_dup_pairs(emb, threshold=0.9, method="exact")
+
+
+def test_near_dup_lsh_matches_exact_on_fixture(spark):
+    """Banded LSH (default) finds the same qualifying pairs as the exact
+    baseline on a seeded fixture — recall loss here would be deterministic,
+    not flake."""
+    import numpy as np
+
+    from fhir_owl_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 16))
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        # a near-duplicate of each: tiny perturbation → cosine ≈ 1
+        rows.append((vid, [float(x) for x in v + rng.standard_normal(16) * 0.01])); vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, 0.95, method="exact", allow_quadratic=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, 0.95).collect()
+    }
+    assert exact == lsh and len(exact) == 10
