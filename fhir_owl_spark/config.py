@@ -51,6 +51,28 @@ class PipelineConfig:
     hierarchy_meaning: str = "is-a"
     status: str = "draft"
     content: str = "complete"
+    # -- metadata long tail (CodeSystemProperties.java:33-58; all eagerly
+    #    validated in __post_init__ like the reference's setters) ----------
+    cs_id: str | None = None             # -id: technical resource id
+    language: str | None = None          # -language (not validated; :684)
+    identifiers: tuple = ()              # parsed by metadata.parse_identifiers
+    name: str | None = None              # -name: wins over name_prop
+    name_prop: str | None = None         # -nameProp: default rdfs:label (:697)
+    title: str | None = None
+    experimental: bool = False
+    date: str | None = None              # validated only — NEVER emitted
+                                         # (reference bug parity; see
+                                         # metadata.validate_date)
+    publisher: str | None = None         # wins over publisher_props
+    publisher_props: tuple[str, ...] = ()  # default dc:publisher (:636-638)
+    contacts: tuple = ()                 # parsed by parse_contacts
+    description: str | None = None       # wins over description_props
+    description_props: tuple[str, ...] = ()  # default dc:subject, rdfs:comment
+    purpose: str | None = None
+    jurisdictions: tuple = ()            # parsed by parse_jurisdictions
+    copyright: str | None = None
+    compositional: bool = False
+    version_needed: bool = False
 
     # ---- mention detection (the graft; no reference counterpart) ----------
     # Link mentions of deprecated concepts? Default no (FIXTURES.md §5).
@@ -78,6 +100,22 @@ class PipelineConfig:
     transcript_partitions: int | None = None
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def __post_init__(self):
+        # eager enum validation, mirroring the reference's argument setters
+        # (CodeSystemProperties.java:119-126 status, :759-766 content,
+        # setDate :131-182) — fail at config time, not mid-job
+        from .metadata import (
+            validate_content,
+            validate_date,
+            validate_hierarchy_meaning,
+            validate_status,
+        )
+
+        validate_status(self.status)
+        validate_content(self.content)
+        validate_hierarchy_meaning(self.hierarchy_meaning)
+        validate_date(self.date)
 
     @property
     def all_excluded_labels(self) -> tuple[str, ...]:

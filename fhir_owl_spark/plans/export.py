@@ -85,11 +85,78 @@ def export_codesystem(
         cdc["property"] = props
         concept_list.append(cdc)
 
-    cs: dict = {
-        "resourceType": "CodeSystem",
+    # Without a parsed-ontology metadata dict (tabular input), resolve
+    # what we can from cfg alone: explicit values only, no annotation
+    # fallback chains (there is no ontology document to read them from).
+    meta = metadata or {
+        "id": cfg.cs_id,
+        "language": cfg.language,
+        "url": cfg.url,
+        "identifiers": list(cfg.identifiers),
+        "version": cfg.version or "NA",
+        "name": cfg.name,
+        "title": cfg.title,
         "status": cfg.status,
+        "experimental": cfg.experimental,
+        "publisher": cfg.publisher,
+        "contacts": list(cfg.contacts),
+        "description": cfg.description,
+        "purpose": cfg.purpose,
+        "jurisdictions": list(cfg.jurisdictions),
+        "copyright": cfg.copyright,
+        "valueset": cfg.valueset
+        or (
+            (cfg.url + "&vs") if cfg.url and "?" in cfg.url
+            else (cfg.url + "?vs") if cfg.url else None
+        ),
+        "hierarchy_meaning": cfg.hierarchy_meaning,
+        "compositional": cfg.compositional,
+        "version_needed": cfg.version_needed,
         "content": cfg.content,
-        "hierarchyMeaning": cfg.hierarchy_meaning,
+    }
+
+    cs: dict = {"resourceType": "CodeSystem"}
+    # FHIR-canonical element order; absent optionals are omitted like HAPI
+    # does, but experimental/compositional/versionNeeded are ALWAYS emitted
+    # (the reference calls the unconditional setters —
+    # FhirOwlService.java:397, :467, :470). date is never emitted (see
+    # metadata.validate_date).
+    if meta.get("id") is not None:
+        cs["id"] = meta["id"]
+    if meta.get("language") is not None:
+        cs["language"] = meta["language"]
+    if meta.get("url") is not None:
+        cs["url"] = meta["url"]
+    if meta.get("identifiers"):
+        cs["identifier"] = list(meta["identifiers"])
+    if meta.get("version") is not None:
+        cs["version"] = meta["version"]
+    if meta.get("name") is not None:
+        cs["name"] = meta["name"]
+    if meta.get("title") is not None:
+        cs["title"] = meta["title"]
+    cs["status"] = meta.get("status", cfg.status)
+    cs["experimental"] = bool(meta.get("experimental", False))
+    if meta.get("publisher") is not None:
+        cs["publisher"] = meta["publisher"]
+    if meta.get("contacts"):
+        cs["contact"] = list(meta["contacts"])
+    if meta.get("description") is not None:
+        cs["description"] = meta["description"]
+    if meta.get("purpose") is not None:
+        cs["purpose"] = meta["purpose"]
+    if meta.get("jurisdictions"):
+        cs["jurisdiction"] = list(meta["jurisdictions"])
+    if meta.get("copyright") is not None:
+        cs["copyright"] = meta["copyright"]
+    if meta.get("valueset") is not None:
+        cs["valueSet"] = meta["valueset"]
+    cs["hierarchyMeaning"] = meta.get("hierarchy_meaning", cfg.hierarchy_meaning)
+    cs["compositional"] = bool(meta.get("compositional", False))
+    cs["versionNeeded"] = bool(meta.get("version_needed", False))
+    cs["content"] = meta.get("content", cfg.content)
+
+    cs.update({
         # A3 concept count (cs.setCount, FhirOwlService.java:587-588)
         "count": len(concept_list),
         "property": [
@@ -103,11 +170,7 @@ def export_codesystem(
              "description": "Indicates if this concept is deprecated."},
         ],
         "concept": concept_list,
-    }
-    for k in ("url", "version", "valueset", "name", "title", "publisher"):
-        if metadata and metadata.get(k) is not None:
-            key = "valueSet" if k == "valueset" else k
-            cs[key] = metadata[k]
+    })
     return cs
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from ..fixtures import Ontology
 from ..schemas import OWL_THING, OWL_TOP_OBJECT_PROPERTY
@@ -64,6 +64,9 @@ class ParsedOntology:
     version_iri: str | None
     has_imports: bool
     tables: Ontology
+    # ontology-level literal annotations, (property_iri, value) in document
+    # order — the name/publisher/description fallback-chain source
+    annotations: list = field(default_factory=list)
 
 
 def parse_owl_xml(
@@ -88,6 +91,7 @@ def parse_owl_xml(
     if include_data_properties:
         kinds.append((f"{{{OWL_NS}}}DatatypeProperty", f"{{{RDFS_NS}}}subPropertyOf"))
 
+    annotations: list[tuple[str, str]] = []
     for el in root:
         if el.tag == f"{{{OWL_NS}}}Ontology":
             ontology_iri = el.get(_ABOUT)
@@ -96,6 +100,14 @@ def parse_owl_xml(
                     version_iri = ch.get(_RESOURCE)
                 elif ch.tag == f"{{{OWL_NS}}}imports":
                     has_imports = True
+                elif ch.tag.startswith("{") and ch.text and ch.text.strip():
+                    # ontology-level LITERAL annotation (resource-valued
+                    # annotations have no literal and are skipped, matching
+                    # ann.getValue().asLiteral() in
+                    # FhirOwlService.getOntologyAnnotationValue:681-692);
+                    # property IRI = XML namespace + localname, document order
+                    ns, local = ch.tag[1:].split("}", 1)
+                    annotations.append((ns + local, ch.text))
 
     # Axioms for one IRI may be split across MULTIPLE rdf:about blocks
     # (legal RDF/XML; the OWL API merges them) — accumulate per IRI, then
@@ -165,7 +177,7 @@ def parse_owl_xml(
     if include_object_properties and n_object_props and OWL_TOP_OBJECT_PROPERTY not in seen:
         ont.concept(OWL_TOP_OBJECT_PROPERTY, ontology_id, imported=has_imports)
 
-    return ParsedOntology(ontology_iri, version_iri, has_imports, ont)
+    return ParsedOntology(ontology_iri, version_iri, has_imports, ont, annotations)
 
 
 def union_ontologies(*parsed: ParsedOntology) -> Ontology:
@@ -205,10 +217,40 @@ def union_ontologies(*parsed: ParsedOntology) -> Ontology:
 # ---------------------------------------------------------------------------
 
 
+class NoOntologyIriError(RuntimeError):
+    """Analog of the reference's NoIdException (FhirOwlService.java:341)."""
+
+
 def ontology_metadata(parsed: ParsedOntology, cfg) -> dict:
-    url = parsed.ontology_iri
-    if url and url.endswith(".owl") and cfg.use_fhir_extension:
-        url = url[:-3] + "fhir"  # '.owl' → '.fhir' (FhirOwlService.java:335-337)
+    """CodeSystem metadata resolution — the full precedence/fallback
+    semantics of createCodeSystem (FhirOwlService.java:313-475):
+
+    * url: explicit wins verbatim; else ontology IRI with the optional
+      '.owl'→'.fhir' rewrite; neither → error (:329-343)
+    * version: explicit → version IRI → 'NA'; dateRegex applies to the
+      RESOLVED version whatever its source (:348-378)
+    * name: explicit → nameProp annotation (default rdfs:label) → raw
+      ontology IRI (getOntologyName:750-771)
+    * publisher: explicit → first publisherProps annotation, default
+      dc:publisher (:405-415)
+    * description: explicit → first descriptionProps annotation, default
+      dc:subject then rdfs:comment (:424-432)
+    * valueSet: explicit → url + '?vs'/'&vs' (createVsUrl via :455)
+    * date: NEVER emitted — validation-only in the reference (the parsed
+      Calendar is discarded; metadata.validate_date documents it)
+    """
+    from ..metadata import (
+        DEFAULT_DESCRIPTION_PROPS,
+        DEFAULT_PUBLISHER_PROPS,
+        first_annotation_value,
+    )
+
+    if cfg.url is not None:
+        url = cfg.url
+    else:
+        url = parsed.ontology_iri
+        if url and url.endswith(".owl") and cfg.use_fhir_extension:
+            url = url[:-3] + "fhir"  # '.owl' → '.fhir' (FhirOwlService.java:335-337)
     version = cfg.version or parsed.version_iri or "NA"
     if cfg.date_regex:
         m = re.search(cfg.date_regex, version)
@@ -221,11 +263,41 @@ def ontology_metadata(parsed: ParsedOntology, cfg) -> dict:
     valueset = cfg.valueset or (
         (url + "&vs") if url and "?" in url else (url + "?vs") if url else None
     )
+
+    anns = parsed.annotations
+    name = cfg.name
+    if name is None:
+        name = first_annotation_value(anns, (cfg.name_prop or RDFS_LABEL,))
+    if name is None:
+        if parsed.ontology_iri is None:
+            raise NoOntologyIriError("The ontology has no IRI!")
+        name = parsed.ontology_iri
+    publisher = cfg.publisher or first_annotation_value(
+        anns, cfg.publisher_props or DEFAULT_PUBLISHER_PROPS
+    )
+    description = cfg.description or first_annotation_value(
+        anns, cfg.description_props or DEFAULT_DESCRIPTION_PROPS
+    )
+
     return dict(
+        id=cfg.cs_id,
+        language=cfg.language,
         url=url,
+        identifiers=list(cfg.identifiers),
         version=version,
+        name=name,
+        title=cfg.title,
+        status=cfg.status,
+        experimental=cfg.experimental,
+        publisher=publisher,
+        contacts=list(cfg.contacts),
+        description=description,
+        purpose=cfg.purpose,
+        jurisdictions=list(cfg.jurisdictions),
+        copyright=cfg.copyright,
         valueset=valueset,
         hierarchy_meaning=cfg.hierarchy_meaning,
-        status=cfg.status,
+        compositional=cfg.compositional,
+        version_needed=cfg.version_needed,
         content=cfg.content,
     )

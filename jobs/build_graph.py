@@ -66,12 +66,62 @@ def parse_args(argv=None):
                         "ontology side to this path (reference-diffable)")
     p.add_argument("--use-fhir-extension", action="store_true")
     p.add_argument("--date-regex", default=None)
+    # CodeSystemProperties analogs (Application.java:122-304) — the
+    # metadata long tail; all eagerly validated at parse time like the
+    # reference's setters
+    p.add_argument("--id", dest="cs_id", default=None,
+                   help="technical id of the code system")
+    p.add_argument("--language", default=None)
+    p.add_argument("--url", default=None,
+                   help="canonical identifier; default: ontology IRI")
+    p.add_argument("--identifier", default=None,
+                   help="comma-separated [system]|[value] business identifiers")
+    p.add_argument("--version", default=None)
+    p.add_argument("--name", default=None,
+                   help="computer-friendly name; takes precedence over --name-prop")
+    p.add_argument("--name-prop", default=None,
+                   help="annotation property for the name; default rdfs:label")
+    p.add_argument("--title", default=None)
+    p.add_argument("--status", default="draft",
+                   help="draft|active|retired|unknown")
+    p.add_argument("--experimental", action="store_true")
+    p.add_argument("--date", default=None,
+                   help="published date (validated; the reference never emits "
+                        "it — parity preserved)")
+    p.add_argument("--publisher", default=None,
+                   help="takes precedence over --publisher-prop")
+    p.add_argument("--publisher-prop", default=None,
+                   help="comma-separated annotation properties; default dc:publisher")
+    p.add_argument("--contact", default=None,
+                   help="comma-separated name|system|value contact details")
+    p.add_argument("--description", default=None,
+                   help="takes precedence over --description-prop")
+    p.add_argument("--description-prop", default=None,
+                   help="comma-separated annotation properties; default "
+                        "dc:subject,rdfs:comment")
+    p.add_argument("--purpose", default=None)
+    p.add_argument("--jurisdiction", default=None,
+                   help="comma-separated system|code|display jurisdictions")
+    p.add_argument("--copyright", default=None)
+    p.add_argument("--valueset", default=None)
+    p.add_argument("--hierarchy-meaning", default="is-a",
+                   help="grouped-by|is-a|part-of|classified-with")
+    p.add_argument("--compositional", action="store_true")
+    p.add_argument("--version-needed", action="store_true")
+    p.add_argument("--content", default="complete",
+                   help="not-present|example|fragment|complete|supplement")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     return p.parse_args(argv)
 
 
 def build_config(args):
     from fhir_owl_spark.config import PipelineConfig
+    from fhir_owl_spark.metadata import (
+        parse_contacts,
+        parse_identifiers,
+        parse_jurisdictions,
+        parse_prop_list,
+    )
 
     code_replace = tuple(args.code_replace.split(":", 1)) if args.code_replace else None
     return PipelineConfig(
@@ -86,6 +136,34 @@ def build_config(args):
         date_regex=args.date_regex,
         link_deprecated=args.link_deprecated,
         link_stop_terms=tuple(s for s in args.link_stop_terms.split(",") if s),
+        # metadata long tail (validated eagerly: bad enum values / formats
+        # abort here, before Spark work starts — reference setter parity)
+        cs_id=args.cs_id,
+        language=args.language,
+        url=args.url,
+        identifiers=parse_identifiers(args.identifier),
+        version=args.version,
+        name=args.name,
+        name_prop=args.name_prop,
+        title=args.title,
+        status=args.status,
+        experimental=args.experimental,
+        date=args.date,
+        publisher=args.publisher,
+        publisher_props=parse_prop_list(args.publisher_prop) if args.publisher_prop else (),
+        contacts=parse_contacts(args.contact) if args.contact else (),
+        description=args.description,
+        description_props=(
+            parse_prop_list(args.description_prop) if args.description_prop else ()
+        ),
+        purpose=args.purpose,
+        jurisdictions=parse_jurisdictions(args.jurisdiction) if args.jurisdiction else (),
+        copyright=args.copyright,
+        valueset=args.valueset,
+        hierarchy_meaning=args.hierarchy_meaning,
+        compositional=args.compositional,
+        version_needed=args.version_needed,
+        content=args.content,
     )
 
 
