@@ -36,7 +36,7 @@ import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
 from ..fixtures import Ontology
-from ..schemas import OWL_THING, OWL_TOP_OBJECT_PROPERTY
+from ..schemas import OWL_THING, OWL_TOP_DATA_PROPERTY, OWL_TOP_OBJECT_PROPERTY
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 OWL_NS = "http://www.w3.org/2002/07/owl#"
@@ -161,11 +161,19 @@ def parse_owl_xml(
     # but the engine is kind-blind, so the parser — which knows the kind —
     # roots parentless properties here.
     n_object_props = 0
+    n_data_props = 0
     for iri, kind_tag in kind_of.items():
         if kind_tag.endswith("ObjectProperty"):
             n_object_props += 1
             if iri not in children:
                 ont.edge(iri, OWL_TOP_OBJECT_PROPERTY)
+        elif kind_tag.endswith("DatatypeProperty"):
+            # data properties root at owl:topDataProperty exactly like
+            # object properties at topObjectProperty
+            # (reasoner.getSuperDataProperties, FhirOwlService.java:571-577)
+            n_data_props += 1
+            if iri not in children:
+                ont.edge(iri, OWL_TOP_DATA_PROPERTY)
 
     # The reference adds owl:Thing explicitly (classes.add(factory.getOWLThing()),
     # FhirOwlService.java:519); with imports present Thing is not in the main
@@ -176,6 +184,11 @@ def parse_owl_xml(
     # (the jfact-only path, FhirOwlService.java:543-564)
     if include_object_properties and n_object_props and OWL_TOP_OBJECT_PROPERTY not in seen:
         ont.concept(OWL_TOP_OBJECT_PROPERTY, ontology_id, imported=has_imports)
+    # topDataProperty likewise, only when data properties are processed and
+    # at least one exists (dataProps.add(factory.getOWLTopDataProperty()),
+    # FhirOwlService.java:566-569)
+    if include_data_properties and n_data_props and OWL_TOP_DATA_PROPERTY not in seen:
+        ont.concept(OWL_TOP_DATA_PROPERTY, ontology_id, imported=has_imports)
 
     return ParsedOntology(ontology_iri, version_iri, has_imports, ont, annotations)
 

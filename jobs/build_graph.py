@@ -41,6 +41,11 @@ def parse_args(argv=None):
                                  "(driver-side, fixture scale; sources/owl_xml)")
     p.add_argument("--owl-no-object-properties", action="store_true",
                    help="elk-style: classes only (FhirOwlService.java:543 guard)")
+    p.add_argument("--reasoner", choices=["elk", "jfact"], default=None,
+                   help="reference-style switch (Application.java 'r' option): "
+                        "elk = classes only; jfact = also process object AND "
+                        "data properties (FhirOwlService.java:543-585). "
+                        "Overrides --owl-no-object-properties when given.")
     p.add_argument("--unsatisfiable", default="",
                    help="comma-separated IRIs of reasoner-detected unsatisfiable classes")
     p.add_argument("--output", required=True, help="output dir (triples + _lineage)")
@@ -199,9 +204,16 @@ def main(argv=None) -> int:
 
         from fhir_owl_spark.sources.owl_xml import RDFS_LABEL, parse_owl_xml
 
+        if args.reasoner is not None:
+            include_obj = args.reasoner == "jfact"
+            include_data = args.reasoner == "jfact"
+        else:
+            include_obj = not args.owl_no_object_properties
+            include_data = False
         parsed = parse_owl_xml(
             args.owl,
-            include_object_properties=not args.owl_no_object_properties,
+            include_object_properties=include_obj,
+            include_data_properties=include_data,
             unsatisfiable_iris={s for s in args.unsatisfiable.split(",") if s},
         )
         concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)

@@ -206,3 +206,124 @@ class TestSplitBlocks:
         assert by_iri["http://x#A"]["deprecated"] is True
         assert by_iri["http://x#A"]["label"] == "a label"
         assert len([c for c in parsed.tables.concepts if c["iri"] == "http://x#A"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Data-property processing (round 2) — the jfact path,
+# FhirOwlService.java:565-585: data properties become concepts, parentless
+# ones root at owl:topDataProperty, and topDataProperty itself is added
+# only when at least one data property is processed.
+# ---------------------------------------------------------------------------
+
+DP_OWL = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  xmlns:owl="http://www.w3.org/2002/07/owl#"
+  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+  <owl:Ontology rdf:about="http://ex/dp"/>
+  <owl:Class rdf:about="http://ex/dp#A"><rdfs:label>A</rdfs:label></owl:Class>
+  <owl:DatatypeProperty rdf:about="http://ex/dp#hasAge">
+    <rdfs:label>has age</rdfs:label>
+  </owl:DatatypeProperty>
+  <owl:DatatypeProperty rdf:about="http://ex/dp#hasBirthYear">
+    <rdfs:label>has birth year</rdfs:label>
+    <rdfs:subPropertyOf rdf:resource="http://ex/dp#hasAge"/>
+  </owl:DatatypeProperty>
+  <owl:ObjectProperty rdf:about="http://ex/dp#relatesTo">
+    <rdfs:label>relates to</rdfs:label>
+  </owl:ObjectProperty>
+</rdf:RDF>"""
+
+
+@pytest.fixture(scope="module")
+def dp_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("dp") / "dp.owl"
+    p.write_text(DP_OWL)
+    return str(p)
+
+
+def test_data_properties_processed_jfact_style(spark, dp_path):
+    parsed = parse_owl_xml(
+        dp_path, include_object_properties=True, include_data_properties=True
+    )
+    triples = run(spark, parsed, PipelineConfig(
+        display_prop=RDFS_LABEL, synonym_props=(RDFS_LABEL,)
+    ))
+    subjects = {s for s, _, _ in triples}
+    # data properties become concepts with displays
+    assert ("hasAge", "has-display", "has age") in triples
+    assert ("hasBirthYear", "has-display", "has birth year") in triples
+    # asserted sub-property edge survives
+    assert ("hasBirthYear", "is-a", "hasAge") in triples
+    # parentless data property roots at topDataProperty
+    assert ("hasAge", "is-a", "topDataProperty") in triples
+    # no imports → top entities are LOCAL → shortform code, and the special
+    # display does NOT fire (it is keyed on the full-IRI code, which only
+    # imported tops carry — FhirOwlService.java:852-858 checks
+    # cdc.getCode() against the full IRI)
+    assert ("topDataProperty", "has-display", "topDataProperty") in triples
+    # object properties unaffected
+    assert ("relatesTo", "is-a", "topObjectProperty") in triples
+    assert "topDataProperty" in subjects
+
+
+def test_imported_top_data_property_gets_special_display(spark, tmp_path):
+    """With imports present, top entities are imported → full-IRI codes →
+    the hardcoded 'Top Data Property' display fires."""
+    owl = tmp_path / "dpimp.owl"
+    owl.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/dpi">'
+        '<owl:imports rdf:resource="http://ex/other"/></owl:Ontology>'
+        '<owl:DatatypeProperty rdf:about="http://ex/dpi#hasAge">'
+        "<rdfs:label>has age</rdfs:label></owl:DatatypeProperty>"
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(owl), include_data_properties=True)
+    triples = run(spark, parsed, PipelineConfig(
+        display_prop=RDFS_LABEL, synonym_props=(RDFS_LABEL,),
+        has_imports=parsed.has_imports,
+    ))
+    top = "http://www.w3.org/2002/07/owl#topDataProperty"
+    assert (top, "has-display", "Top Data Property") in triples
+    assert ("hasAge", "is-a", top) in triples
+
+
+def test_data_properties_absent_by_default(spark, dp_path):
+    parsed = parse_owl_xml(dp_path)  # elk-style default: no data properties
+    triples = run(spark, parsed, PipelineConfig(
+        display_prop=RDFS_LABEL, synonym_props=(RDFS_LABEL,)
+    ))
+    subjects = {s for s, _, _ in triples}
+    assert "hasAge" not in subjects
+    assert "topDataProperty" not in subjects
+    assert "relatesTo" in subjects  # object properties still on by default
+
+
+def test_top_data_property_not_added_without_data_props(spark, dp_path, tmp_path):
+    """include_data_properties=True but the document has NO data properties
+    → topDataProperty must not appear (the reference only adds it when
+    dataProps is non-empty, FhirOwlService.java:566-569)."""
+    owl = tmp_path / "nodp.owl"
+    owl.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/nodp"/>'
+        '<owl:Class rdf:about="http://ex/nodp#A"><rdfs:label>A</rdfs:label></owl:Class>'
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(owl), include_data_properties=True)
+    assert all(
+        r["iri"] != "http://www.w3.org/2002/07/owl#topDataProperty"
+        for r in parsed.tables.concepts
+    )
+
+
+def test_cli_reasoner_flag():
+    import jobs.build_graph as job
+
+    args = job.parse_args(["--output", "o", "--reasoner", "jfact"])
+    assert args.reasoner == "jfact"
+    args = job.parse_args(["--output", "o"])
+    assert args.reasoner is None
