@@ -82,6 +82,21 @@ class PipelineConfig:
     # Terms excluded from linking on top of labels_to_exclude.
     link_stop_terms: tuple[str, ...] = ()
 
+    # ---- hierarchy semantics ----------------------------------------------
+    # How mutually-subsumed (equivalent) classes are handled:
+    #   "group" (default, reasoner parity): members of an equivalence set
+    #     share the set's external parents, and external children get ALL
+    #     members as parents — exactly what the reference emits, because its
+    #     reasoner feeds GraphUtils STRICT superclasses (equivalents never
+    #     have edges between each other; OWLReasoner.getSuperClasses
+    #     semantics at FhirOwlService.java:532-533). Implemented as
+    #     transitive reduction over the STRICT closure.
+    #   "abort": raise HierarchyCycleError on any mutual reachability — the
+    #     literal GraphUtils.TransitiveReduction throw (GraphUtils.java:146),
+    #     which in the reference is a guard against malformed input that a
+    #     reasoner can never produce.
+    equivalence_mode: str = "group"
+
     # ---- scale knobs -------------------------------------------------------
     # Closure iteration cap; exceeding it aborts like the reference's cycle
     # error (GraphUtils.java:146) — a DAG deeper than this is treated as
@@ -116,6 +131,11 @@ class PipelineConfig:
         validate_content(self.content)
         validate_hierarchy_meaning(self.hierarchy_meaning)
         validate_date(self.date)
+        if self.equivalence_mode not in ("group", "abort"):
+            raise ValueError(
+                f"equivalence_mode must be 'group' or 'abort', "
+                f"got {self.equivalence_mode!r}"
+            )
 
     @property
     def all_excluded_labels(self) -> tuple[str, ...]:

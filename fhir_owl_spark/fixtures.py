@@ -229,7 +229,10 @@ def duo_fixture() -> tuple[Ontology, PipelineConfig]:
 
 
 def cycle_fixture() -> tuple[Ontology, PipelineConfig]:
-    """Quarantined 2-cycle — the engine must abort like GraphUtils.java:146."""
+    """Quarantined 2-cycle with equivalence_mode='abort' — the literal
+    GraphUtils.java:146 throw. Under the default 'group' mode the same
+    input is treated as an equivalence set instead (see
+    equivalence_fixture)."""
     o = Ontology()
     p = lambda name: PIZZA_NS + name  # noqa: E731
     o.concept(OWL_THING, "pizza", label="Thing")
@@ -238,6 +241,30 @@ def cycle_fixture() -> tuple[Ontology, PipelineConfig]:
     o.edge(p("A"), p("B"))
     o.edge(p("B"), p("A"))
     o.edge(p("A"), OWL_THING)
+    return o, PipelineConfig(equivalence_mode="abort")
+
+
+def equivalence_fixture() -> tuple[Ontology, PipelineConfig]:
+    """Equivalence semantics (default mode='group'): Veggie ≡ Vegetarian
+    (mutual subsumption), both ⊑ Food; Margherita ⊑ Veggie. Reasoner-
+    parity expectation: Veggie and Vegetarian each get parent Food (no
+    edge between them), Margherita gets BOTH as parents; an isolated
+    2-cycle {X, Y} with no external parent re-roots both at Thing."""
+    o = Ontology()
+    p = lambda name: PIZZA_NS + name  # noqa: E731
+    o.concept(OWL_THING, "pizza", label="Thing")
+    o.concept(p("Food"), "pizza", label="Food")
+    o.concept(p("Veggie"), "pizza", label="Veggie")
+    o.concept(p("Vegetarian"), "pizza", label="Vegetarian")
+    o.concept(p("Margherita"), "pizza", label="Margherita")
+    o.concept(p("X"), "pizza", label="X node")
+    o.concept(p("Y"), "pizza", label="Y node")
+    o.edge(p("Veggie"), p("Vegetarian"))
+    o.edge(p("Vegetarian"), p("Veggie"))
+    o.edge(p("Veggie"), p("Food"))
+    o.edge(p("Margherita"), p("Veggie"))
+    o.edge(p("X"), p("Y"))
+    o.edge(p("Y"), p("X"))
     return o, PipelineConfig()
 
 
@@ -366,14 +393,27 @@ def model_hierarchy(ont: Ontology, cfg: PipelineConfig) -> dict[str, set[str]]:
                 continue
             seen.add(a)
             stack.extend(parents_of.get(a, ()))
-        if n in seen:
+        if n in seen and cfg.equivalence_mode == "abort":
             raise RuntimeError(f"Cycle found in hierarchy involving: {n}")
         anc[n] = seen
+
+    if cfg.equivalence_mode == "group":
+        # strict ancestors only (reasoner parity — equivalence-set members
+        # share external parents; see PipelineConfig.equivalence_mode)
+        anc = {
+            n: {a for a in ancestors if n not in anc.get(a, ()) and a != n}
+            for n, ancestors in anc.items()
+        }
 
     # reduction: direct parents = ancestors not below another ancestor
     direct: dict[str, set[str]] = {}
     for n, ancestors in anc.items():
         direct[n] = {a for a in ancestors if not any(a in anc.get(b, ()) for b in ancestors)}
+    if cfg.equivalence_mode == "group":
+        # equivalence sets whose only ancestors were in-set re-root at Thing
+        for n in direct:
+            if not direct[n] and n not in TOP_ENTITIES:
+                direct[n] = {OWL_THING}
     return direct
 
 

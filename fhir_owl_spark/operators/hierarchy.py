@@ -44,6 +44,7 @@ def transitive_closure(
     child_col: str = "child_iri",
     parent_col: str = "parent_iri",
     broadcast_edges: bool = False,
+    allow_cycles: bool = False,
 ) -> DataFrame:
     """All (descendant, ancestor) pairs reachable through ``edges``.
 
@@ -82,10 +83,13 @@ def transitive_closure(
             F.count(F.lit(1)).alias("n"),
             F.max(F.when(F.col("child") == F.col("parent"), F.col("child"))).alias("cyc"),
         ).first()
-        if probe["cyc"] is not None:
+        if probe["cyc"] is not None and not allow_cycles:
             raise HierarchyCycleError(
                 f"Cycle found in hierarchy involving: {probe['cyc']}"
             )
+        # with allow_cycles the loop still terminates: the visited-set
+        # anti-join means each (child, ancestor) pair enters the frontier
+        # at most once, so the frontier empties at the graph's fixpoint
         if probe["n"] == 0:
             break
         closure = closure.union(frontier).localCheckpoint(eager=True)
@@ -163,7 +167,9 @@ def reachable_set(
 
 
 def _closure_reduction_driver_side(
-    edge_rows: list[tuple[str, str]], max_iterations: int = 64
+    edge_rows: list[tuple[str, str]],
+    max_iterations: int = 64,
+    equivalence_mode: str = "abort",
 ) -> list[tuple[str, str]]:
     """Small-graph fast path: exact closure + reduction in driver memory.
 
@@ -194,8 +200,18 @@ def _closure_reduction_driver_side(
             if depth_guard > max_iterations * len(parents_of):
                 break
         if n in seen:
-            raise HierarchyCycleError(f"Cycle found in hierarchy involving: {n}")
+            if equivalence_mode == "abort":
+                raise HierarchyCycleError(f"Cycle found in hierarchy involving: {n}")
         anc[n] = seen
+    if equivalence_mode == "group":
+        # STRICT ancestors: drop mutually-reachable pairs (equivalence-set
+        # members), mirroring the reasoner's strict-superclass relation
+        # (see PipelineConfig.equivalence_mode). Members keep the set's
+        # external ancestors; their external children keep ALL members.
+        anc = {
+            n: {a for a in ancestors if n not in anc.get(a, ()) and a != n}
+            for n, ancestors in anc.items()
+        }
     out: list[tuple[str, str]] = []
     for n, ancestors in anc.items():
         for a in ancestors:
@@ -268,24 +284,59 @@ def build_hierarchy(
 
     # Small-graph fast path (see _closure_reduction_driver_side): one
     # bounded collect instead of ~4 scheduled jobs per hierarchy level.
+    mode = getattr(cfg, "equivalence_mode", "abort")
     head = completed.limit(cfg.small_graph_threshold + 1).collect()
     if len(head) <= cfg.small_graph_threshold:
         spark = concepts.sparkSession
         reduced = _closure_reduction_driver_side(
             [(r["child_iri"], r["parent_iri"]) for r in head],
             cfg.max_closure_iterations,
+            equivalence_mode=mode,
         )
         from ..schemas import ONTOLOGY_EDGES
 
-        return spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
+        direct = spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
+    else:
+        # broadcast the loop's edge side only while it plausibly fits in
+        # executor memory (~5M edges ≈ low hundreds of MB); beyond that the
+        # per-iteration join must shuffle — the billion-edge path.
+        n_edges = completed.count()
+        closure = transitive_closure(
+            completed,
+            cfg.max_closure_iterations,
+            broadcast_edges=n_edges <= 5_000_000,
+            allow_cycles=(mode == "group"),
+        )
+        if mode == "group":
+            # STRICT closure: drop mutually-reachable pairs — reasoner
+            # strict-superclass parity (see PipelineConfig.equivalence_mode).
+            # One self-join on the closure; the reverse side carries only
+            # equivalence pairs in practice, so the anti-join is cheap.
+            rev = closure.select(
+                F.col("child_iri").alias("parent_iri"),
+                F.col("parent_iri").alias("child_iri"),
+            )
+            closure = (
+                closure.filter(F.col("child_iri") != F.col("parent_iri"))
+                .join(rev, ["child_iri", "parent_iri"], "left_anti")
+            )
+        direct = transitive_reduction(closure)
 
-    # broadcast the loop's edge side only while it plausibly fits in
-    # executor memory (~5M edges ≈ low hundreds of MB); beyond that the
-    # per-iteration join must shuffle — the billion-edge path.
-    n_edges = completed.count()
-    closure = transitive_closure(
-        completed,
-        cfg.max_closure_iterations,
-        broadcast_edges=n_edges <= 5_000_000,
-    )
-    return transitive_reduction(closure)
+    if mode == "group":
+        # an equivalence set whose only ancestors were in-set lost them all
+        # in the strict filter — re-root its members at owl:Thing, exactly
+        # where the reasoner would put the set's node (every class has
+        # Thing among its strict superclasses unless it IS Thing)
+        orphans = (
+            nodes.filter(~F.col("iri").isin(list(TOP_ENTITIES)))
+            .join(
+                direct.select(F.col("child_iri").alias("iri")).distinct(),
+                "iri",
+                "left_anti",
+            )
+            .select(
+                F.col("iri").alias("child_iri"), F.lit(OWL_THING).alias("parent_iri")
+            )
+        )
+        direct = direct.unionByName(orphans)
+    return direct

@@ -132,6 +132,19 @@ def parse_owl_xml(
                     ont.edge(iri, res)
                     children.add(iri)
                     continue
+                # NAMED equivalence (A ≡ B between class IRIs) ⟺ mutual
+                # subsumption: emit both edges; equivalence_mode='group'
+                # then reproduces the reasoner's strict-superclass output
+                # (members share external parents). Anonymous equivalents
+                # (owl:Restriction bodies, pizza.owl's usual form) have no
+                # rdf:resource and are skipped — the reference only emits
+                # named parents too.
+                if ch.tag == f"{{{OWL_NS}}}equivalentClass" and res is not None:
+                    ont.edge(iri, res)
+                    ont.edge(res, iri)
+                    children.add(iri)
+                    children.add(res)
+                    continue
                 text = (ch.text or "").strip()
                 if not text:
                     continue

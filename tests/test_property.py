@@ -115,3 +115,80 @@ def test_cycle_aborts_both_paths(spark):
         build_graph(spark, concepts, edges, synonyms, tdf, cfg).count()
     with pytest.raises((HierarchyCycleError, RuntimeError)):
         fx.model_build_graph(ont, [], cfg)
+
+
+def test_equivalence_group_mode_both_paths(spark):
+    """Default equivalence_mode='group': mutual subsumption = equivalence
+    set; members share external parents, children get all members, isolated
+    sets re-root at Thing — reasoner strict-superclass parity. Engine and
+    pure-Python model must agree exactly."""
+    ont, cfg = fx.equivalence_fixture()
+    expected = fx.model_build_graph(ont, [], cfg)
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    tdf = fx.transcripts_df(spark, [])
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_graph(spark, concepts, edges, synonyms, tdf, cfg).collect()
+    }
+    assert got == expected
+    isa = {(s, o) for s, p, o in got if p == "is-a"}
+    # equivalence-set members share the external parent, no edge between them
+    assert ("Veggie", "Food") in isa and ("Vegetarian", "Food") in isa
+    assert ("Veggie", "Vegetarian") not in isa and ("Vegetarian", "Veggie") not in isa
+    # the child of one member gets BOTH members as parents
+    assert ("Margherita", "Veggie") in isa and ("Margherita", "Vegetarian") in isa
+    # isolated 2-cycle re-roots at Thing
+    assert ("X", "Thing") in isa and ("Y", "Thing") in isa
+
+
+def test_equivalence_group_mode_distributed_path(spark):
+    """Same fixture forced onto the distributed closure path
+    (small_graph_threshold=0) — must equal the driver fast path."""
+    import dataclasses
+
+    ont, cfg = fx.equivalence_fixture()
+    cfg_dist = dataclasses.replace(cfg, small_graph_threshold=0)
+    expected = fx.model_build_graph(ont, [], cfg)
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    tdf = fx.transcripts_df(spark, [])
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_graph(spark, concepts, edges, synonyms, tdf, cfg_dist).collect()
+    }
+    assert got == expected
+
+
+def test_equivalent_class_axiom_parsed(spark, tmp_path):
+    """owl:equivalentClass with a NAMED target becomes mutual subsumption;
+    under the default group mode both classes share external parents."""
+    from fhir_owl_spark.sources.owl_xml import parse_owl_xml, RDFS_LABEL
+
+    owl = tmp_path / "eq.owl"
+    owl.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/eq"/>'
+        '<owl:Class rdf:about="http://ex/eq#Food"><rdfs:label>Food</rdfs:label></owl:Class>'
+        '<owl:Class rdf:about="http://ex/eq#Veggie"><rdfs:label>Veggie</rdfs:label>'
+        '<rdfs:subClassOf rdf:resource="http://ex/eq#Food"/>'
+        '<owl:equivalentClass rdf:resource="http://ex/eq#Vegetarian"/></owl:Class>'
+        '<owl:Class rdf:about="http://ex/eq#Vegetarian">'
+        "<rdfs:label>Vegetarian</rdfs:label></owl:Class>"
+        # anonymous equivalent must be ignored (no rdf:resource)
+        '<owl:Class rdf:about="http://ex/eq#Spicy"><rdfs:label>Spicy</rdfs:label>'
+        "<owl:equivalentClass><owl:Restriction/></owl:equivalentClass></owl:Class>"
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(owl))
+    cfg = PipelineConfig(display_prop=RDFS_LABEL, synonym_props=(RDFS_LABEL,))
+    concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)
+    tdf = fx.transcripts_df(spark, [])
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_graph(spark, concepts, edges, synonyms, tdf, cfg).collect()
+    }
+    isa = {(s, o) for s, p, o in got if p == "is-a"}
+    assert ("Veggie", "Food") in isa and ("Vegetarian", "Food") in isa
+    assert ("Veggie", "Vegetarian") not in isa and ("Vegetarian", "Veggie") not in isa
+    assert ("Spicy", "Thing") in isa  # anonymous equivalent ignored
