@@ -372,15 +372,23 @@ def q_dup_clusters(spark, sf_dir) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
-def q_simhash_docs(spark, sf_dir) -> DataFrame:  # rows-only (xxhash64 not in DuckDB)
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash_col("text").alias("simhash"))
-
-
-def q_fingerprint_docs(spark, sf_dir) -> DataFrame:  # rows-only
+def q_simhash_docs(spark, sf_dir) -> DataFrame:
+    """SimHash with the DuckDB-reproducible md5-60bit hash (production
+    default stays xxhash64 — here the hash is parameterized purely so the
+    oracle can recompute the identical value)."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.size(text.fingerprint_col()).cast("long").alias("n_fingerprints")
+        "doc_id", dedup.simhash_col("text", hash_fn=dedup.md5_60bit).alias("simhash")
+    )
+
+
+def q_fingerprint_docs(spark, sf_dir) -> DataFrame:
+    """Winnowing fingerprint with the md5-60bit hash; emits the full sorted
+    fingerprint array so the oracle checks VALUES, not just counts."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint_col(hash_fn=dedup.md5_60bit).alias("fingerprint"),
     )
 
 
@@ -775,6 +783,38 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+""",
+        "simhash_docs": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(text), '\s+')) AS words
+  FROM documents)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 64), b ->
+         CASE WHEN list_sum(list_transform(words, wd ->
+                CASE WHEN (CAST('0x' || substr(md5(wd), 1, 15) AS BIGINT) >> b) & 1 = 1
+                     THEN 1 ELSE -1 END)) > 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM w
+""",
+        "fingerprint_docs": r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+              ELSE list_transform(range(0, len(words) - 4),
+                                  i -> array_to_string(words[i+1:i+5], ' '))
+         END AS shingles
+  FROM w)
+SELECT doc_id,
+       list_sort(list_distinct(list_filter(
+         list_transform(shingles,
+                        sg -> CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT)),
+         h -> h % 8 = 0))) AS fingerprint
+FROM sh
 """,
         "embedding_near_dup_lsh": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

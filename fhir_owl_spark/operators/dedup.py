@@ -245,8 +245,18 @@ def ngram_jaccard_col(text_a: str, text_b: str, k: int = 3):
 # ---------------------------------------------------------------------------
 
 
-def simhash_col(text_col: str):
-    """64-bit SimHash over word features using xxhash64 (JVM-side).
+def md5_60bit(c):
+    """60-bit hash both Spark and DuckDB can compute identically: the
+    first 15 hex chars of md5 as an integer (Spark: conv(_, 16, 10);
+    DuckDB: CAST('0x' || substr(md5(_), 1, 15) AS BIGINT)). Used to give
+    simhash/fingerprint contract queries a REAL value oracle; production
+    default stays xxhash64 (faster, 64-bit, but not in DuckDB)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash_col(text_col: str, hash_fn=F.xxhash64):
+    """64-bit SimHash over word features using hash_fn (default xxhash64,
+    JVM-side).
 
     For each bit position, sum ±1 over features and take the sign. The
     whole computation is aggregate/transform Column code — stays inside
@@ -258,7 +268,7 @@ def simhash_col(text_col: str):
         return F.call_function("shiftleft", one, b)
 
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashes = F.transform(words, lambda w: hash_fn(w))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda b: F.when(

@@ -106,11 +106,13 @@ def lang_id_col(text_col: str = "text") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def fingerprint_col(text_col: str = "text", k: int = 5, keep_every: int = 8) -> Column:
-    """Deterministic document fingerprint: xxhash64 of every k-word
-    shingle, keep hashes ≡ 0 (mod keep_every) (mod-sampling winnowing),
-    sorted array. Two documents share fingerprint elements ⇔ they share
-    sampled shingles."""
+def fingerprint_col(
+    text_col: str = "text", k: int = 5, keep_every: int = 8, hash_fn=F.xxhash64
+) -> Column:
+    """Deterministic document fingerprint: hash_fn (default xxhash64) of
+    every k-word shingle, keep hashes ≡ 0 (mod keep_every) (mod-sampling
+    winnowing), sorted array. Two documents share fingerprint elements ⇔
+    they share sampled shingles."""
     words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(words)
     shingles = F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
@@ -119,6 +121,6 @@ def fingerprint_col(text_col: str = "text", k: int = 5, keep_every: int = 8) -> 
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         )
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    hashes = F.transform(shingles, lambda s: hash_fn(s))
     sampled = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
     return F.array_sort(F.array_distinct(sampled))
