@@ -67,6 +67,9 @@ class ParsedOntology:
     # ontology-level literal annotations, (property_iri, value) in document
     # order — the name/publisher/description fallback-chain source
     annotations: list = field(default_factory=list)
+    # declared owl:imports IRIs (resolution to local files is the loader's
+    # job — load_owl_closure — mirroring the reference's iri_mappings.txt)
+    imports: list = field(default_factory=list)
 
 
 def parse_owl_xml(
@@ -92,6 +95,7 @@ def parse_owl_xml(
         kinds.append((f"{{{OWL_NS}}}DatatypeProperty", f"{{{RDFS_NS}}}subPropertyOf"))
 
     annotations: list[tuple[str, str]] = []
+    import_iris: list[str] = []
     for el in root:
         if el.tag == f"{{{OWL_NS}}}Ontology":
             ontology_iri = el.get(_ABOUT)
@@ -100,6 +104,8 @@ def parse_owl_xml(
                     version_iri = ch.get(_RESOURCE)
                 elif ch.tag == f"{{{OWL_NS}}}imports":
                     has_imports = True
+                    if ch.get(_RESOURCE):
+                        import_iris.append(ch.get(_RESOURCE))
                 elif ch.tag.startswith("{") and ch.text and ch.text.strip():
                     # ontology-level LITERAL annotation (resource-valued
                     # annotations have no literal and are skipped, matching
@@ -203,7 +209,9 @@ def parse_owl_xml(
     if include_data_properties and n_data_props and OWL_TOP_DATA_PROPERTY not in seen:
         ont.concept(OWL_TOP_DATA_PROPERTY, ontology_id, imported=has_imports)
 
-    return ParsedOntology(ontology_iri, version_iri, has_imports, ont, annotations)
+    return ParsedOntology(
+        ontology_iri, version_iri, has_imports, ont, annotations, import_iris
+    )
 
 
 def union_ontologies(*parsed: ParsedOntology) -> Ontology:
@@ -218,14 +226,22 @@ def union_ontologies(*parsed: ParsedOntology) -> Ontology:
     imported_iris = {
         c["iri"] for p in parsed[1:] for c in p.tables.concepts
     }
-    seen: set[str] = set()
+    row_of: dict[str, dict] = {}
     for i, p in enumerate(parsed):
         for c in p.tables.concepts:
-            if c["iri"] in seen:
+            if c["iri"] in row_of:
+                # closure display map back-fill: a class declared label-less
+                # in the root (a stub) gets its preferred term from the
+                # first closure document that has one — the iriDisplayMap
+                # loop over manager.getImportsClosure
+                # (FhirOwlService.java:219-229, 'if pt != null put'),
+                # made deterministic as first-non-null in root-first order
+                if row_of[c["iri"]]["label"] is None and c.get("label") is not None:
+                    row_of[c["iri"]]["label"] = c["label"]
                 continue
-            seen.add(c["iri"])
             row = dict(c)
             row["imported"] = c["iri"] in imported_iris or (i > 0)
+            row_of[c["iri"]] = row
             merged.concepts.append(row)
         merged.edges.extend(p.tables.edges)
         # annotations outside the root document don't feed preferred-term
@@ -235,6 +251,91 @@ def union_ontologies(*parsed: ParsedOntology) -> Ontology:
         if i == 0:
             merged.synonyms.extend(p.tables.synonyms)
     return merged
+
+
+def parse_iri_mappings_file(path: str) -> dict[str, str]:
+    """iri_mappings.txt-style file: one `IRI,local-path` per line, `#`
+    comments skipped (the reference reads the same format from the
+    classpath and resolves paths against $HOME — FhirOwlService.init:86-117;
+    here paths are used as given, absolute or CWD-relative)."""
+    mappings: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(",", 1)
+            if len(parts) == 2:
+                mappings[parts[0].strip()] = parts[1].strip()
+    return mappings
+
+
+def load_owl_closure(
+    path: str,
+    iri_mappings: dict[str, str] | None = None,
+    include_object_properties: bool = True,
+    include_data_properties: bool = False,
+    unsatisfiable_iris: set[str] | None = None,
+) -> ParsedOntology:
+    """Load a root document plus its imports closure from LOCAL files (S2/S3
+    in SURVEY.md §2.1).
+
+    Each declared owl:imports IRI is resolved through ``iri_mappings``
+    (IRI → local file path — the analog of the reference's iri_mappings.txt
+    redirections, FhirOwlService.java:86-117 + addIriMappings at :200);
+    mapped documents are parsed and followed recursively (the closure),
+    unmapped IRIs are skipped with a warning exactly like the reference
+    logs and continues when a mapping's file is missing. The per-document
+    tables are merged with union_ontologies: root classes stay main,
+    closure classes are imported, and label-less root stubs get their
+    display from the first closure document that names them
+    (FhirOwlService.java:214-229).
+    """
+    import warnings
+
+    mappings = iri_mappings or {}
+    root = parse_owl_xml(
+        path,
+        include_object_properties=include_object_properties,
+        include_data_properties=include_data_properties,
+        unsatisfiable_iris=unsatisfiable_iris,
+        ontology_id="root",
+    )
+    docs = [root]
+    loaded: set[str] = set()
+    queue = list(root.imports)
+    while queue:
+        iri = queue.pop(0)
+        if iri in loaded:
+            continue
+        loaded.add(iri)
+        local = mappings.get(iri)
+        if local is None:
+            warnings.warn(
+                f"owl:imports {iri} has no local mapping — skipped (displays "
+                "for its classes fall back to IRIs)",
+                stacklevel=2,
+            )
+            continue
+        doc = parse_owl_xml(
+            local,
+            include_object_properties=include_object_properties,
+            include_data_properties=include_data_properties,
+            unsatisfiable_iris=unsatisfiable_iris,
+            ontology_id=_shortform(iri),
+        )
+        docs.append(doc)
+        queue.extend(doc.imports)
+
+    merged = union_ontologies(*docs)
+    return ParsedOntology(
+        root.ontology_iri,
+        root.version_iri,
+        root.has_imports,
+        merged,
+        root.annotations,
+        root.imports,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,15 @@ def parse_args(argv=None):
                         "Overrides --owl-no-object-properties when given.")
     p.add_argument("--unsatisfiable", default="",
                    help="comma-separated IRIs of reasoner-detected unsatisfiable classes")
+    p.add_argument("--owl-import", action="append", default=[],
+                   metavar="IRI=PATH",
+                   help="resolve an owl:imports IRI to a local file (repeatable) "
+                        "— the iri_mappings.txt analog; imported documents are "
+                        "parsed into the closure so imported-class displays "
+                        "enrich instead of falling back to IRIs")
+    p.add_argument("--iri-mappings", default=None,
+                   help="file of IRI,local-path lines (# comments), same "
+                        "format as the reference's iri_mappings.txt")
     p.add_argument("--output", required=True, help="output dir (triples + _lineage)")
     p.add_argument("--chunks", type=int, default=8)
     p.add_argument("--run-id", default=None)
@@ -202,7 +211,12 @@ def main(argv=None) -> int:
     elif args.owl:
         import dataclasses
 
-        from fhir_owl_spark.sources.owl_xml import RDFS_LABEL, parse_owl_xml
+        from fhir_owl_spark.sources.owl_xml import (
+            RDFS_LABEL,
+            load_owl_closure,
+            parse_iri_mappings_file,
+            parse_owl_xml,
+        )
 
         if args.reasoner is not None:
             include_obj = args.reasoner == "jfact"
@@ -210,12 +224,23 @@ def main(argv=None) -> int:
         else:
             include_obj = not args.owl_no_object_properties
             include_data = False
-        parsed = parse_owl_xml(
-            args.owl,
+        mappings: dict = {}
+        if args.iri_mappings:
+            mappings.update(parse_iri_mappings_file(args.iri_mappings))
+        for m in args.owl_import:
+            iri, _, path = m.partition("=")
+            if not path:
+                raise SystemExit(f"--owl-import needs IRI=PATH, got {m!r}")
+            mappings[iri] = path
+        kw = dict(
             include_object_properties=include_obj,
             include_data_properties=include_data,
             unsatisfiable_iris={s for s in args.unsatisfiable.split(",") if s},
         )
+        if mappings:
+            parsed = load_owl_closure(args.owl, mappings, **kw)
+        else:
+            parsed = parse_owl_xml(args.owl, **kw)
         concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)
         cfg = build_config(args)
         # remap only the UNTOUCHED defaults to the rdfs:label IRI — an

@@ -327,3 +327,120 @@ def test_cli_reasoner_flag():
     assert args.reasoner == "jfact"
     args = job.parse_args(["--output", "o"])
     assert args.reasoner is None
+
+
+# ---------------------------------------------------------------------------
+# Imports-closure local loading (round 2) — the iri_mappings analog
+# (FhirOwlService.java:86-117 + :214-229): duo.owl declares three
+# imported classes WITHOUT labels (IAO_0000027, IAO_0000030, OBI_0000066);
+# mapping its owl:imports IRI to a local iao.owl must enrich their
+# displays instead of falling back to IRI strings.
+# ---------------------------------------------------------------------------
+
+IAO_MINI = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  xmlns:owl="http://www.w3.org/2002/07/owl#"
+  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+  <owl:Ontology rdf:about="http://purl.obolibrary.org/obo/iao.owl"/>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/IAO_0000027">
+    <rdfs:label>data item</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/IAO_0000030">
+    <rdfs:label>information content entity</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/OBI_0000066">
+    <rdfs:label>investigation</rdfs:label>
+  </owl:Class>
+</rdf:RDF>"""
+
+
+def test_duo_imports_closure_enriches_displays(spark, tmp_path):
+    import dataclasses
+
+    from fhir_owl_spark.config import DUO_CONFIG
+    from fhir_owl_spark.sources.owl_xml import load_owl_closure
+
+    iao = tmp_path / "iao.owl"
+    iao.write_text(IAO_MINI)
+    parsed = load_owl_closure(
+        DUO,
+        {"http://purl.obolibrary.org/obo/iao.owl": str(iao)},
+        include_object_properties=False,
+    )
+    cfg = dataclasses.replace(
+        DUO_CONFIG,
+        display_prop=RDFS_LABEL,
+        synonym_props=(RDFS_LABEL,),
+        has_imports=parsed.has_imports,
+        code_replace=None,
+    )
+    triples = run(spark, parsed, cfg)
+    displays = {s: o for s, p, o in triples if p == "has-display"}
+    # the closure provides real displays (previously IRI fallbacks)
+    assert displays["http://purl.obolibrary.org/obo/IAO_0000027"] == "data item"
+    assert (
+        displays["http://purl.obolibrary.org/obo/IAO_0000030"]
+        == "information content entity"
+    )
+    assert displays["http://purl.obolibrary.org/obo/OBI_0000066"] == "investigation"
+    # imported classes keep full-IRI codes (imported flag intact)
+    flags = {s: o for s, p, o in triples if p == "imported"}
+    assert flags["http://purl.obolibrary.org/obo/IAO_0000027"] == "true"
+    # main DUO classes unaffected: shortform codes, own labels
+    assert displays.get("DUO_0000007") == "disease specific research"
+    assert flags.get("DUO_0000007") == "false"
+
+
+def test_unmapped_import_warns_and_continues(tmp_path):
+    import warnings as w
+
+    from fhir_owl_spark.sources.owl_xml import load_owl_closure
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        parsed = load_owl_closure(DUO, {}, include_object_properties=False)
+    assert any("no local mapping" in str(x.message) for x in caught)
+    # still parses the root fine
+    assert parsed.ontology_iri == "http://purl.obolibrary.org/obo/duo.owl"
+
+
+def test_transitive_imports_followed(tmp_path):
+    from fhir_owl_spark.sources.owl_xml import load_owl_closure
+
+    a = tmp_path / "a.owl"
+    b = tmp_path / "b.owl"
+    root = tmp_path / "root.owl"
+    root.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/root">'
+        '<owl:imports rdf:resource="http://ex/a"/></owl:Ontology>'
+        '<owl:Class rdf:about="http://ex/root#R"><rdfs:label>R</rdfs:label>'
+        '<rdfs:subClassOf rdf:resource="http://ex/a#A"/></owl:Class>'
+        "</rdf:RDF>"
+    )
+    a.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/a">'
+        '<owl:imports rdf:resource="http://ex/b"/></owl:Ontology>'
+        '<owl:Class rdf:about="http://ex/a#A"><rdfs:label>A</rdfs:label></owl:Class>'
+        "</rdf:RDF>"
+    )
+    b.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/b"/>'
+        '<owl:Class rdf:about="http://ex/b#B"><rdfs:label>B</rdfs:label></owl:Class>'
+        "</rdf:RDF>"
+    )
+    parsed = load_owl_closure(
+        str(root), {"http://ex/a": str(a), "http://ex/b": str(b)}
+    )
+    iris = {c["iri"] for c in parsed.tables.concepts}
+    assert "http://ex/a#A" in iris and "http://ex/b#B" in iris  # transitive
+    flags = {c["iri"]: c["imported"] for c in parsed.tables.concepts}
+    assert flags["http://ex/root#R"] is False
+    assert flags["http://ex/a#A"] is True and flags["http://ex/b#B"] is True
