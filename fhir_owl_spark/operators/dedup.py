@@ -400,4 +400,13 @@ def dup_clusters(
         )
         if changed == 0:
             break
+    else:
+        # a component with diameter > max_iterations has NOT converged —
+        # silently returning split clusters with wrong representatives is
+        # worse than failing (same for/else contract as transitive_closure)
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} rounds "
+            "— a component's diameter exceeds max_iterations; raise "
+            "max_iterations (rounds needed = O(component diameter))"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -193,16 +193,20 @@ class AhoCorasick:
         return counts
 
 
-_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+# keyed by the terms tuple ITSELF (dict keys hash then compare by
+# equality), never by hash(terms): a long-lived Python worker running
+# successive jobs with different dictionaries could collide on the 64-bit
+# hash and silently reuse the wrong automaton. Single-entry policy —
+# one dictionary per job; clear on miss to avoid leaks.
+_AUTOMATON_CACHE: dict[tuple[str, ...], AhoCorasick] = {}
 
 
 def _automaton_for(terms: tuple[str, ...]) -> AhoCorasick:
-    key = hash(terms)
-    ac = _AUTOMATON_CACHE.get(key)
+    ac = _AUTOMATON_CACHE.get(terms)
     if ac is None:
         ac = AhoCorasick(list(terms))
-        _AUTOMATON_CACHE.clear()  # one dictionary per job; avoid leaks
-        _AUTOMATON_CACHE[key] = ac
+        _AUTOMATON_CACHE.clear()
+        _AUTOMATON_CACHE[terms] = ac
     return ac
 
 

@@ -189,8 +189,17 @@ def build_graph_resumable(
 
 
 def read_triples(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Committed-only read: the lineage table IS the commit log, so the
+    scan is filtered to chunks with a lineage row. A chunk whose data
+    write finished but whose lineage append didn't (crash in the gap) is
+    invisible to readers until a resume rewrites and commits it —
+    otherwise the 'commit record' would not actually gate the read path.
+    The filter is on the chunk partition column → partition pruning, no
+    extra scan."""
     try:
-        return spark.read.parquet(f"{output_dir}/triples").drop("chunk")
+        df = spark.read.parquet(f"{output_dir}/triples")
     except Exception:
         # every chunk empty → no part files anywhere → schema-less dirs
         return spark.createDataFrame([], TRIPLES)
+    committed = completed_chunks(spark, output_dir)
+    return df.filter(F.col("chunk").isin(sorted(committed))).drop("chunk")

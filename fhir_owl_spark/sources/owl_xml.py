@@ -134,10 +134,23 @@ def parse_owl_xml(
             for ch in el:
                 prop = _prop_iri(ch.tag)
                 res = ch.get(_RESOURCE)
+                if ch.tag == sub_tag and res is None:
+                    # equally legal named-node form emitted by some tools:
+                    # <rdfs:subClassOf><owl:Class rdf:about="X"/></rdfs:subClassOf>
+                    # (also rdf:Description); anonymous bodies
+                    # (owl:Restriction) stay ignored like the resource form
+                    for gc in ch:
+                        if gc.tag in (
+                            f"{{{OWL_NS}}}Class",
+                            f"{{{RDF_NS}}}Description",
+                        ) and gc.get(_ABOUT):
+                            res = gc.get(_ABOUT)
+                            break
                 if ch.tag == sub_tag and res is not None:
                     ont.edge(iri, res)
                     children.add(iri)
                     continue
+                res = ch.get(_RESOURCE)
                 # NAMED equivalence (A ≡ B between class IRIs) ⟺ mutual
                 # subsumption: emit both edges; equivalence_mode='group'
                 # then reproduces the reasoner's strict-superclass output

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fhir_owl_spark import fixtures as fx
 from fhir_owl_spark.plans.build_graph import build_graph
 from fhir_owl_spark.plans.lineage import (
@@ -86,3 +88,28 @@ def test_resume_rejects_chunk_count_change(spark, inputs, tmp_path):
     # correct count resumes fine
     build_graph_resumable(spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=4)
     assert len(completed_chunks(spark, out)) == 5
+
+
+def test_read_skips_uncommitted_chunk(spark, inputs, tmp_path):
+    """A chunk directory whose data write finished but whose lineage commit
+    row was never appended (crash in the gap) must be INVISIBLE to readers
+    — the lineage commit record gates the read path."""
+    concepts, edges, synonyms, tdf, cfg = inputs
+    out = str(tmp_path / "graph")
+    build_graph_resumable(
+        spark, concepts, edges, synonyms, tdf, out, cfg, n_chunks=4
+    )
+    before = triple_set(read_triples(spark, out))
+
+    # forge an orphan chunk dir exactly as write_chunk lays it out
+    # (pred-partitioned under chunk=N): data present, no lineage row
+    orphan = read_triples(spark, out).limit(5).withColumn(
+        "subj", F.concat(F.lit("ORPHAN_"), F.col("subj"))
+    )
+    orphan.write.mode("overwrite").partitionBy("pred").parquet(
+        f"{out}/triples/chunk=99"
+    )
+
+    after = triple_set(read_triples(spark, out))
+    assert after == before
+    assert not any(s.startswith("ORPHAN_") for s, _, _ in after)

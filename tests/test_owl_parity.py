@@ -444,3 +444,32 @@ def test_transitive_imports_followed(tmp_path):
     flags = {c["iri"]: c["imported"] for c in parsed.tables.concepts}
     assert flags["http://ex/root#R"] is False
     assert flags["http://ex/a#A"] is True and flags["http://ex/b#B"] is True
+
+
+def test_named_node_subclassof_form(tmp_path, spark):
+    """<rdfs:subClassOf><owl:Class rdf:about="X"/></rdfs:subClassOf> (the
+    named-node form some tools emit) must yield the same parent edge as
+    the rdf:resource form; anonymous restriction bodies stay ignored."""
+    owl = tmp_path / "nn.owl"
+    owl.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/nn"/>'
+        '<owl:Class rdf:about="http://ex/nn#P"><rdfs:label>P</rdfs:label></owl:Class>'
+        '<owl:Class rdf:about="http://ex/nn#C1"><rdfs:label>C1</rdfs:label>'
+        '<rdfs:subClassOf><owl:Class rdf:about="http://ex/nn#P"/></rdfs:subClassOf>'
+        "</owl:Class>"
+        '<owl:Class rdf:about="http://ex/nn#C2"><rdfs:label>C2</rdfs:label>'
+        '<rdfs:subClassOf><rdf:Description rdf:about="http://ex/nn#P"/></rdfs:subClassOf>'
+        "</owl:Class>"
+        '<owl:Class rdf:about="http://ex/nn#C3"><rdfs:label>C3</rdfs:label>'
+        "<rdfs:subClassOf><owl:Restriction/></rdfs:subClassOf></owl:Class>"
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(owl))
+    edges = {(e["child_iri"], e["parent_iri"]) for e in parsed.tables.edges}
+    assert ("http://ex/nn#C1", "http://ex/nn#P") in edges
+    assert ("http://ex/nn#C2", "http://ex/nn#P") in edges
+    # anonymous body → no edge; C3 is parentless (gets Thing downstream)
+    assert not any(c == "http://ex/nn#C3" for c, _ in edges)
