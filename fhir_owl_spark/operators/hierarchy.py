@@ -186,6 +186,7 @@ def _closure_reduction_driver_side(
             parents_of.setdefault(c, set()).add(p)
             parents_of.setdefault(p, set())
     anc: dict[str, set[str]] = {}
+    cyclic_nodes: set[str] = set()
     for n, direct_parents in parents_of.items():
         seen: set[str] = set()
         stack = list(direct_parents)
@@ -202,21 +203,33 @@ def _closure_reduction_driver_side(
         if n in seen:
             if equivalence_mode == "abort":
                 raise HierarchyCycleError(f"Cycle found in hierarchy involving: {n}")
+            cyclic_nodes.add(n)
         anc[n] = seen
-    if equivalence_mode == "group":
+    if equivalence_mode == "group" and cyclic_nodes:
         # STRICT ancestors: drop mutually-reachable pairs (equivalence-set
         # members), mirroring the reasoner's strict-superclass relation
         # (see PipelineConfig.equivalence_mode). Members keep the set's
         # external ancestors; their external children keep ALL members.
+        # A mutual pair requires BOTH ends to reach themselves (be on a
+        # cycle), so only cyclic nodes need the strict rebuild — on acyclic
+        # graphs (the common case) this branch never runs and the fast
+        # path stays exactly as cheap as abort mode.
         anc = {
-            n: {a for a in ancestors if n not in anc.get(a, ()) and a != n}
+            n: (
+                {a for a in ancestors if n not in anc.get(a, ()) and a != n}
+                if n in cyclic_nodes
+                else ancestors
+            )
             for n, ancestors in anc.items()
         }
     out: list[tuple[str, str]] = []
     for n, ancestors in anc.items():
-        for a in ancestors:
-            if not any(a in anc.get(b, ()) for b in ancestors):
-                out.append((n, a))
+        direct = [a for a in ancestors if not any(a in anc.get(b, ()) for b in ancestors)]
+        out.extend((n, a) for a in direct)
+        if not direct and n not in TOP_ENTITIES and equivalence_mode == "group":
+            # an equivalence set whose only ancestors were in-set lost them
+            # all in the strict filter — re-root at Thing (reasoner parity)
+            out.append((n, OWL_THING))
     return out
 
 
@@ -295,7 +308,9 @@ def build_hierarchy(
         )
         from ..schemas import ONTOLOGY_EDGES
 
-        direct = spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
+        # re-rooting of orphaned equivalence sets is handled inside the
+        # driver function — no extra Spark jobs on this path
+        return spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
     else:
         # broadcast the loop's edge side only while it plausibly fits in
         # executor memory (~5M edges ≈ low hundreds of MB); beyond that the
