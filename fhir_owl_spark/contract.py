@@ -183,6 +183,59 @@ def q_kg_ancestors(spark, sf_dir) -> DataFrame:
     return ancestors(full).select("code", "ancestor")
 
 
+def q_kg_descendants(spark, sf_dir) -> DataFrame:
+    """Seeded-frontier BFS (plans/graph_queries.descendants_of) from one
+    code — the single-probe shape whose cost scales with the descendant
+    set, not the all-pairs closure; oracle = recursive CTE seeded the
+    same way."""
+    from .plans.graph_queries import descendants_of
+
+    triples = q_kg_isa(spark, sf_dir)
+    full = triples.select(
+        "subj", "pred", "obj",
+        F.lit(None).cast("string").alias("obj_type"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("string").alias("key_hash"),
+    )
+    return descendants_of(full, "Operator").select("code")
+
+
+def q_kg_subsumes(spark, sf_dir) -> DataFrame:
+    """$subsumes probes (ancestor BFS from the probed code): fixed pairs
+    spanning true/false/reverse cases."""
+    from .plans.graph_queries import subsumes
+
+    triples = q_kg_isa(spark, sf_dir)
+    full = triples.select(
+        "subj", "pred", "obj",
+        F.lit(None).cast("string").alias("obj_type"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("string").alias("key_hash"),
+    ).localCheckpoint(eager=True)
+    pairs = [
+        ("Operator", "HashJoin"),
+        ("Join", "HashJoin"),
+        ("Sort", "HashJoin"),
+        ("HashJoin", "Operator"),
+        ("DataObject", "Stream"),
+    ]
+    rows = [(a, c, subsumes(full, a, c)) for a, c in pairs]
+    return spark.createDataFrame(rows, "anc string, code string, subsumes boolean")
+
+
+def q_equiv_isa(spark, sf_dir) -> DataFrame:
+    """Equivalence-class semantics (equivalence_mode='group'): the
+    equivalence fixture's emitted is-a edges vs a DuckDB oracle that
+    independently computes the strict-closure reduction (cycle-safe
+    recursive CTE with UNION dedup + mutual-pair filter + reduction +
+    Thing re-rooting)."""
+    ont, cfg = fx.equivalence_fixture()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir).limit(0)
+    triples = build_graph(spark, concepts, edges, synonyms, transcripts, cfg)
+    return triples.filter(F.col("pred") == "is-a").select("subj", "obj")
+
+
 def q_kg_mentions(spark, sf_dir) -> DataFrame:
     ont, cfg = _qops()
     concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
@@ -502,6 +555,9 @@ QUERIES = {
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
+    "kg_descendants": q_kg_descendants,
+    "kg_subsumes": q_kg_subsumes,
+    "equiv_isa": q_equiv_isa,
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
@@ -599,6 +655,60 @@ anc AS (SELECT child, parent FROM isa
         UNION
         SELECT anc.child, isa.parent FROM anc JOIN isa ON anc.parent = isa.child)
 SELECT child AS code, parent AS ancestor FROM anc
+""",
+        "kg_descendants": f"""
+WITH RECURSIVE {qops},
+isa AS (SELECT ec.code AS child, ep.code AS parent
+        FROM direct JOIN emitted ec ON direct.child = ec.iri AND NOT ec.is_root
+        JOIN emitted ep ON direct.parent = ep.iri),
+des(code) AS (SELECT child FROM isa WHERE parent = 'Operator'
+              UNION
+              SELECT isa.child FROM des JOIN isa ON isa.parent = des.code)
+SELECT code FROM des
+""",
+        "kg_subsumes": f"""
+WITH RECURSIVE {qops},
+isa AS (SELECT ec.code AS child, ep.code AS parent
+        FROM direct JOIN emitted ec ON direct.child = ec.iri AND NOT ec.is_root
+        JOIN emitted ep ON direct.parent = ep.iri),
+ancs AS (SELECT child, parent FROM isa
+         UNION
+         SELECT ancs.child, isa.parent FROM ancs JOIN isa ON ancs.parent = isa.child),
+probes(anc_code, code) AS (VALUES
+  ('Operator','HashJoin'), ('Join','HashJoin'), ('Sort','HashJoin'),
+  ('HashJoin','Operator'), ('DataObject','Stream'))
+SELECT p.anc_code AS anc, p.code AS code,
+       EXISTS(SELECT 1 FROM ancs a
+              WHERE a.child = p.code AND a.parent = p.anc_code) AS subsumes
+FROM probes p
+""",
+        "equiv_isa": """
+WITH RECURSIVE
+e(child, parent) AS (VALUES
+  ('Veggie','Vegetarian'), ('Vegetarian','Veggie'), ('Veggie','Food'),
+  ('Margherita','Veggie'), ('X','Y'), ('Y','X'),
+  ('Food','Thing')),  -- parentless completion, like the engine
+nodes(n) AS (VALUES ('Food'),('Veggie'),('Vegetarian'),('Margherita'),('X'),('Y')),
+clo(child, parent) AS (
+  SELECT child, parent FROM e WHERE child <> parent
+  UNION   -- dedup = termination on the cyclic input
+  SELECT clo.child, e.parent FROM clo JOIN e ON clo.parent = e.child),
+strict AS (
+  SELECT c.child, c.parent FROM clo c
+  WHERE c.child <> c.parent
+    AND NOT EXISTS (SELECT 1 FROM clo r
+                    WHERE r.child = c.parent AND r.parent = c.child)),
+red AS (
+  SELECT s.child, s.parent FROM strict s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM strict x JOIN strict y ON x.parent = y.child
+    WHERE x.child = s.child AND y.parent = s.parent)),
+rerooted AS (
+  SELECT child, parent FROM red
+  UNION ALL
+  SELECT n, 'Thing' FROM nodes
+  WHERE NOT EXISTS (SELECT 1 FROM red WHERE red.child = nodes.n))
+SELECT child AS subj, parent AS obj FROM rerooted
 """,
         "kg_mention_counts": f"""
 WITH RECURSIVE {qops}
