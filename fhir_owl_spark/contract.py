@@ -445,6 +445,66 @@ def q_fingerprint_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark, sf_dir) -> DataFrame:
+    """Token-window chunking (training-data prep): 32-token chunks with
+    8-token overlap — pure Column transform/slice/explode, map-only."""
+    docs = _read(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, max_tokens=32, overlap=8).select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text", "n_tokens",
+    )
+
+
+def q_sample_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic hash-mod sampling (reproducible under any
+    partitioning) — md5-60bit hash so DuckDB recomputes the identical
+    sample; production default is xxhash64."""
+    from .operators.sampling import sample_rows
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_rows(docs, 0.3, "doc_id", hash_fn=dedup.md5_60bit).select("doc_id")
+
+
+def q_stratified_sample_docs(spark, sf_dir) -> DataFrame:
+    """Per-language rebalancing rates over the documents.lang column —
+    the standard corpus-mix op."""
+    from .operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.5}, "lang", "doc_id",
+        default_rate=0.1, hash_fn=dedup.md5_60bit,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_redact_pii(spark, sf_dir) -> DataFrame:
+    """PII redaction: inject deterministic synthetic PII (email/IP/CC/SSN/
+    phone) into each document, then redact — the oracle injects and
+    redacts with the same RE2-compatible patterns, so this checks true
+    cross-engine pattern parity, not a no-op pass-through."""
+    docs = _read(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+            F.lit(" card 4111-1111-1111-1111 ssn 123-45-6789 tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return dirty.select("doc_id", text.redact_pii_col("text").alias("clean_text"))
+
+
+def q_dedup_keep_one(spark, sf_dir) -> DataFrame:
+    """Near-dup resolution to keep/drop decisions: exact-Jaccard pairs →
+    connected components → min-id representative per cluster; singletons
+    kept."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.dedup_keep_one(docs, pairs)
+
+
 def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact all-pairs baseline with the
     JVM-side zip_with/aggregate dot product (no UDF). Explicit
@@ -584,6 +644,11 @@ QUERIES = {
     "conv_features": q_conv_features,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "chunk_docs": q_chunk_docs,
+    "sample_docs": q_sample_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "redact_pii": q_redact_pii,
+    "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
 
@@ -894,6 +959,68 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.5
 """,
+        "chunk_docs": r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(coalesce(text, '')), '\s+') AS words
+  FROM documents),
+n AS (SELECT doc_id, words, len(words) AS nw,
+             greatest(1, 1 + CAST(floor((len(words) - 32 + 23) / 24.0) AS INT)) AS nc
+      FROM w)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(words[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+       CAST(least(nw - i*24, 32) AS BIGINT) AS n_tokens
+FROM n, unnest(range(0, nc)) AS t(i)
+""",
+        "sample_docs": """
+SELECT doc_id FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
+      % 1000000 < 300000
+""",
+        "stratified_sample_docs": """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
+      % 1000000
+      < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "redact_pii": r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.'
+              || CAST(doc_id % 255 AS VARCHAR)
+              || ' card 4111-1111-1111-1111 ssn 123-45-6789 tel 555-123-4567' AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b', '<CC>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+    '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
+  AS clean_text
+FROM dirty
+""",
+        "dedup_keep_one": f"""
+WITH RECURSIVE {{shingles}},
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sset, b.sset))
+            / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8),
+und AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT s AS id, s AS r FROM und
+          UNION
+          SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+""".format(shingles=_oracle_shingles_cte().lstrip()),
         "simhash_docs": r"""
 WITH w AS (
   SELECT doc_id,

@@ -410,3 +410,34 @@ def dup_clusters(
             "max_iterations (rounds needed = O(component diameter))"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_one(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup resolution to a keep/drop decision: every document gets
+    (doc_id, cluster_id, keep) where cluster_id is the min id reachable
+    through the near-dup pair graph (dup_clusters) and keep is true only
+    for the cluster representative (the min id). Documents in no pair are
+    their own singleton cluster and are kept.
+
+    Composition shape: dup_clusters' label propagation (O(diameter)
+    rounds) + one broadcast-able left join back to the corpus — the
+    droplist stays cluster-bounded, never corpus-scale in memory."""
+    clusters = dup_clusters(pairs, id_a=id_a, id_b=id_b)
+    ids = docs.select(F.col(id_col))
+    labeled = ids.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -1,0 +1,69 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-dependent on partitioning (a repartition changes
+which rows survive), which breaks reproducibility contracts at scale.
+These operators sample by HASHING ROW IDENTITY instead: a row's fate
+depends only on its key, so the sample is stable under any partitioning,
+any cluster size, and incremental reruns — the property a 100-TB corpus
+refresh actually needs (rows sampled yesterday stay sampled tomorrow).
+
+Pure Column code (JVM-side hash + modulo), no shuffle, filter pushes
+into the scan where the source supports it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# granularity of the rate: 1e6 buckets → rate resolution 1e-6
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key_col: Column, salt: str, hash_fn=F.xxhash64) -> Column:
+    """Stable bucket in [0, 1e6) from (key, salt). hash_fn is
+    parameterized so the contract oracle can use an md5-derived hash that
+    DuckDB reproduces (see operators.dedup.md5_60bit); production default
+    is xxhash64 (faster)."""
+    return F.pmod(hash_fn(F.concat(key_col.cast("string"), F.lit(":" + salt))), F.lit(_BUCKETS))
+
+
+def sample_rows(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "v1",
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by key identity.
+
+    Changing `salt` draws an independent sample; keeping it fixed makes
+    the sample reproducible and monotone in rate (rate 0.2's sample is a
+    superset of rate 0.1's — useful for growing a held-out set without
+    resampling)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * _BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col), salt, hash_fn) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "v1",
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. {'en': 1.0, 'de': 0.25}) —
+    the standard language/domain-rebalancing op. Strata not listed get
+    default_rate. One Column CASE chain, no shuffle, no UDF."""
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+    threshold = F.lit(int(default_rate * _BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(key_col), salt, hash_fn) < threshold)

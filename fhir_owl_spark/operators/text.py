@@ -124,3 +124,84 @@ def fingerprint_col(
     hashes = F.transform(shingles, lambda s: hash_fn(s))
     sampled = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
     return F.array_sort(F.array_distinct(sampled))
+
+
+# ---------------------------------------------------------------------------
+# Token-window document chunking (training-data prep: long documents →
+# overlapping context-window-sized chunks). Pure Column code — the
+# transform/slice pipeline stays inside whole-stage codegen; one explode,
+# no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens) — whitespace-token windows of
+    ``max_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks (stride = max_tokens - overlap). Every document emits at least
+    one chunk; the final chunk may be short. Scale shape: map-only
+    (narrow), chunk count per row is bounded by the document length, and
+    the downstream repartition is the caller's choice."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(words)
+    # number of stride-starts that still begin inside the document:
+    # 1 + floor((n - max_tokens + stride - 1) / stride) clamped to >= 1
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.lit(1) + F.floor((n - max_tokens + stride - 1) / F.lit(stride))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, i * stride + 1, max_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(max_tokens)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene): regexp_replace chain, JVM-side.
+# Patterns are kept to the regex subset Java (Spark) and RE2 (DuckDB,
+# the contract oracle) interpret identically — no lookarounds, no
+# backreferences.
+# ---------------------------------------------------------------------------
+
+# order matters: specific → general (credit card before generic digit runs)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # email
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # ipv4
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # 16-digit card-like runs (with optional -/space groups of 4)
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
+    # SSN-like 3-2-4
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    # phone-like: optional +country, 3-3-4 with separators
+    (r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_col(text_col: str = "text") -> Column:
+    """Chained regexp_replace over PII_PATTERNS — one JVM-side projection,
+    no UDF, safe to push before any text operator."""
+    out = F.coalesce(F.col(text_col), F.lit(""))
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

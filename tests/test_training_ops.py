@@ -273,3 +273,123 @@ class TestDupClusters:
         got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dup_clusters(pairs).collect()}
         # docs 0,1 exact dups and 2 near dup → one cluster rooted at 0
         assert {(0, 0), (1, 0), (2, 0)} <= got
+
+
+class TestChunking:
+    def test_chunk_windows_exact(self, spark):
+        from fhir_owl_spark.operators.text import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, words), (2, "short text")], ["doc_id", "text"])
+        out = {
+            (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+        }
+        # doc 1: 10 tokens, stride 3 → starts 0,3,6 (start 6 reaches the
+        # end, so no redundant overlap-only tail chunk is emitted)
+        assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+        assert out[(1, 1)] == ("w3 w4 w5 w6", 4)
+        assert out[(1, 2)] == ("w6 w7 w8 w9", 4)
+        # doc 2: shorter than the window → one whole-doc chunk
+        assert out[(2, 0)] == ("short text", 2)
+        assert len(out) == 4
+        # every token appears in some chunk (coverage invariant)
+        covered = set()
+        for text_, _ in out.values():
+            covered.update(text_.split())
+        assert covered == {f"w{i}" for i in range(10)} | {"short", "text"}
+
+    def test_chunk_is_map_only(self, spark):
+        from fhir_owl_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_chunk_rejects_bad_overlap(self, spark):
+        import pytest
+
+        from fhir_owl_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
+
+
+class TestSampling:
+    def test_sample_deterministic_and_partition_invariant(self, spark):
+        from fhir_owl_spark.operators.sampling import sample_rows
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in sample_rows(df, 0.3, "doc_id").collect()}
+        b = {
+            r["doc_id"]
+            for r in sample_rows(df.repartition(17), 0.3, "doc_id").collect()
+        }
+        assert a == b  # identical under different partitioning
+        assert 0.2 < len(a) / 1000 < 0.4
+
+    def test_sample_monotone_in_rate(self, spark):
+        from fhir_owl_spark.operators.sampling import sample_rows
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        small = {r["doc_id"] for r in sample_rows(df, 0.1, "doc_id").collect()}
+        big = {r["doc_id"] for r in sample_rows(df, 0.3, "doc_id").collect()}
+        assert small <= big  # growing the rate only ADDS rows
+
+    def test_stratified_rates(self, spark):
+        from pyspark.sql import functions as F
+
+        from fhir_owl_spark.operators.sampling import stratified_sample
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("fr")
+            .alias("lang"),
+        )
+        out = stratified_sample(
+            df, {"en": 1.0, "de": 0.5}, "lang", "doc_id", default_rate=0.0
+        )
+        counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+        assert counts["en"] == 1000       # rate 1.0 keeps everything
+        assert 350 < counts.get("de", 0) < 650
+        assert "fr" not in counts         # default 0.0 drops the rest
+
+
+class TestRedaction:
+    def test_patterns(self, spark):
+        from pyspark.sql import functions as F
+
+        from fhir_owl_spark.operators.text import redact_pii_col
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-corp.co.uk ip 10.0.0.1 card 4111 1111 1111 1111 "
+                 "ssn 123-45-6789 call +1 (555) 123-4567 ok end")],
+            ["doc_id", "text"],
+        )
+        clean = df.select(redact_pii_col("text").alias("t")).first()["t"]
+        assert "<EMAIL>" in clean and "a.b+c@" not in clean
+        assert "<IP>" in clean and "10.0.0.1" not in clean
+        assert "<CC>" in clean and "4111" not in clean
+        assert "<ID>" in clean and "123-45-6789" not in clean
+        assert "<PHONE>" in clean
+        assert clean.endswith("ok end")  # non-PII text untouched
+
+
+class TestKeepOne:
+    def test_singletons_kept_and_cluster_reps(self, spark):
+        from fhir_owl_spark.operators.dedup import dedup_keep_one
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], ["doc_id"]
+        )
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5), (2, 4)], ["id_a", "id_b"]
+        )
+        rows = {r["doc_id"]: (r["cluster_id"], r["keep"])
+                for r in dedup_keep_one(docs, pairs).collect()}
+        assert rows[1] == (1, True) and rows[3] == (1, False) and rows[5] == (1, False)
+        assert rows[2] == (2, True) and rows[4] == (2, False)
+        assert rows[0] == (0, True)  # singleton: own cluster, kept
