@@ -17,16 +17,20 @@ from ..operators.dictionary import (  # noqa: F401
     special_display_col,
 )
 from ..operators.similarity import cosine_expr  # noqa: F401
+from ..operators.sampling import hash_bucket  # noqa: F401
 from ..operators.text import (  # noqa: F401
     bpeish_token_count,
     fingerprint_col,
     lang_id_col,
     quality_features,
+    redact_pii_col,
     whitespace_token_count,
 )
 
 __all__ = [
     "bpeish_token_count",
+    "hash_bucket",
+    "redact_pii_col",
     "cosine_expr",
     "fingerprint_col",
     "imported_col",

@@ -110,6 +110,7 @@ def reachable_set(
     direction: str = "up",
     max_iterations: int = 64,
     broadcast_edges: bool = True,
+    stop_at: str | None = None,
 ) -> DataFrame:
     """Seeded-frontier BFS: all nodes reachable from ``seeds`` following
     edges upward (child→parent: the ancestor set) or downward
@@ -152,13 +153,23 @@ def reachable_set(
         if visited is not None:
             stepped = stepped.join(visited, "node", "left_anti")
         frontier = stepped.localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        # one driver action per hop: emptiness + optional target hit
+        probe = frontier.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.when(F.col("node") == F.lit(stop_at), 1)).alias("hit"),
+        ).first()
+        if probe["n"] == 0:
             break
         # frontier is distinct and anti-joined against visited → the union
         # is already duplicate-free, no extra distinct shuffle needed
         visited = (
             frontier if visited is None else visited.union(frontier)
         ).localCheckpoint(eager=True)
+        if stop_at is not None and probe["hit"] is not None:
+            # early exit for single-membership probes ($subsumes): stop the
+            # moment the target enters the reached set — per-query cost is
+            # O(path depth), not O(full ancestor set)
+            break
     return (
         visited
         if visited is not None

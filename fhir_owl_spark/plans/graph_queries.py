@@ -76,7 +76,7 @@ def subsumes(triples: DataFrame, ancestor_code: str, code: str) -> bool:
     the ancestor set of one node."""
     anc = reachable_set(
         _isa_edges(triples), [code], child_col="child", parent_col="parent",
-        direction="up",
+        direction="up", stop_at=ancestor_code,
     )
     return not anc.filter(F.col("node") == ancestor_code).isEmpty()
 
