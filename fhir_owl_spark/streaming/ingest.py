@@ -95,3 +95,20 @@ def start_mention_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    transcripts: DataFrame,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    on the key columns — the streaming analog of the batch key-hash dedup
+    (A5). Exactly-once within the watermark horizon; a duplicate arriving
+    later than the watermark is the sink-compaction layer's problem, the
+    same contract as the batch lineage protocol. State size is bounded by
+    (input rate × watermark), independent of total stream length — the
+    property an unbounded global dropDuplicates lacks."""
+    return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

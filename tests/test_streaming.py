@@ -83,3 +83,34 @@ def test_windowed_counts_match_batch_grouping(spark, setup):
         .collect()
     }
     assert got == expected and got
+
+
+def test_dedup_stream_bounded_state(spark, setup, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate (conv_id, turn_idx) rows
+    across micro-batches collapse to one within the watermark; the state
+    store stays bounded (watermark horizon, not stream length)."""
+    from fhir_owl_spark.streaming.ingest import dedup_stream, read_transcript_stream
+
+    base, inp, dictionary, cfg = setup
+    # duplicate the ENTIRE input into the stream directory twice
+    dup_in = str(tmp_path / "dup_in")
+    batch = spark.read.parquet(inp)
+    batch.write.mode("overwrite").parquet(dup_in)
+    batch.write.mode("append").parquet(dup_in)
+    assert spark.read.parquet(dup_in).count() == 2 * batch.count()
+
+    stream = read_transcript_stream(spark, dup_in)
+    deduped = dedup_stream(stream, watermark="1 hour")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert got.select("conv_id", "turn_idx").distinct().count() == batch.count()
