@@ -307,3 +307,20 @@ def test_cli_metadata_flags(tmp_path):
     bad = job.parse_args(["--output", "o", "--contact", "A|smoke-signal|x"])
     with pytest.raises(InvalidPropertyError):
         job.build_config(bad)
+
+
+def test_metadata_defaults(spark):
+    """MetadataDefaultsTest.java:25-30: with no metadata flags the export
+    defaults to hierarchyMeaning=is-a and omits jurisdiction/contact."""
+    parsed = parse_owl_xml(PIZZA_OWL)
+    cfg = PipelineConfig()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)
+    cs = export_codesystem(
+        spark, concepts, edges, synonyms, cfg,
+        metadata=ontology_metadata(parsed, cfg),
+    )
+    assert cs["hierarchyMeaning"] == "is-a"
+    assert "jurisdiction" not in cs
+    assert "contact" not in cs
+    assert cs["status"] == "draft" and cs["content"] == "complete"
+    assert cs["experimental"] is False
