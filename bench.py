@@ -148,6 +148,10 @@ def main() -> None:
     #    + close in seconds)
     ont18, cfg18 = fx.synthetic_ontology(18_000)
     c18, e18, s18 = fx.ontology_dfs(spark, ont18)
+    # materialize once: a real job reads these tables from parquet/Iceberg;
+    # without this the bench measures createDataFrame re-serialization of
+    # 18k Python rows on EVERY action instead of the engine
+    c18, e18, s18 = (df.localCheckpoint(eager=True) for df in (c18, e18, s18))
 
     def _onto18():
         from fhir_owl_spark.operators.hierarchy import build_hierarchy

@@ -234,8 +234,13 @@ def _closure_reduction_driver_side(
             for n, ancestors in anc.items()
         }
     out: list[tuple[str, str]] = []
+    empty: set[str] = set()
     for n, ancestors in anc.items():
-        direct = [a for a in ancestors if not any(a in anc.get(b, ()) for b in ancestors)]
+        # direct = ancestors not reachable through another ancestor:
+        # one C-level set.union of the ancestors' ancestor-sets beats the
+        # O(|anc|²) any()-loop ~10× on deep ontologies (HPO-scale)
+        indirect = set().union(*(anc.get(b, empty) for b in ancestors)) if ancestors else empty
+        direct = ancestors - indirect
         out.extend((n, a) for a in direct)
         if not direct and n not in TOP_ENTITIES and equivalence_mode == "group":
             # an equivalence set whose only ancestors were in-set lost them
@@ -283,70 +288,102 @@ def build_hierarchy(
     has Thing among its superclasses (FhirOwlService.java:532-533) — this
     is what terminates every reference concept chain at Thing.
     """
+    mode = getattr(cfg, "equivalence_mode", "abort")
+    th = cfg.small_graph_threshold
+
+    # Small-graph fast path: collect the RAW bounded inputs and assemble
+    # dropped/nodes/parentless in Python. The ontology side is
+    # broadcast-class data by contract (the reference holds the whole
+    # graph in one JVM — GraphUtils.java:72-74); two bounded collects on
+    # the base tables beat a tree of tiny broadcast joins + a global
+    # limit, which costs seconds of pure scheduling latency at this size.
+    edge_head = edges.select("child_iri", "parent_iri").limit(th + 1).collect()
+    if len(edge_head) <= th:
+        concept_head = (
+            concepts.select("iri", "unsatisfiable").limit(th + 1).collect()
+        )
+        if len(concept_head) <= th:
+            dropped_set = {
+                r["iri"]
+                for r in concept_head
+                if r["iri"] == OWL_NOTHING or bool(r["unsatisfiable"])
+            }
+            node_set = {r["iri"] for r in concept_head} - dropped_set
+            eset = [
+                (r["child_iri"], r["parent_iri"])
+                for r in edge_head
+                if r["child_iri"] != r["parent_iri"]
+                and r["child_iri"] not in dropped_set
+                and r["parent_iri"] not in dropped_set
+            ]
+            children = {c for c, _ in eset}
+            completed_rows = eset + [
+                (n, OWL_THING)
+                for n in node_set
+                if n not in TOP_ENTITIES and n not in children
+            ]
+            reduced = _closure_reduction_driver_side(
+                completed_rows, cfg.max_closure_iterations, equivalence_mode=mode
+            )
+            from ..schemas import ONTOLOGY_EDGES
+
+            return concepts.sparkSession.createDataFrame(
+                reduced or [], ONTOLOGY_EDGES
+            )
+
+    # distributed path: the same set logic as DataFrame programs
     dropped = concepts.filter(
         (F.col("iri") == OWL_NOTHING) | F.coalesce("unsatisfiable", F.lit(False))
     ).select("iri")
 
     nodes = concepts.join(dropped, "iri", "left_anti").select("iri")
 
+    # no .distinct() here: the driver fast path dedups in Python sets and
+    # the distributed path's transitive_closure dedups its base — an extra
+    # shuffle would only add latency. (Duplicate rows count toward the
+    # small_graph_threshold limit probe — conservative: at worst a graph
+    # with <threshold unique edges but >threshold raw rows takes the
+    # distributed path, never the reverse.)
     e = (
         edges.filter(F.col("child_iri") != F.col("parent_iri"))
         .join(dropped.withColumnRenamed("iri", "child_iri"), "child_iri", "left_anti")
         .join(dropped.withColumnRenamed("iri", "parent_iri"), "parent_iri", "left_anti")
         .select("child_iri", "parent_iri")
-        .distinct()
     )
 
     parentless = (
         nodes.filter(~F.col("iri").isin(list(TOP_ENTITIES)))
-        .join(e.select(F.col("child_iri").alias("iri")).distinct(), "iri", "left_anti")
+        .join(e.select(F.col("child_iri").alias("iri")), "iri", "left_anti")
         .select(
             F.col("iri").alias("child_iri"), F.lit(OWL_THING).alias("parent_iri")
         )
     )
     completed = e.unionByName(parentless)
 
-    # Small-graph fast path (see _closure_reduction_driver_side): one
-    # bounded collect instead of ~4 scheduled jobs per hierarchy level.
-    mode = getattr(cfg, "equivalence_mode", "abort")
-    head = completed.limit(cfg.small_graph_threshold + 1).collect()
-    if len(head) <= cfg.small_graph_threshold:
-        spark = concepts.sparkSession
-        reduced = _closure_reduction_driver_side(
-            [(r["child_iri"], r["parent_iri"]) for r in head],
-            cfg.max_closure_iterations,
-            equivalence_mode=mode,
+    # broadcast the loop's edge side only while it plausibly fits in
+    # executor memory (~5M edges ≈ low hundreds of MB); beyond that the
+    # per-iteration join must shuffle — the billion-edge path.
+    n_edges = completed.count()
+    closure = transitive_closure(
+        completed,
+        cfg.max_closure_iterations,
+        broadcast_edges=n_edges <= 5_000_000,
+        allow_cycles=(mode == "group"),
+    )
+    if mode == "group":
+        # STRICT closure: drop mutually-reachable pairs — reasoner
+        # strict-superclass parity (see PipelineConfig.equivalence_mode).
+        # One self-join on the closure; the reverse side carries only
+        # equivalence pairs in practice, so the anti-join is cheap.
+        rev = closure.select(
+            F.col("child_iri").alias("parent_iri"),
+            F.col("parent_iri").alias("child_iri"),
         )
-        from ..schemas import ONTOLOGY_EDGES
-
-        # re-rooting of orphaned equivalence sets is handled inside the
-        # driver function — no extra Spark jobs on this path
-        return spark.createDataFrame(reduced or [], ONTOLOGY_EDGES)
-    else:
-        # broadcast the loop's edge side only while it plausibly fits in
-        # executor memory (~5M edges ≈ low hundreds of MB); beyond that the
-        # per-iteration join must shuffle — the billion-edge path.
-        n_edges = completed.count()
-        closure = transitive_closure(
-            completed,
-            cfg.max_closure_iterations,
-            broadcast_edges=n_edges <= 5_000_000,
-            allow_cycles=(mode == "group"),
+        closure = (
+            closure.filter(F.col("child_iri") != F.col("parent_iri"))
+            .join(rev, ["child_iri", "parent_iri"], "left_anti")
         )
-        if mode == "group":
-            # STRICT closure: drop mutually-reachable pairs — reasoner
-            # strict-superclass parity (see PipelineConfig.equivalence_mode).
-            # One self-join on the closure; the reverse side carries only
-            # equivalence pairs in practice, so the anti-join is cheap.
-            rev = closure.select(
-                F.col("child_iri").alias("parent_iri"),
-                F.col("parent_iri").alias("child_iri"),
-            )
-            closure = (
-                closure.filter(F.col("child_iri") != F.col("parent_iri"))
-                .join(rev, ["child_iri", "parent_iri"], "left_anti")
-            )
-        direct = transitive_reduction(closure)
+    direct = transitive_reduction(closure)
 
     if mode == "group":
         # an equivalence set whose only ancestors were in-set lost them all
