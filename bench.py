@@ -102,8 +102,11 @@ def main() -> None:
     ]
     dictionary = build_concept_dictionary(concepts, synonyms, cfg).localCheckpoint()
 
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen + Python-worker-pool warmup outside the timed region:
+    # the first pandas-UDF stage pays one-time worker/Arrow startup that a
+    # long-lived cluster amortizes to zero — exclude it like JIT warmup
     transcripts.limit(1000).count()
+    mentions.extract_mentions(transcripts.limit(1000), dictionary, cfg).count()
 
     timings: dict[str, float] = {}
 
