@@ -236,6 +236,20 @@ def q_equiv_isa(spark, sf_dir) -> DataFrame:
     return triples.filter(F.col("pred") == "is-a").select("subj", "obj")
 
 
+def q_conversations_mentioning(spark, sf_dir) -> DataFrame:
+    """The graft query end-to-end: conversations where a concept OR any of
+    its descendants is mentioned — full graph build, then the graph-query
+    API with the seeded-BFS descendant set."""
+    from .plans.graph_queries import conversations_mentioning
+
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    triples = build_graph(spark, concepts, edges, synonyms, transcripts, cfg)
+    out = conversations_mentioning(triples, "Window", include_descendants=True)
+    return out.select("conv_id")
+
+
 def q_kg_mentions(spark, sf_dir) -> DataFrame:
     ont, cfg = _qops()
     concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
@@ -618,6 +632,7 @@ QUERIES = {
     "kg_descendants": q_kg_descendants,
     "kg_subsumes": q_kg_subsumes,
     "equiv_isa": q_equiv_isa,
+    "conv_mentioning": q_conversations_mentioning,
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
@@ -774,6 +789,19 @@ rerooted AS (
   SELECT n, 'Thing' FROM nodes
   WHERE NOT EXISTS (SELECT 1 FROM red WHERE red.child = nodes.n))
 SELECT child AS subj, parent AS obj FROM rerooted
+""",
+        "conv_mentioning": f"""
+WITH RECURSIVE {qops},
+isa AS (SELECT ec.code AS child, ep.code AS parent
+        FROM direct JOIN emitted ec ON direct.child = ec.iri AND NOT ec.is_root
+        JOIN emitted ep ON direct.parent = ep.iri),
+des(code) AS (SELECT child FROM isa WHERE parent = 'Window'
+              UNION
+              SELECT isa.child FROM des JOIN isa ON isa.parent = des.code),
+wanted AS (SELECT code FROM des UNION SELECT 'Window')
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id
+FROM documents, qdict d JOIN wanted w ON d.code = w.code
+WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'
 """,
         "kg_mention_counts": f"""
 WITH RECURSIVE {qops}
