@@ -519,6 +519,35 @@ def q_dedup_keep_one(spark, sf_dir) -> DataFrame:
     return dedup.dedup_keep_one(docs, pairs)
 
 
+def q_contamination_docs(spark, sf_dir) -> DataFrame:
+    """Benchmark-decontamination pass: docs sharing any 5-word shingle
+    with the 'benchmark' slice (doc_id < 20 stands in for an eval set);
+    benchmark shingles broadcast, corpus probed map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    out = dedup.contamination_flags(corpus, benchmark, shingle_k=5)
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+def q_corpus_stats(spark, sf_dir) -> DataFrame:
+    """Corpus composition (mixing-weights input): per (source, lang)
+    doc/token/char totals. Average emitted as integer micro-tokens
+    (integer DIV) so both engines hash identically — no float averages
+    cross-engine."""
+    from .operators.text import corpus_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = corpus_stats(docs)
+    return out.select(
+        "source", "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr("CAST((n_tokens * 1000000) DIV n_docs AS LONG)").alias("avg_tokens_micro"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact all-pairs baseline with the
     JVM-side zip_with/aggregate dot product (no UDF). Explicit
@@ -660,6 +689,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "chunk_docs": q_chunk_docs,
+    "contamination_docs": q_contamination_docs,
+    "corpus_stats": q_corpus_stats,
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "redact_pii": q_redact_pii,
@@ -1000,6 +1031,40 @@ SELECT doc_id,
        array_to_string(words[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
        CAST(least(nw - i*24, 32) AS BIGINT) AS n_tokens
 FROM n, unnest(range(0, nc)) AS t(i)
+""",
+        "contamination_docs": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+  FROM documents),
+sh5 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(0, len(ws) - 4),
+                                 i -> array_to_string(ws[i+1:i+5], ' ')))
+         END AS sset
+  FROM w),
+bench AS (SELECT DISTINCT s.shingle
+          FROM sh5, unnest(sh5.sset) AS s(shingle) WHERE doc_id < 20),
+corpus AS (SELECT doc_id, s.shingle
+           FROM sh5, unnest(sh5.sset) AS s(shingle) WHERE doc_id >= 20)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+HAVING count(*) >= 1
+""",
+        "corpus_stats": r"""
+WITH t AS (
+  SELECT source, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+         length(coalesce(text, '')) AS nch
+  FROM documents)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(nch) AS BIGINT) AS n_chars,
+       CAST((sum(ntok) * 1000000) // count(*) AS BIGINT) AS avg_tokens_micro
+FROM t GROUP BY source, lang
 """,
         "sample_docs": """
 SELECT doc_id FROM documents

@@ -441,3 +441,44 @@ def dedup_keep_one(
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_k: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents sharing
+    ≥ min_hits word k-shingles with ANY benchmark document (the standard
+    decontamination pass before training).
+
+    Scale shape: the benchmark shingle set is small (eval sets are) —
+    hash-dedup it, BROADCAST it, and probe each corpus document's
+    exploded shingles map-side; one shuffle on doc_id for the hit count.
+    Never pairs corpus docs with benchmark docs row-by-row — the join key
+    is the shingle, the benchmark side is the broadcast build side.
+    Returns (doc_id, n_hits) for contaminated docs only.
+    """
+    bench_shingles = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles_col(text_col, shingle_k))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles_col(text_col, shingle_k))).alias(
+            "shingle"
+        ),
+    )
+    hits = corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

@@ -205,3 +205,26 @@ def redact_pii_col(text_col: str = "text") -> Column:
     for pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition stats (the mixing-weights input for a training run):
+# per (source, lang) document/token/char totals — one partial-aggregated
+# shuffle on the tiny group key; every measure is map-side combined.
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
+            F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
+            F.avg(whitespace_token_count(text_col)).alias("avg_tokens"),
+        )
+    )
