@@ -140,3 +140,20 @@ def test_near_dup_lsh_matches_exact_on_fixture(spark):
         for r in embedding_near_dup_pairs(emb, 0.95).collect()
     }
     assert exact == lsh and len(exact) == 10
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """The decontamination join must broadcast the benchmark shingle set,
+    never shuffle the corpus side against it."""
+    from fhir_owl_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common phrase here w{i+1} x y z q r") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = contamination_flags(
+        docs.filter("doc_id >= 5"), docs.filter("doc_id < 5")
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
