@@ -1023,14 +1023,18 @@ WITH w AS (
   SELECT doc_id,
          string_split_regex(lower(coalesce(text, '')), '\s+') AS words
   FROM documents),
-n AS (SELECT doc_id, words, len(words) AS nw,
-             greatest(1, 1 + CAST(floor((len(words) - 32 + 23) / 24.0) AS INT)) AS nc
-      FROM w)
+n AS (SELECT doc_id, words,
+             CASE WHEN length(trim(array_to_string(words, ' '))) = 0
+                  THEN 0 ELSE len(words) END AS nw
+      FROM w),
+n2 AS (SELECT doc_id, words, nw,
+              greatest(1, 1 + CAST(floor((nw - 32 + 23) / 24.0) AS INT)) AS nc
+       FROM n)
 SELECT doc_id,
        CAST(i AS BIGINT) AS chunk_idx,
        array_to_string(words[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
-       CAST(least(nw - i*24, 32) AS BIGINT) AS n_tokens
-FROM n, unnest(range(0, nc)) AS t(i)
+       CAST(greatest(0, least(nw - i*24, 32)) AS BIGINT) AS n_tokens
+FROM n2, unnest(range(0, nc)) AS t(i)
 """,
         "contamination_docs": r"""
 WITH w AS (
@@ -1094,7 +1098,7 @@ SELECT doc_id,
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b', '<CC>', 'g'),
       '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-    '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
+    '(\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
   AS clean_text
 FROM dirty
 """,

@@ -410,9 +410,12 @@ def model_hierarchy(ont: Ontology, cfg: PipelineConfig) -> dict[str, set[str]]:
     for n, ancestors in anc.items():
         direct[n] = {a for a in ancestors if not any(a in anc.get(b, ()) for b in ancestors)}
     if cfg.equivalence_mode == "group":
-        # equivalence sets whose only ancestors were in-set re-root at Thing
+        # equivalence sets whose only ancestors were in-set re-root at
+        # Thing — DECLARED concepts only (dangling edge endpoints from
+        # unmapped imports get no invented Thing edge; same rule as both
+        # engine paths)
         for n in direct:
-            if not direct[n] and n not in TOP_ENTITIES:
+            if not direct[n] and n not in TOP_ENTITIES and n in nodes:
                 direct[n] = {OWL_THING}
     return direct
 

@@ -183,3 +183,42 @@ def first_annotation_value(
         if prop in wanted:
             return value
     return None
+
+
+def derive_vs_url(url: str | None) -> str | None:
+    """valueSet default: url + '?vs' (or '&vs' when the url already has a
+    query string) — createVsUrl (FhirOwlService.java:593-599)."""
+    if url is None:
+        return None
+    return url + ("&vs" if "?" in url else "?vs")
+
+
+def metadata_from_config(cfg) -> dict:
+    """cfg-only metadata resolution — the shared base for BOTH export
+    paths: tabular input uses it directly (no ontology document to read
+    fallback annotations from); sources.owl_xml.ontology_metadata starts
+    from it and layers the ontology-annotation fallback chains on top.
+    One definition, so the precedence rules and the vs-URL derivation
+    cannot desync between the two paths."""
+    return dict(
+        id=cfg.cs_id,
+        language=cfg.language,
+        url=cfg.url,
+        identifiers=list(cfg.identifiers),
+        version=cfg.version or "NA",
+        name=cfg.name,
+        title=cfg.title,
+        status=cfg.status,
+        experimental=cfg.experimental,
+        publisher=cfg.publisher,
+        contacts=list(cfg.contacts),
+        description=cfg.description,
+        purpose=cfg.purpose,
+        jurisdictions=list(cfg.jurisdictions),
+        copyright=cfg.copyright,
+        valueset=cfg.valueset or derive_vs_url(cfg.url),
+        hierarchy_meaning=cfg.hierarchy_meaning,
+        compositional=cfg.compositional,
+        version_needed=cfg.version_needed,
+        content=cfg.content,
+    )

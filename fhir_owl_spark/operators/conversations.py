@@ -51,9 +51,14 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         # timestamps loses sub-microsecond precision, which breaks
         # cross-engine value equality (the DuckDB oracle computes the same
         # quantity via epoch_us bigint subtraction)
-        # normalize to ns first: Arrow may hand us datetime64[us], whose
-        # int64 view would be µs, not ns
-        gaps_us = ts.astype("datetime64[ns]").astype("int64").diff().dropna() // 1000
+        # drop NaT BEFORE the int64 view: NaT casts to int64-min, which
+        # dropna() would keep and turn into astronomically large garbage
+        # gaps. Normalize to ns (Arrow may hand us datetime64[us], whose
+        # int64 view would be µs, not ns).
+        ts_valid = ts.dropna()
+        gaps_us = (
+            ts_valid.astype("datetime64[ns]").astype("int64").diff().dropna() // 1000
+        )
         max_gap_us = int(gaps_us.max()) if len(gaps_us) else 0
         return pd.DataFrame(
             {

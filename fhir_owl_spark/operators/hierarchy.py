@@ -175,6 +175,15 @@ def reachable_set(
             # moment the target enters the reached set — per-query cost is
             # O(path depth), not O(full ancestor set)
             break
+    else:
+        # frontier still non-empty after max_iterations: a silently
+        # truncated reachable set would give subsumes() false negatives
+        # and descendants_of() incomplete results — fail loudly, same
+        # contract as transitive_closure / dup_clusters
+        raise HierarchyCycleError(
+            f"reachable_set did not converge within {max_iterations} hops — "
+            "graph deeper than max_iterations; raise it for this query"
+        )
     return (
         visited
         if visited is not None
@@ -186,6 +195,7 @@ def _closure_reduction_driver_side(
     edge_rows: list[tuple[str, str]],
     max_iterations: int = 64,
     equivalence_mode: str = "abort",
+    reroot_nodes: set[str] | None = None,
 ) -> list[tuple[str, str]]:
     """Small-graph fast path: exact closure + reduction in driver memory.
 
@@ -247,9 +257,18 @@ def _closure_reduction_driver_side(
         indirect = set().union(*(anc.get(b, empty) for b in ancestors)) if ancestors else empty
         direct = ancestors - indirect
         out.extend((n, a) for a in direct)
-        if not direct and n not in TOP_ENTITIES and equivalence_mode == "group":
+        if (
+            not direct
+            and n not in TOP_ENTITIES
+            and equivalence_mode == "group"
+            and (reroot_nodes is None or n in reroot_nodes)
+        ):
             # an equivalence set whose only ancestors were in-set lost them
-            # all in the strict filter — re-root at Thing (reasoner parity)
+            # all in the strict filter — re-root at Thing (reasoner parity).
+            # reroot_nodes restricts this to DECLARED concepts so dangling
+            # edge endpoints (parents from unmapped imports) don't get
+            # invented Thing edges — matching the distributed path, whose
+            # orphan re-root joins against the concepts table
             out.append((n, OWL_THING))
     return out
 
@@ -328,7 +347,10 @@ def build_hierarchy(
                 if n not in TOP_ENTITIES and n not in children
             ]
             reduced = _closure_reduction_driver_side(
-                completed_rows, cfg.max_closure_iterations, equivalence_mode=mode
+                completed_rows,
+                cfg.max_closure_iterations,
+                equivalence_mode=mode,
+                reroot_nodes=node_set,
             )
             from ..schemas import ONTOLOGY_EDGES
 

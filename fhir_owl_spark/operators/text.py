@@ -150,8 +150,13 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
     stride = max_tokens - overlap
-    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    n = F.size(words)
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.lower(raw), r"\s+")
+    # blank text → 0 tokens (split of '' yields [''], which would
+    # otherwise count as one phantom token — same empty→0 rule as
+    # whitespace_token_count, so chunk n_tokens sums tie out with
+    # corpus_stats)
+    n = F.when(F.length(F.trim(raw)) == 0, F.lit(0)).otherwise(F.size(words))
     # number of stride-starts that still begin inside the document:
     # 1 + floor((n - max_tokens + stride - 1) / stride) clamped to >= 1
     n_chunks = F.greatest(
@@ -165,7 +170,9 @@ def chunk_documents(
             F.concat_ws(" ", F.slice(words, i * stride + 1, max_tokens)).alias(
                 "chunk_text"
             ),
-            F.least(n - i * stride, F.lit(max_tokens)).cast("long").alias("n_tokens"),
+            F.greatest(
+                F.lit(0), F.least(n - i * stride, F.lit(max_tokens))
+            ).cast("long").alias("n_tokens"),
         ),
     )
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
@@ -193,8 +200,11 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
     # SSN-like 3-2-4
     (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
-    # phone-like: optional +country, 3-3-4 with separators
-    (r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    # phone-like: 3-3-4 with separators, WHOLE country-code group optional
+    # (a bare 555-123-4567 must match — the earlier form made only the
+    # '+' optional and demanded 11-12 digits, silently missing plain US
+    # numbers)
+    (r"(\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
 )
 
 

@@ -88,32 +88,9 @@ def export_codesystem(
     # Without a parsed-ontology metadata dict (tabular input), resolve
     # what we can from cfg alone: explicit values only, no annotation
     # fallback chains (there is no ontology document to read them from).
-    meta = metadata or {
-        "id": cfg.cs_id,
-        "language": cfg.language,
-        "url": cfg.url,
-        "identifiers": list(cfg.identifiers),
-        "version": cfg.version or "NA",
-        "name": cfg.name,
-        "title": cfg.title,
-        "status": cfg.status,
-        "experimental": cfg.experimental,
-        "publisher": cfg.publisher,
-        "contacts": list(cfg.contacts),
-        "description": cfg.description,
-        "purpose": cfg.purpose,
-        "jurisdictions": list(cfg.jurisdictions),
-        "copyright": cfg.copyright,
-        "valueset": cfg.valueset
-        or (
-            (cfg.url + "&vs") if cfg.url and "?" in cfg.url
-            else (cfg.url + "?vs") if cfg.url else None
-        ),
-        "hierarchy_meaning": cfg.hierarchy_meaning,
-        "compositional": cfg.compositional,
-        "version_needed": cfg.version_needed,
-        "content": cfg.content,
-    }
+    from ..metadata import metadata_from_config
+
+    meta = metadata or metadata_from_config(cfg)
 
     cs: dict = {"resourceType": "CodeSystem"}
     # FHIR-canonical element order; absent optionals are omitted like HAPI

@@ -134,11 +134,14 @@ def parse_owl_xml(
             for ch in el:
                 prop = _prop_iri(ch.tag)
                 res = ch.get(_RESOURCE)
-                if ch.tag == sub_tag and res is None:
+                if res is None and ch.tag in (
+                    sub_tag, f"{{{OWL_NS}}}equivalentClass"
+                ):
                     # equally legal named-node form emitted by some tools:
                     # <rdfs:subClassOf><owl:Class rdf:about="X"/></rdfs:subClassOf>
-                    # (also rdf:Description); anonymous bodies
-                    # (owl:Restriction) stay ignored like the resource form
+                    # (also rdf:Description; same for equivalentClass);
+                    # anonymous bodies (owl:Restriction) stay ignored like
+                    # the resource form
                     for gc in ch:
                         if gc.tag in (
                             f"{{{OWL_NS}}}Class",
@@ -150,7 +153,6 @@ def parse_owl_xml(
                     ont.edge(iri, res)
                     children.add(iri)
                     continue
-                res = ch.get(_RESOURCE)
                 # NAMED equivalence (A ≡ B between class IRIs) ⟺ mutual
                 # subsumption: emit both edges; equivalence_mode='group'
                 # then reproduces the reasoner's strict-superclass output
@@ -382,14 +384,22 @@ def ontology_metadata(parsed: ParsedOntology, cfg) -> dict:
     from ..metadata import (
         DEFAULT_DESCRIPTION_PROPS,
         DEFAULT_PUBLISHER_PROPS,
+        derive_vs_url,
         first_annotation_value,
+        metadata_from_config,
     )
+
+    meta = metadata_from_config(cfg)
 
     if cfg.url is not None:
         url = cfg.url
     else:
         url = parsed.ontology_iri
-        if url and url.endswith(".owl") and cfg.use_fhir_extension:
+        if url is None:
+            # NoIdException parity (FhirOwlService.java:340-342): no
+            # explicit -url and no ontology IRI → the transformation fails
+            raise NoOntologyIriError("The ontology has no IRI!")
+        if url.endswith(".owl") and cfg.use_fhir_extension:
             url = url[:-3] + "fhir"  # '.owl' → '.fhir' (FhirOwlService.java:335-337)
     version = cfg.version or parsed.version_iri or "NA"
     if cfg.date_regex:
@@ -400,9 +410,6 @@ def ontology_metadata(parsed: ParsedOntology, cfg) -> dict:
             except (IndexError, re.error):
                 pass  # regex without the named groups → keep raw version
                 # (the reference logs and keeps going, FhirOwlService.java:367-369)
-    valueset = cfg.valueset or (
-        (url + "&vs") if url and "?" in url else (url + "?vs") if url else None
-    )
 
     anns = parsed.annotations
     name = cfg.name
@@ -412,32 +419,17 @@ def ontology_metadata(parsed: ParsedOntology, cfg) -> dict:
         if parsed.ontology_iri is None:
             raise NoOntologyIriError("The ontology has no IRI!")
         name = parsed.ontology_iri
-    publisher = cfg.publisher or first_annotation_value(
-        anns, cfg.publisher_props or DEFAULT_PUBLISHER_PROPS
-    )
-    description = cfg.description or first_annotation_value(
-        anns, cfg.description_props or DEFAULT_DESCRIPTION_PROPS
-    )
 
-    return dict(
-        id=cfg.cs_id,
-        language=cfg.language,
+    meta.update(
         url=url,
-        identifiers=list(cfg.identifiers),
         version=version,
         name=name,
-        title=cfg.title,
-        status=cfg.status,
-        experimental=cfg.experimental,
-        publisher=publisher,
-        contacts=list(cfg.contacts),
-        description=description,
-        purpose=cfg.purpose,
-        jurisdictions=list(cfg.jurisdictions),
-        copyright=cfg.copyright,
-        valueset=valueset,
-        hierarchy_meaning=cfg.hierarchy_meaning,
-        compositional=cfg.compositional,
-        version_needed=cfg.version_needed,
-        content=cfg.content,
+        publisher=cfg.publisher
+        or first_annotation_value(anns, cfg.publisher_props or DEFAULT_PUBLISHER_PROPS),
+        description=cfg.description
+        or first_annotation_value(
+            anns, cfg.description_props or DEFAULT_DESCRIPTION_PROPS
+        ),
+        valueset=cfg.valueset or derive_vs_url(url),
     )
+    return meta

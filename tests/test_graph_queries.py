@@ -60,3 +60,23 @@ def test_conversations_mentioning(graph):
     assert direct <= widened
     assert cheese <= widened  # CheeseTopping is a descendant of PizzaTopping
     assert widened
+
+
+def test_reachable_set_depth_guard_raises(spark):
+    """A chain deeper than max_iterations must raise, not silently return
+    a truncated set (false-negative subsumes otherwise)."""
+    import pytest
+
+    from fhir_owl_spark.operators.hierarchy import (
+        HierarchyCycleError,
+        reachable_set,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(10)], ["child", "parent"]
+    )
+    with pytest.raises(HierarchyCycleError, match="max_iterations"):
+        reachable_set(edges, ["n0"], max_iterations=3).collect()
+    # deep enough → full set
+    got = {r["node"] for r in reachable_set(edges, ["n0"], max_iterations=16).collect()}
+    assert got == {f"n{i}" for i in range(1, 11)}

@@ -473,3 +473,47 @@ def test_named_node_subclassof_form(tmp_path, spark):
     assert ("http://ex/nn#C2", "http://ex/nn#P") in edges
     # anonymous body → no edge; C3 is parentless (gets Thing downstream)
     assert not any(c == "http://ex/nn#C3" for c, _ in edges)
+
+
+def test_no_url_no_iri_raises_noid(tmp_path):
+    """NoIdException parity: no -url and no ontology IRI fails even when
+    the NAME resolves (e.g. via an rdfs:label ontology annotation)."""
+    owl = tmp_path / "noiri2.owl"
+    owl.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        "<owl:Ontology><rdfs:label>named but iri-less</rdfs:label></owl:Ontology>"
+        '<owl:Class rdf:about="http://ex/A"><rdfs:label>A</rdfs:label></owl:Class>'
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(owl))
+    from fhir_owl_spark.sources.owl_xml import NoOntologyIriError
+
+    with pytest.raises(NoOntologyIriError):
+        ontology_metadata(parsed, PipelineConfig())
+    # explicit -url rescues it (reference: csp.getUrl() wins before the check)
+    meta = ontology_metadata(parsed, PipelineConfig(url="http://ex/explicit"))
+    assert meta["url"] == "http://ex/explicit"
+    assert meta["name"] == "named but iri-less"
+
+
+def test_named_node_equivalent_class(tmp_path):
+    """equivalentClass in the named-node serialization emits the same
+    mutual edges as the rdf:resource form."""
+    owl = tmp_path / "eqnn.owl"
+    owl.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/eqnn"/>'
+        '<owl:Class rdf:about="http://ex/eqnn#A"><rdfs:label>A</rdfs:label>'
+        '<owl:equivalentClass><owl:Class rdf:about="http://ex/eqnn#B"/>'
+        "</owl:equivalentClass></owl:Class>"
+        '<owl:Class rdf:about="http://ex/eqnn#B"><rdfs:label>B</rdfs:label></owl:Class>'
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(owl))
+    edges = {(e["child_iri"], e["parent_iri"]) for e in parsed.tables.edges}
+    assert ("http://ex/eqnn#A", "http://ex/eqnn#B") in edges
+    assert ("http://ex/eqnn#B", "http://ex/eqnn#A") in edges

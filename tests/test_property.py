@@ -192,3 +192,30 @@ def test_equivalent_class_axiom_parsed(spark, tmp_path):
     assert ("Veggie", "Food") in isa and ("Vegetarian", "Food") in isa
     assert ("Veggie", "Vegetarian") not in isa and ("Vegetarian", "Veggie") not in isa
     assert ("Spicy", "Thing") in isa  # anonymous equivalent ignored
+
+
+def test_dangling_parent_not_rerooted_both_paths(spark):
+    """group mode: an edge to an UNDECLARED parent (unmapped import) must
+    not invent a Thing re-root for the dangling endpoint — and the driver
+    fast path must agree with the distributed path."""
+    import dataclasses
+
+    ont = fx.Ontology()
+    ont.concept(fx.OWL_THING, "x", label="Thing")
+    ont.concept("http://x#A", "x", label="A")
+    ont.edge("http://x#A", "http://imported#Gone")  # declared nowhere
+    cfg = PipelineConfig()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+
+    from fhir_owl_spark.operators.hierarchy import build_hierarchy
+
+    fast = {(r["child_iri"], r["parent_iri"])
+            for r in build_hierarchy(concepts, edges, cfg).collect()}
+    dist = {(r["child_iri"], r["parent_iri"])
+            for r in build_hierarchy(
+                concepts, edges, dataclasses.replace(cfg, small_graph_threshold=0)
+            ).collect()}
+    assert fast == dist
+    assert ("http://imported#Gone", fx.OWL_THING) not in fast
+    # A keeps its asserted (dangling) parent
+    assert ("http://x#A", "http://imported#Gone") in fast

@@ -393,3 +393,47 @@ class TestKeepOne:
         assert rows[1] == (1, True) and rows[3] == (1, False) and rows[5] == (1, False)
         assert rows[2] == (2, True) and rows[4] == (2, False)
         assert rows[0] == (0, True)  # singleton: own cluster, kept
+
+
+class TestReviewFixesRound2:
+    def test_bare_us_phone_redacted(self, spark):
+        from pyspark.sql import functions as F
+
+        from fhir_owl_spark.operators.text import redact_pii_col
+
+        df = spark.createDataFrame(
+            [(1, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 end")],
+            ["doc_id", "text"],
+        )
+        clean = df.select(redact_pii_col("text").alias("t")).first()["t"]
+        assert "555" not in clean and clean.count("<PHONE>") == 3, clean
+
+    def test_chunk_empty_doc_zero_tokens(self, spark):
+        from fhir_owl_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "one two")], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: (r["chunk_text"], r["n_tokens"])
+                for r in chunk_documents(df, max_tokens=4, overlap=1).collect()}
+        assert rows[1] == ("", 0)
+        assert rows[2] == ("", 0)
+        assert rows[3] == ("one two", 2)
+
+    def test_conversation_features_null_ts(self, spark):
+        import datetime as dt
+
+        from fhir_owl_spark.operators.conversations import conversation_features
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            ("c1", 0, "user", "a", None, t0),
+            ("c1", 1, "assistant", "b", None, None),   # NULL ts must not poison gaps
+            ("c1", 2, "user", "c", None, t0 + dt.timedelta(seconds=30)),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        out = conversation_features(df).first()
+        assert out["max_gap_us"] == 30_000_000
+        assert abs(out["max_gap_s"] - 30.0) < 1e-9
