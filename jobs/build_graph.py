@@ -68,6 +68,13 @@ def parse_args(argv=None):
     p.add_argument("--code-replace", default=None, metavar="OLD:NEW",
                    help="literal replacement applied to local codes only")
     p.add_argument("--labels-to-exclude", default="", help="comma-separated")
+    p.add_argument("--definition", default=None,
+                   help="annotation property containing concepts' definitions. "
+                        "ACCEPTED FOR CLI PARITY BUT UNUSED, exactly like the "
+                        "reference: Application.java:321 stores it but "
+                        "FhirOwlService never consults getDefinition and no "
+                        "concept definition is ever emitted (same "
+                        "validate-but-ignore class as -date)")
     p.add_argument("--include-deprecated", action="store_true")
     p.add_argument("--main-ns", default="", help="comma-separated namespace prefixes")
     # graft options
