@@ -219,3 +219,75 @@ def test_dangling_parent_not_rerooted_both_paths(spark):
     assert ("http://imported#Gone", fx.OWL_THING) not in fast
     # A keeps its asserted (dangling) parent
     assert ("http://x#A", "http://imported#Gone") in fast
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the round-2 training-data operators. Driver-side
+# Python reimplementations act as the oracle; Spark runs once per example
+# set (batched into one DataFrame) to keep job count low.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta x9".split()), max_size=40)
+        .map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    max_tokens=st.integers(2, 12),
+    overlap=st.integers(0, 4),
+)
+def test_chunk_coverage_and_overlap_property(spark, texts, max_tokens, overlap):
+    """Invariants: (1) concatenating each doc's chunks with overlap removed
+    reconstructs the token stream exactly; (2) consecutive chunks share
+    exactly `overlap` tokens (except a short final chunk); (3) n_tokens
+    equals the chunk's own token count (empty→0)."""
+    from fhir_owl_spark.operators.text import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        toks = t.lower().split()
+        # (3) per-chunk token count
+        for c in chunks:
+            own = c["chunk_text"].split()
+            assert c["n_tokens"] == len(own)
+        # (1) reconstruction: first chunk whole, then drop `overlap` tokens
+        rebuilt = chunks[0]["chunk_text"].split()
+        for prev, c in zip(chunks, chunks[1:]):
+            own = c["chunk_text"].split()
+            start = c["chunk_idx"] * stride
+            rebuilt = rebuilt[:start] + own
+            # (2) shared prefix equals prev's suffix
+            shared = min(len(prev["chunk_text"].split()) - stride, len(own))
+            if shared > 0:
+                assert prev["chunk_text"].split()[stride:stride + shared] == own[:shared]
+        assert rebuilt == toks
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rate_lo=st.floats(0.0, 1.0),
+    rate_hi=st.floats(0.0, 1.0),
+    salt=st.sampled_from(["v1", "v2", "experiment-3"]),
+)
+def test_sampling_monotone_and_salt_independent_property(spark, rate_lo, rate_hi, salt):
+    from fhir_owl_spark.operators.sampling import sample_rows
+
+    lo, hi = sorted([rate_lo, rate_hi])
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    small = {r["doc_id"] for r in sample_rows(df, lo, "doc_id", salt=salt).collect()}
+    big = {r["doc_id"] for r in sample_rows(df, hi, "doc_id", salt=salt).collect()}
+    assert small <= big          # monotone in rate for a fixed salt
+    assert len(big) <= 400
+    # determinism: same call → same set
+    again = {r["doc_id"] for r in sample_rows(df, hi, "doc_id", salt=salt).collect()}
+    assert big == again
