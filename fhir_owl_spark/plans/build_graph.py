@@ -108,7 +108,10 @@ def concept_triples(
     isa = (
         d.filter(~F.col("root"))
         .select(F.col("iri").alias("child_iri"), F.col("code").alias("subj"))
-        .join(direct_parents, "child_iri")
+        # both sides are ontology-bounded; without the hint Spark has no
+        # size stats for the checkpointed/driver-built inputs and falls
+        # back to SortMergeJoin — two shuffles + sorts for nothing
+        .join(F.broadcast(direct_parents), "child_iri")
         .filter(F.col("parent_iri") != OWL_NOTHING)
         .join(F.broadcast(parent_meta), "parent_iri", "left")
     )

@@ -57,7 +57,7 @@ def export_codesystem(
     isa = (
         dictionary.filter(~F.col("root"))
         .select(F.col("iri").alias("child_iri"))
-        .join(direct, "child_iri")
+        .join(F.broadcast(direct), "child_iri")
         .filter(F.col("parent_iri") != OWL_NOTHING)
         .join(F.broadcast(parent_meta), "parent_iri", "left")
     )

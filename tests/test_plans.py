@@ -63,6 +63,16 @@ def test_isa_parent_join_is_broadcast(spark, transcripts_parquet):
     out = build_graph(spark, concepts, edges, synonyms, tdf, cfg)
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
+    # every ontology join is broadcast — a SortMergeJoin means a size hint
+    # went missing (both sides are ontology-bounded by contract)
+    assert "SortMergeJoin" not in plan, plan
+    # exactly ONE shuffle exchange in the whole pipeline (the key-hash
+    # dedup); all other exchanges must be broadcasts
+    import re
+    tree = plan.split("\n\n")[0]
+    shuffles = [l for l in tree.splitlines()
+                if re.search(r"\bExchange\b", l) and "BroadcastExchange" not in l]
+    assert len(shuffles) == 1, plan
     # dedup on the uniform sha256 key is hash-partitioned
     assert "key_hash" in plan
 
