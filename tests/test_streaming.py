@@ -114,3 +114,36 @@ def test_dedup_stream_bounded_state(spark, setup, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == batch.count()
     assert got.select("conv_id", "turn_idx").distinct().count() == batch.count()
+
+
+def test_stream_checkpoint_resume_processes_only_new_files(spark, setup, tmp_path):
+    """Restarting the stream with the same checkpoint must process ONLY
+    files added since the last run (source-offset exactly-once), and the
+    final output must equal one batch pass over everything."""
+    from fhir_owl_spark.operators.mentions import extract_mentions
+
+    base, inp, dictionary, cfg = setup
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    batch = spark.read.parquet(inp)
+    first_half = batch.filter("conv_id < 'conv00013'")
+    second_half = batch.filter("conv_id >= 'conv00013'")
+    first_half.write.parquet(src)
+
+    q = start_mention_stream(spark, src, out, ckpt, dictionary, cfg)
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+
+    # add new files, restart with the SAME checkpoint
+    second_half.write.mode("append").parquet(src)
+    q2 = start_mention_stream(spark, src, out, ckpt, dictionary, cfg)
+    q2.awaitTermination(120)
+
+    streamed = spark.read.parquet(out)
+    expected = extract_mentions(batch, dictionary, cfg)
+    # no reprocessing: totals equal the one-pass batch count
+    assert streamed.count() == expected.count()
+    assert streamed.count() > n_first  # second run added the new files
+    got = {(r["subj"], r["obj"]) for r in streamed.select("subj", "obj").collect()}
+    want = {(r["code"], r["conv_id"]) for r in expected.select("code", "conv_id").collect()}
+    assert got == want
