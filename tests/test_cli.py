@@ -93,3 +93,49 @@ def test_cli_rejects_bad_ordering(spark, tmp_path, capsys):
             "--fixture", "pizza", "--transcripts", bad_path,
             "--output", str(tmp_path / "g2"), "--check-order",
         ])
+
+
+def test_spark_submit_py_files_e2e(tmp_path):
+    """The north-rule deployment shape: `spark-submit --py-files pkg.zip
+    jobs/build_graph.py`, with the package importable ONLY from the zip
+    (the job script is copied outside the repo so sys.path tricks can't
+    fall back to the source tree)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if shutil.which("spark-submit") is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    pkg_zip = tmp_path / "fhir_owl_spark.zip"
+    with zipfile.ZipFile(pkg_zip, "w") as z:
+        for root, dirs, files in os.walk(os.path.join(repo, "fhir_owl_spark")):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+    job = tmp_path / "build_graph.py"
+    shutil.copy(os.path.join(repo, "jobs", "build_graph.py"), job)
+
+    out_dir = tmp_path / "graph"
+    res = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(pkg_zip), str(job),
+            "--fixture", "qops",
+            "--transcripts-from-documents", "/root/testdata/sf0.001",
+            "--output", str(out_dir), "--chunks", "2", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=280, cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["triples"] == 7345  # same count as entry(spark) at sf0.001
