@@ -450,13 +450,14 @@ def q_simhash_docs(spark, sf_dir) -> DataFrame:
 
 
 def q_fingerprint_docs(spark, sf_dir) -> DataFrame:
-    """Winnowing fingerprint with the md5-60bit hash; emits the full sorted
-    fingerprint array so the oracle checks VALUES, not just counts."""
+    """Winnowing fingerprint with the md5-60bit hash; the fingerprint array
+    is exploded to scalar (doc_id, fp) rows so the driver's canonicalizer
+    (which cannot hash list cells) checks every VALUE, not just counts."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         text.fingerprint_col(hash_fn=dedup.md5_60bit).alias("fingerprint"),
-    )
+    ).select("doc_id", F.explode("fingerprint").alias("fp"))
 
 
 def q_chunk_docs(spark, sf_dir) -> DataFrame:
@@ -1003,8 +1004,8 @@ WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
            FROM events)
 SELECT conv_id,
        count(*) AS n_turns,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns,
-       sum(length(coalesce(text,''))) AS total_chars,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+       CAST(sum(length(coalesce(text,''))) AS BIGINT) AS total_chars,
        epoch_us(min(ts)) AS first_epoch_us,
        epoch_us(max(ts)) AS last_epoch_us,
        coalesce(max(epoch_us(ts) - epoch_us(prev_ts)), 0) AS max_gap_us,
@@ -1144,10 +1145,10 @@ sh AS (
          END AS shingles
   FROM w)
 SELECT doc_id,
-       list_sort(list_distinct(list_filter(
+       unnest(list_sort(list_distinct(list_filter(
          list_transform(shingles,
                         sg -> CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT)),
-         h -> h % 8 = 0))) AS fingerprint
+         h -> h % 8 = 0)))) AS fp
 FROM sh
 """,
         "embedding_near_dup_lsh": """
