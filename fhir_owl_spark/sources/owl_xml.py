@@ -24,9 +24,33 @@ facts depend on):
     NOT fetched — no network here; the reference downloads them,
     Application.java:86-113)
 
-Unsatisfiability (equivalent-to-Nothing) needs a DL reasoner the engine
-deliberately does not reimplement (SURVEY.md §7.4); callers supply the
-reasoner-produced IRI set via ``unsatisfiable_iris``.
+Unsatisfiability (equivalent-to-Nothing): FULL DL reasoning is out of
+scope (SURVEY.md §7.4), but the asserted patterns the reference's own
+fixture exercises (FhirOwlService.java:520-527 filters the reasoner's
+Nothing-equivalents; pizza.owl:1148-1160 IceCream, :620-628
+CheeseyVegetableTopping) are reasoner-free TOLD set logic, computed here:
+
+  * a class whose told ancestor-or-self set contains two classes declared
+    disjoint (pairwise ``owl:disjointWith`` or ``owl:AllDisjointClasses``
+    members) is unsatisfiable — CheeseyVegetableTopping's two disjoint
+    asserted parents;
+  * told ancestors include ``rdfs:domain``-inferred superclasses: a class
+    asserted under an existence-forcing restriction (someValuesFrom /
+    hasValue / min-cardinality ≥ 1) on property P is a told subclass of
+    domain(P) — how IceCream ⊑ ∃hasTopping.FruitTopping +
+    domain(hasTopping)=Pizza + disjoint(IceCream, Pizza) unsats IceCream.
+    Domain-inferred edges feed ONLY the unsat check, never emitted parents;
+  * anything told-under owl:Nothing is unsatisfiable.
+
+Reasoner-produced sets (e.g. from restriction-body clashes told logic
+can't see) can still be ORed in via ``unsatisfiable_iris``.
+
+Defined classes: ``owl:equivalentClass``/``rdfs:subClassOf`` bodies of
+the form intersectionOf(Named, …) yield told one-way subClassOf edges to
+each NAMED conjunct (CheesyPizza ≡ Pizza ⊓ ∃hasTopping.CheeseTopping ⇒
+CheesyPizza ⊑ Pizza — the shallow decidable slice of the reasoner's
+defined-class classification); pure-Restriction conjuncts contribute no
+parent edge.
 """
 
 from __future__ import annotations
@@ -58,6 +82,70 @@ def _shortform(iri: str) -> str:
     return m.group(1) if m else iri
 
 
+def _forces_existence(rest_el) -> str | None:
+    """If this owl:Restriction element forces every instance to have a
+    filler (someValuesFrom / hasValue / min-cardinality ≥ 1 — the OWL
+    constructs under which rdfs:domain membership is entailed), return
+    the onProperty IRI, else None. Universal (allValuesFrom) and
+    max-cardinality restrictions are vacuously satisfiable without a
+    filler and force nothing."""
+    prop = None
+    forces = False
+    for c in rest_el:
+        local = c.tag.rsplit("}", 1)[-1]
+        if local == "onProperty" and c.get(_RESOURCE):
+            prop = c.get(_RESOURCE)
+        elif local in ("someValuesFrom", "hasValue"):
+            forces = True
+        elif local in (
+            "minCardinality",
+            "minQualifiedCardinality",
+            "cardinality",
+            "qualifiedCardinality",
+        ):
+            try:
+                forces = forces or int((c.text or "0").strip()) >= 1
+            except ValueError:
+                pass
+    return prop if forces else None
+
+
+def _infer_unsatisfiable(
+    edges: list[tuple[str, str]],
+    disjoint_pairs: set[tuple[str, str]],
+    class_iris: set[str],
+) -> set[str]:
+    """Told-logic unsatisfiability (the asserted slice of the reference's
+    reasoner Nothing-filter, FhirOwlService.java:520-527): a class is
+    unsatisfiable iff its told ancestor-or-self set contains owl:Nothing
+    or two classes declared disjoint. ``edges`` already includes the
+    domain-inferred subsumptions. Subclasses of unsatisfiable classes are
+    caught for free (their ancestor set is a superset). Ontology-bounded
+    driver-side computation, like the parse itself."""
+    from collections import defaultdict
+
+    adj: dict[str, set[str]] = defaultdict(set)
+    for c, p in edges:
+        adj[c].add(p)
+    partners: dict[str, set[str]] = defaultdict(set)
+    for a, b in disjoint_pairs:
+        partners[a].add(b)
+        partners[b].add(a)
+    nothing = OWL_NS + "Nothing"
+    unsat: set[str] = set()
+    for iri in class_iris:
+        anc = {iri}
+        stack = [iri]
+        while stack:
+            for p in adj[stack.pop()]:
+                if p not in anc:
+                    anc.add(p)
+                    stack.append(p)
+        if nothing in anc or any(partners[x] & anc for x in anc):
+            unsat.add(iri)
+    return unsat
+
+
 @dataclass
 class ParsedOntology:
     ontology_iri: str | None
@@ -79,7 +167,6 @@ def parse_owl_xml(
     unsatisfiable_iris: set[str] | None = None,
     ontology_id: str = "root",
 ) -> ParsedOntology:
-    unsat = unsatisfiable_iris or set()
     tree = ET.parse(path)
     root = tree.getroot()
 
@@ -123,6 +210,13 @@ def parse_owl_xml(
     children: set[str] = set()
     deprecated_of: dict[str, bool] = {}
     labels_of: dict[str, list[str]] = {}
+    # told-unsat inputs (module docstring): declared disjoint pairs,
+    # existence-forcing restriction uses (class, property)
+    disjoint_pairs: set[tuple[str, str]] = set()
+    existential_uses: set[tuple[str, str]] = set()
+    restriction_tag = f"{{{OWL_NS}}}Restriction"
+    class_tag = f"{{{OWL_NS}}}Class"
+    intersection_tag = f"{{{OWL_NS}}}intersectionOf"
     for kind_tag, sub_tag in kinds:
         for el in root.iter(kind_tag):
             iri = el.get(_ABOUT)
@@ -134,21 +228,45 @@ def parse_owl_xml(
             for ch in el:
                 prop = _prop_iri(ch.tag)
                 res = ch.get(_RESOURCE)
+                if ch.tag == f"{{{OWL_NS}}}disjointWith" and res is not None:
+                    disjoint_pairs.add((min(iri, res), max(iri, res)))
+                    continue
                 if res is None and ch.tag in (
                     sub_tag, f"{{{OWL_NS}}}equivalentClass"
                 ):
                     # equally legal named-node form emitted by some tools:
                     # <rdfs:subClassOf><owl:Class rdf:about="X"/></rdfs:subClassOf>
-                    # (also rdf:Description; same for equivalentClass);
-                    # anonymous bodies (owl:Restriction) stay ignored like
-                    # the resource form
+                    # (also rdf:Description; same for equivalentClass).
+                    # Anonymous bodies never become a named parent directly,
+                    # but two told slices are extracted (module docstring):
+                    # existence-forcing restrictions (→ domain-inferred
+                    # unsat edges) and intersectionOf NAMED conjuncts
+                    # (→ one-way defined-class subsumption).
                     for gc in ch:
                         if gc.tag in (
-                            f"{{{OWL_NS}}}Class",
+                            class_tag,
                             f"{{{RDF_NS}}}Description",
                         ) and gc.get(_ABOUT):
                             res = gc.get(_ABOUT)
                             break
+                        if gc.tag == restriction_tag:
+                            p = _forces_existence(gc)
+                            if p:
+                                existential_uses.add((iri, p))
+                        elif gc.tag == class_tag:  # anonymous class body
+                            for inter in gc:
+                                if inter.tag != intersection_tag:
+                                    continue
+                                for m in inter:
+                                    if m.get(_ABOUT):
+                                        # C ≡/⊑ A ⊓ … ⇒ C ⊑ A (one-way:
+                                        # the conjunction is NOT ⊑ C)
+                                        ont.edge(iri, m.get(_ABOUT))
+                                        children.add(iri)
+                                    elif m.tag == restriction_tag:
+                                        p = _forces_existence(m)
+                                        if p:
+                                            existential_uses.add((iri, p))
                 if ch.tag == sub_tag and res is not None:
                     ont.edge(iri, res)
                     children.add(iri)
@@ -177,6 +295,52 @@ def parse_owl_xml(
                 ont.synonym(iri, text, prop=prop)
                 if prop == RDFS_LABEL:
                     labels.append(text)
+    # owl:AllDisjointClasses blocks (both the typed-rdf:Description and the
+    # direct-element serializations) → pairwise disjointness over members.
+    # owl:AllDifferent (individuals, distinctMembers) is intentionally not
+    # matched.
+    rdf_type_tag = f"{{{RDF_NS}}}type"
+    members_tag = f"{{{OWL_NS}}}members"
+    adc_iri = OWL_NS + "AllDisjointClasses"
+    for el in root.iter():
+        if el.tag != f"{{{OWL_NS}}}AllDisjointClasses" and not any(
+            c.tag == rdf_type_tag and c.get(_RESOURCE) == adc_iri for c in el
+        ):
+            continue
+        for mem in el:
+            if mem.tag != members_tag:
+                continue
+            abouts = [m.get(_ABOUT) for m in mem if m.get(_ABOUT)]
+            for i, a in enumerate(abouts):
+                for b in abouts[i + 1:]:
+                    disjoint_pairs.add((min(a, b), max(a, b)))
+
+    # rdfs:domain sweep (any described element, so classes-only parses
+    # still see property domains for the unsat inference); multiple
+    # domains = intersection in OWL — first one kept is sound for the
+    # two-disjoint-ancestors check (never adds a spurious ancestor).
+    domain_tag = f"{{{RDFS_NS}}}domain"
+    domains: dict[str, str] = {}
+    for el in root.iter():
+        about = el.get(_ABOUT)
+        if about is None:
+            continue
+        for c in el:
+            if c.tag == domain_tag and c.get(_RESOURCE):
+                domains.setdefault(about, c.get(_RESOURCE))
+
+    # told-unsat: asserted edges + domain-inferred edges (unsat-only, never
+    # emitted as parents), then the two-disjoint-ancestors / under-Nothing
+    # check; caller-supplied reasoner output is ORed in.
+    unsat_edges = [(e["child_iri"], e["parent_iri"]) for e in ont.edges]
+    unsat_edges += [
+        (c, domains[p]) for c, p in existential_uses if p in domains
+    ]
+    class_iris = {i for i, k in kind_of.items() if k == class_tag}
+    unsat = set(unsatisfiable_iris or ())
+    if disjoint_pairs or any(p == OWL_NS + "Nothing" for _, p in unsat_edges):
+        unsat |= _infer_unsatisfiable(unsat_edges, disjoint_pairs, class_iris)
+
     for iri in kind_of:
         labels = labels_of.get(iri, [])
         ont.concept(

@@ -22,12 +22,6 @@ PIZZA = "/root/reference/src/test/resources/pizza.owl"
 DUO = "/root/reference/src/test/resources/duo.owl"
 PIZZA_NS = "http://www.co-ode.org/ontologies/pizza/pizza.owl#"
 
-# IceCream is unsatisfiable via disjointness reasoning (pizza.owl:1148-1160,
-# :2981-2988) — the reasoner-produced equivalent-to-Nothing set is an input
-# seam for this engine (SURVEY.md §7.4 #1).
-PIZZA_UNSAT = {PIZZA_NS + "IceCream"}
-
-
 def run(spark, parsed, cfg):
     from fhir_owl_spark.fixtures import ontology_dfs
 
@@ -39,10 +33,10 @@ def run(spark, parsed, cfg):
 
 @pytest.fixture(scope="module")
 def pizza_triples(spark):
-    # DL/jfact path: object properties processed (FhirOwlService.java:543)
-    parsed = parse_owl_xml(
-        PIZZA, include_object_properties=True, unsatisfiable_iris=PIZZA_UNSAT
-    )
+    # DL/jfact path: object properties processed (FhirOwlService.java:543).
+    # No hand-injected unsat set — told-disjointness inference in the parser
+    # must find IceCream and CheeseyVegetableTopping on its own (round 3).
+    parsed = parse_owl_xml(PIZZA, include_object_properties=True)
     cfg = PipelineConfig(
         display_prop=RDFS_LABEL,
         synonym_props=(RDFS_LABEL,),
@@ -73,10 +67,23 @@ class TestPizzaReal:
         assert "topObjectProperty" in subjects
         assert "topDataProperty" not in subjects
 
-    # FhirOwlServiceTest.java:76-81
+    # FhirOwlServiceTest.java:76-81 — both classes a DL reasoner finds
+    # unsatisfiable in pizza.owl must be filtered WITHOUT an injected set:
+    # IceCream (∃hasTopping + domain(hasTopping)=Pizza + disjoint(IceCream,
+    # Pizza), pizza.owl:1148-1160, :2981-2988) and CheeseyVegetableTopping
+    # (two disjoint asserted parents, pizza.owl:620-628)
     def test_icecream_absent(self, pizza_triples):
         subjects = {s for s, _, _ in pizza_triples}
         assert "IceCream" not in subjects
+        assert "CheeseyVegetableTopping" not in subjects
+
+    # defined classes (owl:equivalentClass intersectionOf bodies) get their
+    # NAMED conjunct as a told parent — the reasoner emits the same edge
+    # (e.g. CheeseyPizza ⊑ Pizza); previously these rooted at Thing
+    def test_defined_class_told_parent(self, pizza_triples):
+        for child in ("CheeseyPizza", "InterestingPizza", "MeatyPizza"):
+            assert (child, "is-a", "Pizza") in pizza_triples, child
+            assert (child, "is-a", "Thing") not in pizza_triples, child
 
     # FhirOwlServiceTest.java:97-109 (direct parents over the real file)
     def test_class_chain(self, pizza_triples):
@@ -496,6 +503,80 @@ def test_no_url_no_iri_raises_noid(tmp_path):
     meta = ontology_metadata(parsed, PipelineConfig(url="http://ex/explicit"))
     assert meta["url"] == "http://ex/explicit"
     assert meta["name"] == "named but iri-less"
+
+
+UNSAT_NEG_OWL = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  xmlns:owl="http://www.w3.org/2002/07/owl#"
+  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">
+  <owl:Ontology rdf:about="http://ex/dj"/>
+  <owl:Class rdf:about="http://ex/dj#A"><rdfs:label>A</rdfs:label>
+    <owl:disjointWith rdf:resource="http://ex/dj#B"/></owl:Class>
+  <owl:Class rdf:about="http://ex/dj#B"><rdfs:label>B</rdfs:label></owl:Class>
+  <owl:Class rdf:about="http://ex/dj#ChildOfA"><rdfs:label>child a</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://ex/dj#A"/></owl:Class>
+  <owl:Class rdf:about="http://ex/dj#Clash"><rdfs:label>clash</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://ex/dj#A"/>
+    <rdfs:subClassOf rdf:resource="http://ex/dj#B"/></owl:Class>
+  <owl:Class rdf:about="http://ex/dj#SubClash"><rdfs:label>sub clash</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://ex/dj#Clash"/></owl:Class>
+</rdf:RDF>"""
+
+
+class TestToldUnsatisfiability:
+    def test_disjoint_siblings_stay_satisfiable(self, tmp_path):
+        """Negative: disjointness alone unsats nothing — only a class
+        told-under BOTH disjoint classes (and its subclasses) is dropped."""
+        f = tmp_path / "dj.owl"
+        f.write_text(UNSAT_NEG_OWL)
+        parsed = parse_owl_xml(str(f))
+        flags = {
+            c["iri"].split("#")[-1]: c["unsatisfiable"]
+            for c in parsed.tables.concepts if "#" in c["iri"]
+        }
+        assert flags["A"] is False and flags["B"] is False
+        assert flags["ChildOfA"] is False
+        assert flags["Clash"] is True
+        assert flags["SubClash"] is True  # unsat propagates down
+
+    def test_equivalent_restriction_only_body_contributes_nothing(self, tmp_path):
+        """equivalentClass(intersectionOf(Restriction-only)) and plain
+        Restriction equivalents yield no parent edge and no unsat."""
+        f = tmp_path / "ro.owl"
+        f.write_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/ro"/>'
+            '<owl:Class rdf:about="http://ex/ro#D"><rdfs:label>D</rdfs:label>'
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:intersectionOf rdf:parseType="Collection">'
+            '<owl:Restriction><owl:onProperty rdf:resource="http://ex/ro#p"/>'
+            '<owl:someValuesFrom rdf:resource="http://ex/ro#X"/></owl:Restriction>'
+            "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+            '<owl:Class rdf:about="http://ex/ro#X"><rdfs:label>X</rdfs:label></owl:Class>'
+            "</rdf:RDF>"
+        )
+        parsed = parse_owl_xml(str(f))
+        assert not any(
+            e["child_iri"] == "http://ex/ro#D" for e in parsed.tables.edges
+        )
+        assert all(c["unsatisfiable"] is False for c in parsed.tables.concepts)
+
+    def test_injected_set_still_ored_in(self, tmp_path):
+        """The reasoner-output seam survives: caller-supplied IRIs stay
+        unsat even when told logic sees nothing."""
+        f = tmp_path / "inj.owl"
+        f.write_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/inj"/>'
+            '<owl:Class rdf:about="http://ex/inj#A"><rdfs:label>A</rdfs:label></owl:Class>'
+            "</rdf:RDF>"
+        )
+        parsed = parse_owl_xml(str(f), unsatisfiable_iris={"http://ex/inj#A"})
+        assert [c["unsatisfiable"] for c in parsed.tables.concepts
+                if c["iri"] == "http://ex/inj#A"] == [True]
 
 
 def test_named_node_equivalent_class(tmp_path):
