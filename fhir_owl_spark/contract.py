@@ -641,18 +641,55 @@ def q_conv_features(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_ann_lsh_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = _query_vectors(spark, sf_dir, 5)
-    out = similarity.ann_topk_lsh(emb, queries, dim=64, k=3, n_planes=12)
-    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+def _ann_recall_rows(
+    spark, approx: DataFrame, exact: DataFrame, queries, total_floor: int
+) -> DataFrame:
+    """Self-validating ANN shape (VERDICT r02 #5): join the approximate
+    top-k against the exact brute-force top-k INSIDE the query and emit
+    one value-oracled row per query — (query_id, found_self,
+    recall_floor_met). The oracle asserts TRUE/TRUE for every query id,
+    so a recall regression flips a value and reds the row instead of
+    hiding behind a rows-only check. Floors are set below the measured
+    deterministic recall (seeded planes/centroids, fixed corpus) with
+    slack for float-summation-order wobble in distributed aggregation."""
+    hits = (
+        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_q = spark.createDataFrame([(q,) for q, _ in queries], ["query_id"])
+    per_q = all_q.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    )
+    total = per_q.agg(F.sum("n_hits").alias("_total"))
+    return per_q.crossJoin(total).select(  # 1-row total side: trivially safe
+        "query_id",
+        (F.col("n_hits") >= 1).alias("found_self"),
+        (F.col("_total") >= total_floor).alias("recall_floor_met"),
+    )
 
 
-def q_ivf_top3(spark, sf_dir) -> DataFrame:  # rows-only (approximate by design)
+def q_ann_lsh_top3(spark, sf_dir) -> DataFrame:
+    """LSH ANN, value-checked via recall vs the exact top-3 (see
+    _ann_recall_rows). n_planes=8 (256 buckets at test scale) — measured
+    recall@3 totals 11/15 (sf0.001) and 9/15 (sf0.01); floor 8."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = _query_vectors(spark, sf_dir, 5)
-    out = similarity.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=2)
-    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    approx = similarity.ann_topk_lsh(emb, queries, dim=64, k=3, n_planes=8)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    return _ann_recall_rows(spark, approx, exact, queries, total_floor=8)
+
+
+def q_ivf_top3(spark, sf_dir) -> DataFrame:
+    """IVF ANN, value-checked via recall vs the exact top-3 (see
+    _ann_recall_rows). Measured recall@3 totals 14/15 at both sf0.001 and
+    sf0.01; floor 12 leaves slack for borderline centroid-assignment
+    flips from float summation order."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, 5)
+    approx = similarity.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=2)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    return _ann_recall_rows(spark, approx, exact, queries, total_floor=12)
 
 
 QUERIES = {
@@ -1099,7 +1136,7 @@ SELECT doc_id,
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b', '<CC>', 'g'),
       '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-    '(\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
+    '(\+?\d{1,2}[ .-])?\(?\d{3}[\). -] ?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
   AS clean_text
 FROM dirty
 """,
@@ -1194,8 +1231,19 @@ reach AS (SELECT s AS id, s AS r FROM und
           SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """.format(shingles=_oracle_shingles_cte().lstrip()),
-        # simhash_docs / fingerprint_docs: xxhash64 has no DuckDB equivalent → rows-only
-        # ann_lsh_top3: approximate by design → rows-only
+        # ann recall self-validation (VERDICT r02 #5): the oracle is the
+        # SPEC — every query must find itself and the aggregate recall
+        # floor must hold; the Spark side computes the actual values.
+        "ann_lsh_top3": """
+SELECT CAST(vec_id AS VARCHAR) AS query_id,
+       TRUE AS found_self, TRUE AS recall_floor_met
+FROM embeddings WHERE vec_id < 5
+""",
+        "ivf_top3": """
+SELECT CAST(vec_id AS VARCHAR) AS query_id,
+       TRUE AS found_self, TRUE AS recall_floor_met
+FROM embeddings WHERE vec_id < 5
+""",
     }
     return oracles
 

@@ -114,7 +114,7 @@ def reachable_set(
     parent_col: str = "parent",
     direction: str = "up",
     max_iterations: int = 64,
-    broadcast_edges: bool = True,
+    broadcast_edges: bool | None = None,
     stop_at: str | None = None,
 ) -> DataFrame:
     """Seeded-frontier BFS: all nodes reachable from ``seeds`` following
@@ -128,9 +128,14 @@ def reachable_set(
     SNOMED-scale graph). Termination is guaranteed by the visited-set
     anti-join even on cyclic inputs.
 
-    With broadcast_edges=True (default — right whenever the edge table is
-    ontology-bounded) each hop is a broadcast hash join: zero shuffles in
-    the loop body except the frontier distinct.
+    broadcast_edges default None = AUTO, mirroring transitive_closure:
+    broadcast when the edge table is ≤5M rows (each hop is then a
+    broadcast hash join — zero shuffles in the loop body except the
+    frontier distinct); above that, shuffle-join the frontier instead —
+    an unconditional broadcast would blow Spark's broadcast limit /
+    driver memory on exactly the graph-scale is-a tables these
+    subsumes/descendants queries target. The count is free because the
+    hop table is localCheckpoint-ed for the loop anyway.
     """
     if direction == "up":
         src, dst = child_col, parent_col
@@ -141,7 +146,9 @@ def reachable_set(
     spark = edges.sparkSession
     hop = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt")).filter(
         F.col("node") != F.col("nxt")
-    )
+    ).localCheckpoint(eager=True)
+    if broadcast_edges is None:
+        broadcast_edges = hop.count() <= 5_000_000
     if broadcast_edges:
         hop = F.broadcast(hop)
 

@@ -200,11 +200,14 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
     # SSN-like 3-2-4
     (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
-    # phone-like: 3-3-4 with separators, WHOLE country-code group optional
-    # (a bare 555-123-4567 must match — the earlier form made only the
-    # '+' optional and demanded 11-12 digits, silently missing plain US
-    # numbers)
-    (r"(\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    # phone-like: 3-3-4, country-code group optional. The separator after
+    # the area code is MANDATORY ([\). -]): with every separator optional
+    # the pattern matched the trailing 10 digits of ANY >=10-digit run
+    # (epoch-millis '1723791600123' -> '172<PHONE>'), systematically
+    # over-redacting numeric IDs/timestamps. RE2 has no lookbehind, so
+    # requiring one in-number separator is the portable anchor — plain
+    # 555-123-4567 / (555) 123-4567 / 555.123.4567 all still match.
+    (r"(\+?\d{1,2}[ .-])?\(?\d{3}[\). -] ?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
 )
 
 

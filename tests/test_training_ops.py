@@ -408,6 +408,23 @@ class TestReviewFixesRound2:
         clean = df.select(redact_pii_col("text").alias("t")).first()["t"]
         assert "555" not in clean and clean.count("<PHONE>") == 3, clean
 
+    def test_long_digit_runs_not_phone_redacted(self, spark):
+        """Round-3 ADVICE fix: epoch timestamps / numeric IDs (>=10-digit
+        unbroken runs) must NOT be phone-redacted — only separator-bearing
+        phone shapes are."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from fhir_owl_spark.operators.text import redact_pii_col
+
+        df = spark.createDataFrame(
+            [(1, "ts 1723791600123 id 98765432109876 real +1 555-123-4567 end")],
+            ["doc_id", "text"],
+        )
+        clean = df.select(redact_pii_col("text").alias("t")).first()["t"]
+        assert "1723791600123" in clean, clean
+        assert "98765432109876" in clean, clean
+        assert "<PHONE>" in clean and "555" not in clean, clean
+
     def test_chunk_empty_doc_zero_tokens(self, spark):
         from fhir_owl_spark.operators.text import chunk_documents
 
