@@ -82,21 +82,30 @@ def _shortform(iri: str) -> str:
     return m.group(1) if m else iri
 
 
-def _forces_existence(rest_el) -> str | None:
+def _forces_existence(rest_el) -> tuple[str, str | None] | None:
     """If this owl:Restriction element forces every instance to have a
     filler (someValuesFrom / hasValue / min-cardinality ≥ 1 — the OWL
     constructs under which rdfs:domain membership is entailed), return
-    the onProperty IRI, else None. Universal (allValuesFrom) and
-    max-cardinality restrictions are vacuously satisfiable without a
-    filler and force nothing."""
+    (onProperty IRI, named filler IRI or None), else None. The filler
+    (someValuesFrom / onClass resource) feeds unsat propagation: a class
+    forced to instantiate an unsatisfiable filler is itself
+    unsatisfiable. Universal (allValuesFrom) and max-cardinality
+    restrictions are vacuously satisfiable without a filler and force
+    nothing."""
     prop = None
+    filler = None
     forces = False
     for c in rest_el:
         local = c.tag.rsplit("}", 1)[-1]
         if local == "onProperty" and c.get(_RESOURCE):
             prop = c.get(_RESOURCE)
-        elif local in ("someValuesFrom", "hasValue"):
+        elif local == "someValuesFrom":
             forces = True
+            filler = c.get(_RESOURCE) or filler
+        elif local == "hasValue":
+            forces = True  # filler is an individual, not a class — no filler IRI
+        elif local == "onClass" and c.get(_RESOURCE):
+            filler = c.get(_RESOURCE)
         elif local in (
             "minCardinality",
             "minQualifiedCardinality",
@@ -107,26 +116,33 @@ def _forces_existence(rest_el) -> str | None:
                 forces = forces or int((c.text or "0").strip()) >= 1
             except ValueError:
                 pass
-    return prop if forces else None
+    return (prop, filler) if forces and prop else None
 
 
 def _infer_unsatisfiable(
     edges: list[tuple[str, str]],
     disjoint_pairs: set[tuple[str, str]],
     class_iris: set[str],
+    existential_fillers: set[tuple[str, str]] = frozenset(),
 ) -> set[str]:
     """Told-logic unsatisfiability (the asserted slice of the reference's
     reasoner Nothing-filter, FhirOwlService.java:520-527): a class is
     unsatisfiable iff its told ancestor-or-self set contains owl:Nothing
     or two classes declared disjoint. ``edges`` already includes the
     domain-inferred subsumptions. Subclasses of unsatisfiable classes are
-    caught for free (their ancestor set is a superset). Ontology-bounded
-    driver-side computation, like the parse itself."""
+    caught for free (their ancestor set is a superset). A fixpoint then
+    propagates unsatisfiability through ``existential_fillers``
+    ((class, named filler) from existence-forcing restrictions): a class
+    forced to instantiate an unsatisfiable filler is unsatisfiable, and
+    so are its told subclasses. Ontology-bounded driver-side computation,
+    like the parse itself."""
     from collections import defaultdict
 
     adj: dict[str, set[str]] = defaultdict(set)
+    children_of: dict[str, set[str]] = defaultdict(set)
     for c, p in edges:
         adj[c].add(p)
+        children_of[p].add(c)
     partners: dict[str, set[str]] = defaultdict(set)
     for a, b in disjoint_pairs:
         partners[a].add(b)
@@ -143,6 +159,18 @@ def _infer_unsatisfiable(
                     stack.append(p)
         if nothing in anc or any(partners[x] & anc for x in anc):
             unsat.add(iri)
+    # fixpoint: unsat spreads down told edges and through restrictions
+    # whose forced filler is unsat
+    needs_filler: dict[str, set[str]] = defaultdict(set)
+    for c, f in existential_fillers:
+        needs_filler[f].add(c)
+    queue = list(unsat)
+    while queue:
+        u = queue.pop()
+        for c in children_of[u] | needs_filler[u]:
+            if c not in unsat:
+                unsat.add(c)
+                queue.append(c)
     return unsat
 
 
@@ -211,9 +239,9 @@ def parse_owl_xml(
     deprecated_of: dict[str, bool] = {}
     labels_of: dict[str, list[str]] = {}
     # told-unsat inputs (module docstring): declared disjoint pairs,
-    # existence-forcing restriction uses (class, property)
+    # existence-forcing restriction uses (class, property, filler|None)
     disjoint_pairs: set[tuple[str, str]] = set()
-    existential_uses: set[tuple[str, str]] = set()
+    existential_uses: set[tuple[str, str, str | None]] = set()
     restriction_tag = f"{{{OWL_NS}}}Restriction"
     class_tag = f"{{{OWL_NS}}}Class"
     intersection_tag = f"{{{OWL_NS}}}intersectionOf"
@@ -250,9 +278,9 @@ def parse_owl_xml(
                             res = gc.get(_ABOUT)
                             break
                         if gc.tag == restriction_tag:
-                            p = _forces_existence(gc)
-                            if p:
-                                existential_uses.add((iri, p))
+                            pf = _forces_existence(gc)
+                            if pf:
+                                existential_uses.add((iri, *pf))
                         elif gc.tag == class_tag:  # anonymous class body
                             for inter in gc:
                                 if inter.tag != intersection_tag:
@@ -264,9 +292,9 @@ def parse_owl_xml(
                                         ont.edge(iri, m.get(_ABOUT))
                                         children.add(iri)
                                     elif m.tag == restriction_tag:
-                                        p = _forces_existence(m)
-                                        if p:
-                                            existential_uses.add((iri, p))
+                                        pf = _forces_existence(m)
+                                        if pf:
+                                            existential_uses.add((iri, *pf))
                 if ch.tag == sub_tag and res is not None:
                     ont.edge(iri, res)
                     children.add(iri)
@@ -334,12 +362,15 @@ def parse_owl_xml(
     # check; caller-supplied reasoner output is ORed in.
     unsat_edges = [(e["child_iri"], e["parent_iri"]) for e in ont.edges]
     unsat_edges += [
-        (c, domains[p]) for c, p in existential_uses if p in domains
+        (c, domains[p]) for c, p, _ in existential_uses if p in domains
     ]
+    fillers = {(c, f) for c, _, f in existential_uses if f is not None}
     class_iris = {i for i, k in kind_of.items() if k == class_tag}
     unsat = set(unsatisfiable_iris or ())
     if disjoint_pairs or any(p == OWL_NS + "Nothing" for _, p in unsat_edges):
-        unsat |= _infer_unsatisfiable(unsat_edges, disjoint_pairs, class_iris)
+        unsat |= _infer_unsatisfiable(
+            unsat_edges, disjoint_pairs, class_iris, fillers
+        )
 
     for iri in kind_of:
         labels = labels_of.get(iri, [])

@@ -562,6 +562,47 @@ class TestToldUnsatisfiability:
         )
         assert all(c["unsatisfiable"] is False for c in parsed.tables.concepts)
 
+    def test_unsat_filler_propagates(self, tmp_path):
+        """A class forced (someValuesFrom) to instantiate an unsatisfiable
+        filler is itself unsatisfiable, transitively."""
+        f = tmp_path / "fill.owl"
+        f.write_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/f"/>'
+            '<owl:Class rdf:about="http://ex/f#A"><rdfs:label>A</rdfs:label>'
+            '<owl:disjointWith rdf:resource="http://ex/f#B"/></owl:Class>'
+            '<owl:Class rdf:about="http://ex/f#B"><rdfs:label>B</rdfs:label></owl:Class>'
+            '<owl:Class rdf:about="http://ex/f#Clash"><rdfs:label>clash</rdfs:label>'
+            '<rdfs:subClassOf rdf:resource="http://ex/f#A"/>'
+            '<rdfs:subClassOf rdf:resource="http://ex/f#B"/></owl:Class>'
+            '<owl:Class rdf:about="http://ex/f#NeedsClash"><rdfs:label>nc</rdfs:label>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            '<owl:onProperty rdf:resource="http://ex/f#p"/>'
+            '<owl:someValuesFrom rdf:resource="http://ex/f#Clash"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            '<owl:Class rdf:about="http://ex/f#SubNeeds"><rdfs:label>sn</rdfs:label>'
+            '<rdfs:subClassOf rdf:resource="http://ex/f#NeedsClash"/></owl:Class>'
+            '<owl:Class rdf:about="http://ex/f#AllOk"><rdfs:label>ok</rdfs:label>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            '<owl:onProperty rdf:resource="http://ex/f#p"/>'
+            '<owl:allValuesFrom rdf:resource="http://ex/f#Clash"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            "</rdf:RDF>"
+        )
+        parsed = parse_owl_xml(str(f))
+        flags = {
+            c["iri"].split("#")[-1]: c["unsatisfiable"]
+            for c in parsed.tables.concepts if "#" in c["iri"]
+        }
+        assert flags["Clash"] is True
+        assert flags["NeedsClash"] is True  # forced to instantiate Clash
+        assert flags["SubNeeds"] is True    # told subclass of unsat
+        # allValuesFrom is vacuously satisfiable — no propagation
+        assert flags["AllOk"] is False
+        assert flags["A"] is False and flags["B"] is False
+
     def test_injected_set_still_ored_in(self, tmp_path):
         """The reasoner-output seam survives: caller-supplied IRIs stay
         unsat even when told logic sees nothing."""
@@ -577,6 +618,132 @@ class TestToldUnsatisfiability:
         parsed = parse_owl_xml(str(f), unsatisfiable_iris={"http://ex/inj#A"})
         assert [c["unsatisfiable"] for c in parsed.tables.concepts
                 if c["iri"] == "http://ex/inj#A"] == [True]
+
+
+class TestToldUnsatProperty:
+    """Property-based check of the told-unsat logic on RANDOM ontologies:
+    XML → parser vs an independent whole-graph fixpoint model written
+    straight from the spec (two-disjoint-ancestors / under-Nothing /
+    unsat-ancestor / unsat-forced-filler). No Spark — parser-only, cheap."""
+
+    @staticmethod
+    def _render(n, edges, disjoints, restrictions, domains) -> str:
+        ns = "http://ex/pu#"
+        parts = [
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+            '<owl:Ontology rdf:about="http://ex/pu"/>',
+        ]
+        for i in range(n):
+            body = [f"<rdfs:label>c{i}</rdfs:label>"]
+            for c, p in edges:
+                if c == i:
+                    body.append(f'<rdfs:subClassOf rdf:resource="{ns}C{p}"/>')
+            for a, b in disjoints:
+                if a == i:
+                    body.append(f'<owl:disjointWith rdf:resource="{ns}C{b}"/>')
+            for c, prop, filler in restrictions:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf><owl:Restriction>"
+                        f'<owl:onProperty rdf:resource="{ns}p{prop}"/>'
+                        f'<owl:someValuesFrom rdf:resource="{ns}C{filler}"/>'
+                        "</owl:Restriction></rdfs:subClassOf>"
+                    )
+            parts.append(
+                f'<owl:Class rdf:about="{ns}C{i}">' + "".join(body) + "</owl:Class>"
+            )
+        for prop, dom in domains.items():
+            parts.append(
+                f'<owl:ObjectProperty rdf:about="{ns}p{prop}">'
+                f'<rdfs:domain rdf:resource="{ns}C{dom}"/></owl:ObjectProperty>'
+            )
+        parts.append("</rdf:RDF>")
+        return "".join(parts)
+
+    @staticmethod
+    def _model(n, edges, disjoints, restrictions, domains) -> set[int]:
+        # told edges incl. domain-inferred
+        parents = {i: set() for i in range(n)}
+        for c, p in edges:
+            parents[c].add(p)
+        for c, prop, _ in restrictions:
+            if prop in domains:
+                parents[c].add(domains[prop])
+
+        def anc(i):
+            out, todo = {i}, [i]
+            while todo:
+                for p in parents[todo.pop()]:
+                    if p not in out:
+                        out.add(p)
+                        todo.append(p)
+            return out
+
+        dj = {(a, b) for a, b in disjoints} | {(b, a) for a, b in disjoints}
+        unsat = set()
+        changed = True
+        while changed:  # whole-graph fixpoint, recomputed each round
+            changed = False
+            for i in range(n):
+                if i in unsat:
+                    continue
+                a = anc(i)
+                bad = any((x, y) in dj for x in a for y in a if x != y)
+                bad = bad or any(x in unsat for x in a)
+                bad = bad or any(
+                    c == i and f in unsat for c, _, f in restrictions
+                )
+                # also: restrictions on any told ancestor
+                bad = bad or any(
+                    c in a and f in unsat for c, _, f in restrictions
+                )
+                if bad:
+                    unsat.add(i)
+                    changed = True
+        return unsat
+
+    def test_property_random_graphs(self, tmp_path):
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 10**9))
+        def check(seed):
+            rng = _random.Random(seed)
+            n = rng.randint(3, 8)
+            edges = [
+                (i, rng.randrange(i)) for i in range(1, n) if rng.random() < 0.7
+            ]
+            disjoints = [
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(0, 3))
+            ]
+            n_props = rng.randint(0, 2)
+            restrictions = [
+                (rng.randrange(n), rng.randrange(max(1, n_props)), rng.randrange(n))
+                for _ in range(rng.randint(0, 3))
+                if n_props
+            ]
+            domains = {
+                p: rng.randrange(n) for p in range(n_props) if rng.random() < 0.7
+            }
+            xml = self._render(n, edges, disjoints, restrictions, domains)
+            f = tmp_path / f"pu{seed}.owl"
+            f.write_text(xml)
+            parsed = parse_owl_xml(str(f))
+            got = {
+                int(c["iri"].rsplit("#C", 1)[1])
+                for c in parsed.tables.concepts
+                if "#C" in c["iri"] and c["unsatisfiable"]
+            }
+            want = self._model(n, edges, disjoints, restrictions, domains)
+            assert got == want, (xml, got, want)
+
+        check()
 
 
 def test_named_node_equivalent_class(tmp_path):
