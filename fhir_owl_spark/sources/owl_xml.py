@@ -245,6 +245,9 @@ def parse_owl_xml(
     restriction_tag = f"{{{OWL_NS}}}Restriction"
     class_tag = f"{{{OWL_NS}}}Class"
     intersection_tag = f"{{{OWL_NS}}}intersectionOf"
+    union_tag = f"{{{OWL_NS}}}unionOf"
+    disjoint_union_tag = f"{{{OWL_NS}}}disjointUnionOf"
+    equivalent_tag = f"{{{OWL_NS}}}equivalentClass"
     for kind_tag, sub_tag in kinds:
         for el in root.iter(kind_tag):
             iri = el.get(_ABOUT)
@@ -258,6 +261,17 @@ def parse_owl_xml(
                 res = ch.get(_RESOURCE)
                 if ch.tag == f"{{{OWL_NS}}}disjointWith" and res is not None:
                     disjoint_pairs.add((min(iri, res), max(iri, res)))
+                    continue
+                if ch.tag == disjoint_union_tag:
+                    # C disjointUnionOf(A, B, …) told-implies each named
+                    # member ⊑ C plus pairwise member disjointness (the
+                    # covering direction C ⊑ A∪B needs a reasoner — skipped)
+                    members = [m.get(_ABOUT) for m in ch if m.get(_ABOUT)]
+                    for i_m, a in enumerate(members):
+                        ont.edge(a, iri)
+                        children.add(a)
+                        for b in members[i_m + 1:]:
+                            disjoint_pairs.add((min(a, b), max(a, b)))
                     continue
                 if res is None and ch.tag in (
                     sub_tag, f"{{{OWL_NS}}}equivalentClass"
@@ -283,18 +297,29 @@ def parse_owl_xml(
                                 existential_uses.add((iri, *pf))
                         elif gc.tag == class_tag:  # anonymous class body
                             for inter in gc:
-                                if inter.tag != intersection_tag:
-                                    continue
-                                for m in inter:
-                                    if m.get(_ABOUT):
-                                        # C ≡/⊑ A ⊓ … ⇒ C ⊑ A (one-way:
-                                        # the conjunction is NOT ⊑ C)
-                                        ont.edge(iri, m.get(_ABOUT))
-                                        children.add(iri)
-                                    elif m.tag == restriction_tag:
-                                        pf = _forces_existence(m)
-                                        if pf:
-                                            existential_uses.add((iri, *pf))
+                                if inter.tag == intersection_tag:
+                                    for m in inter:
+                                        if m.get(_ABOUT):
+                                            # C ≡/⊑ A ⊓ … ⇒ C ⊑ A (one-way:
+                                            # the conjunction is NOT ⊑ C)
+                                            ont.edge(iri, m.get(_ABOUT))
+                                            children.add(iri)
+                                        elif m.tag == restriction_tag:
+                                            pf = _forces_existence(m)
+                                            if pf:
+                                                existential_uses.add((iri, *pf))
+                                elif (
+                                    inter.tag == union_tag
+                                    and ch.tag == equivalent_tag
+                                ):
+                                    # C ≡ A ∪ B ⇒ A ⊑ C, B ⊑ C (each
+                                    # disjunct is subsumed by the union);
+                                    # ONLY for equivalence — C ⊑ A∪B
+                                    # implies nothing about the members
+                                    for m in inter:
+                                        if m.get(_ABOUT):
+                                            ont.edge(m.get(_ABOUT), iri)
+                                            children.add(m.get(_ABOUT))
                 if ch.tag == sub_tag and res is not None:
                     ont.edge(iri, res)
                     children.add(iri)

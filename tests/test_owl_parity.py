@@ -603,6 +603,56 @@ class TestToldUnsatisfiability:
         assert flags["AllOk"] is False
         assert flags["A"] is False and flags["B"] is False
 
+    def test_union_equivalence_told_edges(self, tmp_path):
+        """C ≡ unionOf(A, B) ⇒ A ⊑ C and B ⊑ C; the same body under
+        subClassOf implies NOTHING about the members; disjointUnionOf
+        gives member edges plus pairwise disjointness."""
+        f = tmp_path / "un.owl"
+        f.write_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/un"/>'
+            '<owl:Class rdf:about="http://ex/un#U"><rdfs:label>U</rdfs:label>'
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:unionOf rdf:parseType="Collection">'
+            '<rdf:Description rdf:about="http://ex/un#A"/>'
+            '<rdf:Description rdf:about="http://ex/un#B"/>'
+            "</owl:unionOf></owl:Class></owl:equivalentClass></owl:Class>"
+            '<owl:Class rdf:about="http://ex/un#S"><rdfs:label>S</rdfs:label>'
+            "<rdfs:subClassOf><owl:Class>"
+            '<owl:unionOf rdf:parseType="Collection">'
+            '<rdf:Description rdf:about="http://ex/un#A"/>'
+            '<rdf:Description rdf:about="http://ex/un#B"/>'
+            "</owl:unionOf></owl:Class></rdfs:subClassOf></owl:Class>"
+            '<owl:Class rdf:about="http://ex/un#D"><rdfs:label>D</rdfs:label>'
+            '<owl:disjointUnionOf rdf:parseType="Collection">'
+            '<rdf:Description rdf:about="http://ex/un#X"/>'
+            '<rdf:Description rdf:about="http://ex/un#Y"/>'
+            "</owl:disjointUnionOf></owl:Class>"
+            '<owl:Class rdf:about="http://ex/un#A"><rdfs:label>A</rdfs:label></owl:Class>'
+            '<owl:Class rdf:about="http://ex/un#B"><rdfs:label>B</rdfs:label></owl:Class>'
+            '<owl:Class rdf:about="http://ex/un#X"><rdfs:label>X</rdfs:label></owl:Class>'
+            '<owl:Class rdf:about="http://ex/un#Y"><rdfs:label>Y</rdfs:label></owl:Class>'
+            '<owl:Class rdf:about="http://ex/un#XYClash"><rdfs:label>xy</rdfs:label>'
+            '<rdfs:subClassOf rdf:resource="http://ex/un#X"/>'
+            '<rdfs:subClassOf rdf:resource="http://ex/un#Y"/></owl:Class>'
+            "</rdf:RDF>"
+        )
+        parsed = parse_owl_xml(str(f))
+        edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+                 for e in parsed.tables.edges}
+        assert ("A", "U") in edges and ("B", "U") in edges
+        # union under subClassOf: no member edges, and S gains no parent
+        assert ("A", "S") not in edges and ("S", "A") not in edges
+        assert not any(c == "S" for c, _ in edges)
+        # disjointUnionOf: member edges + disjointness (XYClash unsat)
+        assert ("X", "D") in edges and ("Y", "D") in edges
+        flags = {c["iri"].split("#")[-1]: c["unsatisfiable"]
+                 for c in parsed.tables.concepts if "#" in c["iri"]}
+        assert flags["XYClash"] is True
+        assert flags["X"] is False and flags["Y"] is False
+
     def test_injected_set_still_ored_in(self, tmp_path):
         """The reasoner-output seam survives: caller-supplied IRIs stay
         unsat even when told logic sees nothing."""
