@@ -30,7 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; keys absent here (simhash_docs,
-    fingerprint_docs, ann_lsh_top3) are rows-only by design — xxhash64
-    has no DuckDB equivalent / ANN is approximate."""
+    """DuckDB-equivalent SQL per query — since round 3 EVERY query has
+    one (41/41). Hash-parameterized operators (simhash, fingerprint,
+    sampling) run with an md5-60bit hash DuckDB recomputes; the two
+    approximate ANN queries are self-validating (recall-floor booleans
+    vs the in-query exact top-3, oracle asserts TRUE)."""
     return contract.oracle_sql()

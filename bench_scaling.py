@@ -94,10 +94,14 @@ sandbox stand-in for N vs 4N executors per the driver instruction.
 * scaling efficiency = speedup / ({hi}/{lo}) = **{efficiency:.3f}** (target ≥ 0.8)
 * SNOMED/HPO-scale dictionary (23k terms, Aho-Corasick path,
   `mentions_big_dict`): scaling efficiency **{eff_big:.3f}** at the same
-  pair — the big-dictionary path is map-only too and scales identically;
-  kernel microbench: AC ≈150k turns/s/core ≈ 27× a blocked 256-term
-  alternation regex, so the Python automaton IS the fast path (VERDICT
-  r02 #4 measured, no rewrite warranted)
+  pair. The path is map-only like the small-dict stage; its efficiency
+  reads slightly lower because the 23k-term automaton is built once per
+  Python worker (~0.1 s) — a fixed per-worker cost whose aggregate is 4×
+  larger at 4N and which amortizes to zero on a long-lived cluster or a
+  larger corpus. Kernel microbench: AC ≈150k turns/s/core ≈ 27× a
+  blocked 256-term alternation regex and ~2× a vectorized token-n-gram
+  join, so the Python automaton IS the fast path (VERDICT r02 #4
+  measured, no rewrite warranted)
 
 Why N={lo}: on this single box all cores share one memory bus, and the
 box's effective bandwidth varies between sessions (round 1 measured
