@@ -657,14 +657,30 @@ def _ann_recall_rows(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # self-retrieval tested LITERALLY: the query's own vector (queries are
+    # corpus members, query_id == str(vec_id)) must be in its approximate
+    # top-k — a bucketing/probe regression that drops the self bucket
+    # flips this even if other exact-top-3 members are still found
+    selfs = (
+        approx.filter(F.col("vec_id").cast("string") == F.col("query_id"))
+        .select("query_id")
+        .distinct()
+        .withColumn("_self", F.lit(True))
+    )
     all_q = spark.createDataFrame([(q,) for q, _ in queries], ["query_id"])
-    per_q = all_q.join(hits, "query_id", "left").select(
-        "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    per_q = (
+        all_q.join(hits, "query_id", "left")
+        .join(selfs, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("_self", F.lit(False)).alias("found_self"),
+        )
     )
     total = per_q.agg(F.sum("n_hits").alias("_total"))
     return per_q.crossJoin(total).select(  # 1-row total side: trivially safe
         "query_id",
-        (F.col("n_hits") >= 1).alias("found_self"),
+        "found_self",
         (F.col("_total") >= total_floor).alias("recall_floor_met"),
     )
 
@@ -1136,7 +1152,7 @@ SELECT doc_id,
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b', '<CC>', 'g'),
       '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-    '(\+?\d{1,2}[ .-])?\(?\d{3}[\). -] ?\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
+    '(\+?\d{1,2}[ .-])?\(?\d{3}[\). -]{1,2}\d{3}[ .-]?\d{4}\b', '<PHONE>', 'g')
   AS clean_text
 FROM dirty
 """,

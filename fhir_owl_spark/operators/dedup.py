@@ -144,15 +144,18 @@ def lsh_candidate_pairs(
     The shuffle key is the band hash (uniform); giant buckets only occur
     for true duplicate clusters, which AQE skew-join splits.
 
-    The signature frame is materialized once (localCheckpoint) before
-    use: it feeds BOTH sides of the self-join plus the band-count probe,
-    and without materialization the upstream pandas-UDF minhash stage is
-    recomputed 2-3× per action (measured 40% of pipeline time at sf0.1).
-    Cost is O(rows × n_hashes × 8B) — cluster-feasible at any corpus
-    scale since it is independent of text size; spills to disk via the
-    default MEMORY_AND_DISK checkpoint storage.
+    The signature frame is persisted (LAZY — plan construction stays
+    free, the first action populates the cache) because it feeds BOTH
+    sides of the self-join plus the band-count probe: unpersisted, the
+    upstream pandas-UDF minhash stage is recomputed 2-3× per action
+    (measured 40% of pipeline time at sf0.1). Cache cost is
+    O(rows × n_hashes × 8B) — independent of text size, cluster-feasible
+    at any corpus scale; MEMORY_AND_DISK spills instead of OOMing.
     """
-    signatures = signatures.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    # cheap probe (computes + caches one partition, not the corpus)
     first = signatures.select(F.size("signature").alias("n")).first()
     if first is not None and first["n"] < n_bands:
         raise ValueError(

@@ -207,7 +207,8 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     # over-redacting numeric IDs/timestamps. RE2 has no lookbehind, so
     # requiring one in-number separator is the portable anchor — plain
     # 555-123-4567 / (555) 123-4567 / 555.123.4567 all still match.
-    (r"(\+?\d{1,2}[ .-])?\(?\d{3}[\). -] ?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    # {1,2} separator chars: '(555)-123-4567' needs ')' AND '-' consumed
+    (r"(\+?\d{1,2}[ .-])?\(?\d{3}[\). -]{1,2}\d{3}[ .-]?\d{4}\b", "<PHONE>"),
 )
 
 

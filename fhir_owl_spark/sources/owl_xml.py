@@ -160,17 +160,20 @@ def _infer_unsatisfiable(
         if nothing in anc or any(partners[x] & anc for x in anc):
             unsat.add(iri)
     # fixpoint: unsat spreads down told edges and through restrictions
-    # whose forced filler is unsat
+    # whose forced filler is unsat. owl:Nothing seeds the queue too —
+    # C ⊑ ∃p.Nothing is unsatisfiable even though Nothing itself is not a
+    # declared class (it never enters `unsat`, only propagates from it).
     needs_filler: dict[str, set[str]] = defaultdict(set)
     for c, f in existential_fillers:
         needs_filler[f].add(c)
-    queue = list(unsat)
+    queue = list(unsat) + [nothing]
     while queue:
         u = queue.pop()
         for c in children_of[u] | needs_filler[u]:
             if c not in unsat:
                 unsat.add(c)
                 queue.append(c)
+    unsat.discard(nothing)
     return unsat
 
 
@@ -392,7 +395,12 @@ def parse_owl_xml(
     fillers = {(c, f) for c, _, f in existential_uses if f is not None}
     class_iris = {i for i, k in kind_of.items() if k == class_tag}
     unsat = set(unsatisfiable_iris or ())
-    if disjoint_pairs or any(p == OWL_NS + "Nothing" for _, p in unsat_edges):
+    nothing_iri = OWL_NS + "Nothing"
+    if (
+        disjoint_pairs
+        or any(p == nothing_iri for _, p in unsat_edges)
+        or any(f == nothing_iri for _, f in fillers)
+    ):
         unsat |= _infer_unsatisfiable(
             unsat_edges, disjoint_pairs, class_iris, fillers
         )

@@ -653,6 +653,29 @@ class TestToldUnsatisfiability:
         assert flags["XYClash"] is True
         assert flags["X"] is False and flags["Y"] is False
 
+    def test_filler_nothing_unsats(self, tmp_path):
+        """C ⊑ ∃p.owl:Nothing is unsatisfiable even though Nothing is not
+        a declared class (review fix: the fixpoint seeds from Nothing)."""
+        f = tmp_path / "fn.owl"
+        f.write_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/fn"/>'
+            '<owl:Class rdf:about="http://ex/fn#C"><rdfs:label>C</rdfs:label>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            '<owl:onProperty rdf:resource="http://ex/fn#p"/>'
+            '<owl:someValuesFrom rdf:resource="http://www.w3.org/2002/07/owl#Nothing"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            '<owl:Class rdf:about="http://ex/fn#Ok"><rdfs:label>ok</rdfs:label></owl:Class>'
+            "</rdf:RDF>"
+        )
+        parsed = parse_owl_xml(str(f))
+        flags = {c["iri"].split("#")[-1]: c["unsatisfiable"]
+                 for c in parsed.tables.concepts if "fn#" in c["iri"]}
+        assert flags["C"] is True
+        assert flags["Ok"] is False
+
     def test_injected_set_still_ored_in(self, tmp_path):
         """The reasoner-output seam survives: caller-supplied IRIs stay
         unsat even when told logic sees nothing."""

@@ -402,11 +402,12 @@ class TestReviewFixesRound2:
         from fhir_owl_spark.operators.text import redact_pii_col
 
         df = spark.createDataFrame(
-            [(1, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 end")],
+            [(1, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 "
+                 "or (555)-123-4567 end")],
             ["doc_id", "text"],
         )
         clean = df.select(redact_pii_col("text").alias("t")).first()["t"]
-        assert "555" not in clean and clean.count("<PHONE>") == 3, clean
+        assert "555" not in clean and clean.count("<PHONE>") == 4, clean
 
     def test_long_digit_runs_not_phone_redacted(self, spark):
         """Round-3 ADVICE fix: epoch timestamps / numeric IDs (>=10-digit
