@@ -641,6 +641,40 @@ def q_conv_features(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tool_stats(spark, sf_dir) -> DataFrame:
+    """Per-conversation tool-call analytics (operators.conversations.
+    tool_usage) over agent transcripts derived deterministically from
+    events: error/purchase events are tool turns, the event_type is the
+    tool name — exercising the `tool` column of the contract input shape
+    (conv_id, turn_idx, role, text, tool, ts)."""
+    from .operators.conversations import tool_usage
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = (
+        F.when(F.col("event_type").isin("click", "signup"), "user")
+        .when(F.col("event_type") == "view", "assistant")
+        .otherwise("tool")
+    )
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.when(role == "tool", F.col("event_type")).alias("tool"),
+        F.col("ts"),
+    )
+    return tool_usage(t).select(
+        "conv_id",
+        F.col("n_tool_calls").cast("long").alias("n_tool_calls"),
+        F.col("n_distinct_tools").cast("long").alias("n_distinct_tools"),
+        "top_tool",
+        F.col("top_tool_calls").cast("long").alias("top_tool_calls"),
+        "first_tool",
+        "last_tool",
+    )
+
+
 def _ann_recall_rows(
     spark, approx: DataFrame, exact: DataFrame, queries, total_floor: int
 ) -> DataFrame:
@@ -740,6 +774,7 @@ QUERIES = {
     "ann_lsh_top3": q_ann_lsh_top3,
     "ivf_top3": q_ivf_top3,
     "conv_features": q_conv_features,
+    "tool_stats": q_tool_stats,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "chunk_docs": q_chunk_docs,
@@ -1064,6 +1099,30 @@ SELECT conv_id,
        coalesce(max(epoch_us(ts) - epoch_us(prev_ts)), 0) AS max_gap_us,
        count(DISTINCT role) AS n_roles
 FROM t GROUP BY conv_id
+""",
+        "tool_stats": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         CASE WHEN event_type NOT IN ('click','signup','view')
+              THEN event_type END AS tool
+  FROM events),
+per_tool AS (
+  SELECT conv_id, tool, count(*) AS calls,
+         min(turn_idx) AS mn, max(turn_idx) AS mx
+  FROM t WHERE tool IS NOT NULL GROUP BY conv_id, tool),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+                               ORDER BY calls DESC, tool DESC) AS rn
+  FROM per_tool)
+SELECT conv_id,
+       CAST(sum(calls) AS BIGINT) AS n_tool_calls,
+       CAST(count(*) AS BIGINT) AS n_distinct_tools,
+       max(CASE WHEN rn = 1 THEN tool END) AS top_tool,
+       CAST(max(CASE WHEN rn = 1 THEN calls END) AS BIGINT) AS top_tool_calls,
+       arg_min(tool, mn) AS first_tool,
+       arg_max(tool, mx) AS last_tool
+FROM ranked GROUP BY conv_id
 """,
         "embedding_near_dup": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

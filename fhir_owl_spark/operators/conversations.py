@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -75,3 +75,48 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
         )
 
     return transcripts.groupBy("conv_id").applyInPandas(per_conv, CONV_FEATURES)
+
+
+def tool_usage(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation tool-call analytics over agent transcripts — the
+    ``tool`` column of the input shape (conv_id, turn_idx, role, text,
+    tool, ts): how many tool calls, how many distinct tools, the dominant
+    tool, and the first/last tool invoked in turn order.
+
+    Scale shape: everything derives from ONE bounded intermediate —
+    per-(conv_id, tool) partial counts — so the plan is two hash
+    aggregations with map-side combine (shuffle keys (conv_id, tool) then
+    conv_id), no window, no join, no Python. Dominant-tool ties break
+    deterministically toward the lexicographically GREATEST tool name
+    (max of a (calls, tool) struct); first/last use min_by/max_by on the
+    per-tool min/max turn index, which are unique per conversation.
+    """
+    per_tool = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.min("turn_idx").alias("min_turn"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+    )
+    top = F.max(F.struct(F.col("calls"), F.col("tool"))).alias("top")
+    return (
+        per_tool.groupBy("conv_id")
+        .agg(
+            F.sum("calls").alias("n_tool_calls"),
+            F.count(F.lit(1)).alias("n_distinct_tools"),
+            top,
+            F.min_by("tool", "min_turn").alias("first_tool"),
+            F.max_by("tool", "max_turn").alias("last_tool"),
+        )
+        .select(
+            "conv_id",
+            "n_tool_calls",
+            "n_distinct_tools",
+            F.col("top.tool").alias("top_tool"),
+            F.col("top.calls").alias("top_tool_calls"),
+            "first_tool",
+            "last_tool",
+        )
+    )

@@ -21,8 +21,9 @@ facts depend on):
   * owl:deprecated by property SHORT FORM in any namespace
     (isDeprecated, FhirOwlService.java:661-679)
   * owl:imports declarations (drives hasImports; imported documents are
-    NOT fetched — no network here; the reference downloads them,
-    Application.java:86-113)
+    resolved by ``load_owl_closure`` — local mappings first, optional
+    network download via ``http_fetcher`` with trust-all TLS for parity
+    with the reference, Application.java:86-113)
 
 Unsatisfiability (equivalent-to-Nothing): FULL DL reasoning is out of
 scope (SURVEY.md §7.4), but the asserted patterns the reference's own
@@ -412,7 +413,7 @@ def parse_owl_xml(
             ontology_id,
             label=min(labels) if labels else None,
             deprecated=deprecated_of.get(iri, False),
-            imported=False,  # imports closure not fetched (see docstring)
+            imported=False,  # single-document parse: closure merge marks these
             unsatisfiable=iri in unsat,
         )
 
@@ -513,22 +514,67 @@ def parse_iri_mappings_file(path: str) -> dict[str, str]:
     return mappings
 
 
+def http_fetcher(cache_dir: str | None = None, timeout: float = 30.0):
+    """Build a ``fetch(iri) -> local path`` callable that downloads remote
+    ``owl:imports`` documents over HTTP(S), mirroring the reference's
+    network-import resolution: the reference installs a trust-all
+    SSLContext at startup (Application.java:86-113 — ``trustEverything()``
+    with an all-accepting X509TrustManager and hostname verifier) and then
+    lets the OWL API fetch any unmapped import IRI from the network
+    (FhirOwlService.java:196-229). Parity here: an unverified
+    ``ssl._create_unverified_context()`` so self-signed ontology hosts
+    resolve exactly as they do for the reference.
+
+    Each IRI is downloaded at most once per fetcher instance, into
+    ``cache_dir`` (a fresh tempdir by default). Raises ``URLError`` /
+    ``OSError`` on failure — ``load_owl_closure`` catches, warns, and
+    continues, matching the reference's log-and-skip on unresolvable
+    imports.
+    """
+    import hashlib
+    import ssl
+    import tempfile
+    import urllib.request
+
+    cache = cache_dir or tempfile.mkdtemp(prefix="owl_imports_")
+    ctx = ssl._create_unverified_context()  # noqa: S323 — reference parity
+    seen: dict[str, str] = {}
+
+    def fetch(iri: str) -> str:
+        if iri in seen:
+            return seen[iri]
+        dest = f"{cache}/{hashlib.sha256(iri.encode()).hexdigest()[:24]}.owl"
+        with urllib.request.urlopen(iri, timeout=timeout, context=ctx) as r:
+            body = r.read()
+        with open(dest, "wb") as f:
+            f.write(body)
+        seen[iri] = dest
+        return dest
+
+    return fetch
+
+
 def load_owl_closure(
     path: str,
     iri_mappings: dict[str, str] | None = None,
     include_object_properties: bool = True,
     include_data_properties: bool = False,
     unsatisfiable_iris: set[str] | None = None,
+    fetcher=None,
 ) -> ParsedOntology:
-    """Load a root document plus its imports closure from LOCAL files (S2/S3
-    in SURVEY.md §2.1).
+    """Load a root document plus its imports closure (S2/S3 in SURVEY.md
+    §2.1) from local files, optionally falling back to network fetch.
 
     Each declared owl:imports IRI is resolved through ``iri_mappings``
     (IRI → local file path — the analog of the reference's iri_mappings.txt
     redirections, FhirOwlService.java:86-117 + addIriMappings at :200);
-    mapped documents are parsed and followed recursively (the closure),
-    unmapped IRIs are skipped with a warning exactly like the reference
-    logs and continues when a mapping's file is missing. The per-document
+    mapped documents are parsed and followed recursively (the closure).
+    When an IRI has no mapping and ``fetcher`` is given (see
+    :func:`http_fetcher`), the document is downloaded — the reference's
+    default behavior for unmapped imports (trust-all TLS,
+    Application.java:86-113). Unmapped IRIs with no fetcher, and fetch
+    failures, are skipped with a warning exactly like the reference logs
+    and continues when an import can't be resolved. The per-document
     tables are merged with union_ontologies: root classes stay main,
     closure classes are imported, and label-less root stubs get their
     display from the first closure document that names them
@@ -553,6 +599,15 @@ def load_owl_closure(
             continue
         loaded.add(iri)
         local = mappings.get(iri)
+        if local is None and fetcher is not None:
+            try:
+                local = fetcher(iri)
+            except Exception as exc:  # log-and-continue, like the reference
+                warnings.warn(
+                    f"owl:imports {iri} fetch failed ({exc}) — skipped",
+                    stacklevel=2,
+                )
+                continue
         if local is None:
             warnings.warn(
                 f"owl:imports {iri} has no local mapping — skipped (displays "

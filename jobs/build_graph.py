@@ -57,6 +57,13 @@ def parse_args(argv=None):
     p.add_argument("--iri-mappings", default=None,
                    help="file of IRI,local-path lines (# comments), same "
                         "format as the reference's iri_mappings.txt")
+    p.add_argument("--fetch-remote-imports", action="store_true",
+                   help="download unmapped owl:imports IRIs over HTTP(S) with "
+                        "trust-all TLS, like the reference's default "
+                        "(Application.java:86-113 trustEverything + OWL API "
+                        "network load). Off by default here: prefer "
+                        "--iri-mappings, the reference README's own "
+                        "recommendation for large imports")
     p.add_argument("--output", required=True, help="output dir (triples + _lineage)")
     p.add_argument("--chunks", type=int, default=8)
     p.add_argument("--run-id", default=None)
@@ -244,7 +251,11 @@ def main(argv=None) -> int:
             include_data_properties=include_data,
             unsatisfiable_iris={s for s in args.unsatisfiable.split(",") if s},
         )
-        if mappings:
+        if args.fetch_remote_imports:
+            from fhir_owl_spark.sources.owl_xml import http_fetcher
+
+            kw["fetcher"] = http_fetcher()
+        if mappings or args.fetch_remote_imports:
             parsed = load_owl_closure(args.owl, mappings, **kw)
         else:
             parsed = parse_owl_xml(args.owl, **kw)

@@ -1,0 +1,200 @@
+"""Remote owl:imports resolution (S2 network path).
+
+The reference downloads unmapped import IRIs from the network with a
+trust-all TLS context installed at startup (Application.java:86-113
+``trustEverything()``; FhirOwlService.java:196-229 lets the OWL API load
+the imports closure). These tests stand up real localhost HTTP/HTTPS
+servers — including one with a self-signed certificate — and verify that
+``http_fetcher`` + ``load_owl_closure`` reproduce that behavior:
+unmapped IRIs are fetched (trust-all on TLS), explicit mappings always
+win over the network, failures are log-and-continue, and each IRI is
+downloaded at most once.
+"""
+
+from __future__ import annotations
+
+import http.server
+import ssl
+import subprocess
+import threading
+
+import pytest
+
+from fhir_owl_spark.sources.owl_xml import http_fetcher, load_owl_closure
+
+_RDF_OPEN = (
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+    'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+    'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+)
+
+
+def _root_doc(import_iri: str) -> str:
+    return (
+        _RDF_OPEN
+        + f'<owl:Ontology rdf:about="http://ex/root">'
+        f'<owl:imports rdf:resource="{import_iri}"/></owl:Ontology>'
+        '<owl:Class rdf:about="http://ex/root#R"><rdfs:label>R</rdfs:label>'
+        f'<rdfs:subClassOf rdf:resource="{import_iri}#A"/></owl:Class>'
+        "</rdf:RDF>"
+    )
+
+
+def _imported_doc(iri: str) -> str:
+    return (
+        _RDF_OPEN
+        + f'<owl:Ontology rdf:about="{iri}"/>'
+        f'<owl:Class rdf:about="{iri}#A">'
+        "<rdfs:label>Remote A</rdfs:label></owl:Class>"
+        "</rdf:RDF>"
+    )
+
+
+class _CountingHandler(http.server.SimpleHTTPRequestHandler):
+    hits: dict[str, int] = {}
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+    def do_GET(self):
+        type(self).hits[self.path] = type(self).hits.get(self.path, 0) + 1
+        super().do_GET()
+
+
+@pytest.fixture()
+def http_served(tmp_path):
+    """Serve tmp_path over plain HTTP on an ephemeral localhost port."""
+    handler = type("H", (_CountingHandler,), {"hits": {}})
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), lambda *a, **k: handler(*a, directory=str(tmp_path), **k)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", handler
+    srv.shutdown()
+
+
+def test_unmapped_import_fetched_over_http(tmp_path, http_served):
+    base, handler = http_served
+    import_iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(import_iri))
+    root = tmp_path / "root.owl"
+    root.write_text(_root_doc(import_iri))
+
+    parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher())
+    flags = {c["iri"]: c["imported"] for c in parsed.tables.concepts}
+    labels = {c["iri"]: c["label"] for c in parsed.tables.concepts}
+    assert flags[f"{import_iri}#A"] is True  # closure class marked imported
+    assert labels[f"{import_iri}#A"] == "Remote A"
+    assert flags["http://ex/root#R"] is False
+    assert handler.hits["/a.owl"] == 1
+
+
+def test_fetcher_caches_one_download_per_iri(tmp_path, http_served):
+    base, handler = http_served
+    iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(iri))
+    fetch = http_fetcher()
+    p1, p2 = fetch(iri), fetch(iri)
+    assert p1 == p2
+    assert handler.hits["/a.owl"] == 1
+
+
+def test_explicit_mapping_wins_over_fetcher(tmp_path):
+    iri = "http://unreachable.example/a.owl"
+    local = tmp_path / "local_a.owl"
+    local.write_text(_imported_doc(iri))
+    root = tmp_path / "root.owl"
+    root.write_text(_root_doc(iri))
+
+    def exploding_fetcher(_iri):  # the network must never be consulted
+        raise AssertionError("fetcher called despite explicit mapping")
+
+    parsed = load_owl_closure(
+        str(root), {iri: str(local)}, fetcher=exploding_fetcher
+    )
+    assert any(c["iri"] == f"{iri}#A" for c in parsed.tables.concepts)
+
+
+def test_fetch_failure_warns_and_continues(tmp_path):
+    import warnings as w
+
+    iri = "http://127.0.0.1:1/a.owl"  # port 1: connection refused
+    root = tmp_path / "root.owl"
+    root.write_text(_root_doc(iri))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher(timeout=2))
+    assert any("fetch failed" in str(x.message) for x in caught)
+    # root still parsed, like the reference's log-and-skip
+    assert parsed.ontology_iri == "http://ex/root"
+    assert any(c["iri"] == "http://ex/root#R" for c in parsed.tables.concepts)
+
+
+@pytest.fixture()
+def https_served(tmp_path):
+    """Serve tmp_path over HTTPS with a SELF-SIGNED certificate — the case
+    the reference's trustEverything() exists for."""
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    r = subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(cert), "-days", "1",
+            "-subj", "/CN=127.0.0.1",
+        ],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"openssl unavailable: {r.stderr[:200]!r}")
+    handler = type("H", (_CountingHandler,), {"hits": {}})
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), lambda *a, **k: handler(*a, directory=str(tmp_path), **k)
+    )
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert), str(key))
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"https://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_self_signed_https_import_trust_all_parity(tmp_path, https_served):
+    """A self-signed HTTPS ontology host resolves, exactly as it does for
+    the reference after trustEverything() (Application.java:86-113); a
+    default VERIFYING client rejects the same server, proving the
+    trust-all context is what makes the fetch work."""
+    import urllib.error
+    import urllib.request
+
+    base = https_served
+    iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(iri))
+    root = tmp_path / "root.owl"
+    root.write_text(_root_doc(iri))
+
+    with pytest.raises(urllib.error.URLError):
+        urllib.request.urlopen(iri, timeout=5)  # verifying client: refused
+
+    parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher())
+    flags = {c["iri"]: c["imported"] for c in parsed.tables.concepts}
+    assert flags[f"{iri}#A"] is True
+
+
+def test_cli_flag_wires_fetcher(tmp_path, http_served):
+    """--fetch-remote-imports on the spark-submit entry point resolves an
+    unmapped import over the network end-to-end."""
+    base, _ = http_served
+    iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(iri))
+    root = tmp_path / "root.owl"
+    root.write_text(_root_doc(iri))
+
+    from jobs.build_graph import parse_args
+
+    args = parse_args(
+        ["--owl", str(root), "--output", str(tmp_path / "out"),
+         "--fetch-remote-imports"]
+    )
+    assert args.fetch_remote_imports is True
