@@ -675,6 +675,26 @@ def q_tool_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_repetition_docs(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition quality features (operators.text.
+    repetition_features) — word/2-gram/3-gram duplicate and top-element
+    fractions plus the keep/drop verdict, value-oracled against the same
+    definitions in DuckDB list functions."""
+    from .operators.text import repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_features(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_2gram_frac",
+        "top_2gram_frac",
+        "dup_3gram_frac",
+        "mean_word_len",
+        "repetition_ok",
+    )
+
+
 def _ann_recall_rows(
     spark, approx: DataFrame, exact: DataFrame, queries, total_floor: int
 ) -> DataFrame:
@@ -775,6 +795,7 @@ QUERIES = {
     "ivf_top3": q_ivf_top3,
     "conv_features": q_conv_features,
     "tool_stats": q_tool_stats,
+    "repetition_docs": q_repetition_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "chunk_docs": q_chunk_docs,
@@ -1123,6 +1144,43 @@ SELECT conv_id,
        arg_min(tool, mn) AS first_tool,
        arg_max(tool, mx) AS last_tool
 FROM ranked GROUP BY conv_id
+""",
+        "repetition_docs": r"""
+WITH wd AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text,''))) = 0 THEN []
+              ELSE string_split_regex(lower(coalesce(text,'')), '\s+')
+         END AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(ws)-1),
+                                  i -> ws[i]||' '||ws[i+1]) END AS g2,
+         CASE WHEN len(ws) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(ws)-2),
+                                  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END AS g3
+  FROM wd),
+f AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN 1.0 - len(list_distinct(ws))/CAST(n AS DOUBLE) ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(ws),
+              d -> len(list_filter(ws, x -> x = d))))/CAST(n AS DOUBLE) ELSE 0.0 END AS top_word_frac,
+         CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))/CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN len(g2) > 0 THEN list_max(list_transform(list_distinct(g2),
+              d -> len(list_filter(g2, x -> x = d))))/CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS top_2gram_frac,
+         CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))/CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_3gram_frac,
+         CASE WHEN n > 0 THEN list_sum(list_transform(ws, w -> length(w)))/CAST(n AS DOUBLE) ELSE 0.0 END AS mean_word_len
+  FROM b)
+SELECT doc_id,
+       round(dup_word_frac, 6) AS dup_word_frac,
+       round(top_word_frac, 6) AS top_word_frac,
+       round(dup_2gram_frac, 6) AS dup_2gram_frac,
+       round(top_2gram_frac, 6) AS top_2gram_frac,
+       round(dup_3gram_frac, 6) AS dup_3gram_frac,
+       round(mean_word_len, 6) AS mean_word_len,
+       (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
+FROM f
 """,
         "embedding_near_dup": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -222,6 +222,107 @@ def redact_pii_col(text_col: str = "text") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Repetition-based quality filters (Gopher-style, Rae et al. 2021 §A1.1,
+# adapted from character-fractions to word-count fractions since the
+# corpus has no line structure). Pure Column code — per-row bounded work
+# (O(distinct_words × words)), map-only, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+# word-count adaptations of the published char-fraction cutoffs
+# (top 2-gram 0.20, duplicated 3-gram 0.18)
+TOP_2GRAM_MAX_FRAC = 0.20
+DUP_3GRAM_MAX_FRAC = 0.18
+
+
+def _ngrams(words: Column, n_words: Column, k: int) -> Column:
+    """Array of k-word shingles; empty when the document is shorter than k.
+
+    Built by zip_with-folding k shifted slices of the word array — 3-4×
+    faster than the transform(sequence)/slice/concat_ws form, which
+    allocates a k-element sub-array per output element.
+    """
+    m = n_words - (k - 1)
+    out = F.slice(words, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(words, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n_words < k, F.array().cast("array<string>")).otherwise(out)
+
+
+def _top_frac(arr: Column) -> Column:
+    """Fraction of elements equal to the most frequent element (ties
+    irrelevant — only the max count matters). 0.0 for empty arrays.
+
+    Computed as the longest run in the SORTED array via one aggregate()
+    pass — O(n log n) per row. The naive distinct×filter nest is O(u×n)
+    AND re-evaluates the (possibly expensive) input array expression once
+    per distinct element, because higher-order-function lambdas re-expand
+    their argument subtree — measured 20× slower on 2-gram arrays.
+    """
+    n = F.size(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    best = F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc.best)
+    return F.when(n > 0, best / n).otherwise(F.lit(0.0))
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of elements that are repeats of an earlier element:
+    1 - distinct/total. 0.0 for empty arrays."""
+    n = F.size(arr)
+    return F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics + a keep/drop verdict.
+
+    Emits dup_word_frac, top_word_frac, dup_2gram_frac, top_2gram_frac,
+    dup_3gram_frac, mean_word_len, and ``repetition_ok`` (true when
+    top_2gram_frac ≤ 0.20 and dup_3gram_frac ≤ 0.18 — the Gopher cutoffs
+    re-read as word-count fractions). Floats are rounded to 6 dp so a SQL
+    engine computing the same definition matches value-for-value.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(t), r"\s+")
+    )
+    n = F.size(words)
+    g2 = _ngrams(words, n, 2)
+    g3 = _ngrams(words, n, 3)
+    top2 = _top_frac(g2)
+    dup3 = _dup_frac(g3)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n,
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "dup_word_frac": F.round(_dup_frac(words), 6),
+            "top_word_frac": F.round(_top_frac(words), 6),
+            "dup_2gram_frac": F.round(_dup_frac(g2), 6),
+            "top_2gram_frac": F.round(top2, 6),
+            "dup_3gram_frac": F.round(dup3, 6),
+            "mean_word_len": F.round(mean_len, 6),
+            "repetition_ok": (top2 <= TOP_2GRAM_MAX_FRAC)
+            & (dup3 <= DUP_3GRAM_MAX_FRAC),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus composition stats (the mixing-weights input for a training run):
 # per (source, lang) document/token/char totals — one partial-aggregated
 # shuffle on the tiny group key; every measure is map-side combined.

@@ -195,6 +195,33 @@ class TestText:
         fps = [set(r[0]) for r in df.select(text.fingerprint_col()).collect()]
         assert fps[0] and fps[0] <= fps[1]
 
+    def test_repetition_features(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "spam spam spam spam spam spam"),  # one word repeated
+                (1, "all words here are fully distinct tokens"),
+                (2, "go go stop"),  # top word 2/3, bigrams all distinct
+                (3, ""),  # blank → zeros, ok
+                (4, "single"),  # shorter than any n-gram
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+        assert rows[0]["top_word_frac"] == 1.0
+        assert rows[0]["dup_2gram_frac"] == 0.8  # 5 bigrams, 1 distinct
+        assert rows[0]["repetition_ok"] is False
+        assert rows[1]["dup_word_frac"] == 0.0
+        assert rows[1]["repetition_ok"] is True
+        assert rows[2]["top_word_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert rows[2]["dup_2gram_frac"] == 0.0
+        for c in ("dup_word_frac", "top_word_frac", "dup_2gram_frac",
+                  "top_2gram_frac", "dup_3gram_frac", "mean_word_len"):
+            assert rows[3][c] == 0.0
+        assert rows[3]["repetition_ok"] is True
+        assert rows[4]["dup_2gram_frac"] == 0.0
+        assert rows[4]["dup_3gram_frac"] == 0.0
+        assert rows[4]["mean_word_len"] == 6.0
+
 
 class TestMultimodal:
     def test_image_features_shape(self, spark):
