@@ -107,7 +107,15 @@ def minhash_signatures(
 
     Signature j = min over shingles of mix64(shingle_hash ^ seed_j) —
     one permutation family, vectorized with numpy inside the batch.
+
+    An input with fewer partitions than the cluster's default parallelism
+    (e.g. one small parquet file) is repartitioned first so the Arrow
+    stage uses every core — the shuffle moves only (id, text) and is a
+    no-op at production partition counts, where files >> cores.
     """
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < default_par:
+        df = df.repartition(default_par)
     seeds = _mix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
     schema = StructType(
         [
@@ -137,6 +145,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 16,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash) buckets.
 
@@ -155,30 +164,29 @@ def lsh_candidate_pairs(
     from pyspark import StorageLevel
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    # cheap probe (computes + caches one partition, not the corpus)
-    first = signatures.select(F.size("signature").alias("n")).first()
-    if first is not None and first["n"] < n_bands:
+    if sig_len is None:
+        # probe one row (computes + caches one partition, not the corpus).
+        # Callers that know the signature width pass sig_len to skip this —
+        # the serial single-partition probe costs ~20% of a cold pipeline.
+        first = signatures.select(F.size("signature").alias("n")).first()
+        sig_len = first["n"] if first is not None else n_bands
+    if sig_len < n_bands:
         raise ValueError(
-            f"signature length {first['n']} < n_bands={n_bands}: every band "
+            f"signature length {sig_len} < n_bands={n_bands}: every band "
             "would hash an empty slice and all documents would collide into "
             "one bucket"
         )
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
+    # band hash = xxhash64 of the raw long-array slice: no string concat,
+    # no cryptographic hash — bucketing only needs uniformity, and the
+    # join key includes band_idx so cross-band collisions are impossible
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.sha2(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            F.col("signature"),
-                            b * rows_per_band + 1,
-                            rows_per_band,
-                        ),
-                    ),
-                    256,
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("band_idx", "band_hash"),
@@ -213,7 +221,7 @@ def minhash_dedup_pairs(
     hash joins on ids) and computes exact Jaccard on the pair only.
     """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, sig_len=n_hashes)
     texts = df.select(F.col(id_col), F.col(text_col))
     pairs = (
         cands.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
@@ -392,6 +400,10 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # LAZY checkpoint fused with the convergence probe: the probe both
+        # materializes the new labels' cached blocks and answers "did
+        # anything change" — one job and one computation of new_labels per
+        # round (eager + separate probe computed it twice)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -400,6 +412,7 @@ def dup_clusters(
                     "new_label"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(labels, "id")
@@ -407,9 +420,7 @@ def dup_clusters(
             .limit(1)
             .count()
         )
-        labels = new_labels.withColumnRenamed("new_label", "label").localCheckpoint(
-            eager=True
-        )
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
