@@ -108,38 +108,32 @@ def build_concept_dictionary(
     else:
         not_excluded = F.lit(True)
 
-    # A1: preferred term candidates
-    pref = (
-        syn.filter((F.col("prop") == cfg.display_prop) & not_excluded)
-        .groupBy("iri")
-        .agg(F.min("synonym").alias("preferred"))
-    )
-
-    # A2: synonym union (distinct within Spark's HashAggregate)
-    syn_union = (
-        syn.filter(F.col("prop").isin(list(cfg.synonym_props)) & not_excluded)
-        .groupBy("iri")
-        .agg(
-            F.collect_set("synonym").alias("syn_set"),
-            F.min("synonym").alias("min_syn"),
-        )
-    )
-
-    # F7: optional code annotation (deterministic min over candidates; the
-    # reference takes the first annotation it sees, FhirOwlService.java:695-704)
-    parts = [base]
+    # A1 + A2 + F7 in ONE conditional-aggregation pass — one shuffle on iri
+    # and one join instead of three of each (aggregates skip the rows their
+    # WHEN masks to null; collect_set drops nulls, preserving the old
+    # per-predicate-filtered semantics exactly):
+    #   A1 preferred = min display-prop literal (TreeSet.first,
+    #      FhirOwlService.java:706-724)
+    #   A2 syn_set/min_syn over the synonym props (:726-742)
+    #   F7 code annotation = deterministic min over candidates (the
+    #      reference takes the first it sees, :695-704)
+    is_display = (F.col("prop") == cfg.display_prop) & not_excluded
+    is_syn = F.col("prop").isin(list(cfg.synonym_props)) & not_excluded
+    aggs = [
+        F.min(F.when(is_display, F.col("synonym"))).alias("preferred"),
+        F.collect_set(F.when(is_syn, F.col("synonym"))).alias("syn_set"),
+        F.min(F.when(is_syn, F.col("synonym"))).alias("min_syn"),
+    ]
     if cfg.code_prop:
-        code_anno = (
-            syn.filter(F.col("prop") == cfg.code_prop)
-            .groupBy("iri")
-            .agg(F.min("synonym").alias("code_anno"))
+        aggs.append(
+            F.min(F.when(F.col("prop") == cfg.code_prop, F.col("synonym"))).alias(
+                "code_anno"
+            )
         )
-        parts.append(code_anno)
+    per_iri = syn.groupBy("iri").agg(*aggs)
 
-    df = base.join(pref, "iri", "left").join(syn_union, "iri", "left")
-    if cfg.code_prop:
-        df = df.join(parts[1], "iri", "left")
-    else:
+    df = base.join(per_iri, "iri", "left")
+    if not cfg.code_prop:
         df = df.withColumn("code_anno", F.lit(None).cast("string"))
 
     imported = imported_col(cfg, has_imports).alias("imported_flag")
