@@ -511,6 +511,27 @@ def q_redact_pii(spark, sf_dir) -> DataFrame:
     return dirty.select("doc_id", text.redact_pii_col("text").alias("clean_text"))
 
 
+def q_normalize_docs(spark, sf_dir) -> DataFrame:
+    """Text normalization: inject deterministic HTML markup, entities,
+    control chars, and ragged whitespace into each document, then
+    normalize (operators.text.normalize_text_col) — the oracle injects
+    and normalizes with the same RE2-compatible patterns, checking true
+    cross-engine parity rather than a no-op pass-through."""
+    docs = _read(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div class=\"post\">\t "),
+            F.col("text"),
+            F.lit(" &amp; more &lt;tags&gt; \x01here&nbsp;</div>  <br/>\n"),
+            F.lit("tail"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id", text.normalize_text_col("text").alias("norm_text")
+    )
+
+
 def q_dedup_keep_one(spark, sf_dir) -> DataFrame:
     """Near-dup resolution to keep/drop decisions: exact-Jaccard pairs →
     connected components → min-id representative per cluster; singletons
@@ -804,6 +825,7 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "redact_pii": q_redact_pii,
+    "normalize_docs": q_normalize_docs,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1251,6 +1273,26 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
       % 1000000
       < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "normalize_docs": r"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<div class="post">' || chr(9) || ' ' || text ||
+         ' &amp; more &lt;tags&gt; ' || chr(1) || 'here&nbsp;</div>  <br/>' ||
+         chr(10) || 'tail' AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(coalesce(text,''), '<[^>]+>', ' ', 'g') AS t
+       FROM dirty),
+s2 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(t,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                '&nbsp;', ' '), '&amp;', '&') AS t
+       FROM s1),
+s3 AS (SELECT doc_id,
+              regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g') AS t
+       FROM s2)
+SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS norm_text FROM s3
 """,
         "redact_pii": r"""
 WITH dirty AS (

@@ -222,6 +222,39 @@ def redact_pii_col(text_col: str = "text") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Text normalization (web-scrape hygiene): tag strip → entity unescape →
+# control-char strip → whitespace collapse. Chained JVM-side
+# regexp_replace/replace, no UDF; patterns stay in the subset Java and
+# RE2 (DuckDB oracle) interpret identically.
+# ---------------------------------------------------------------------------
+
+_HTML_TAG = r"<[^>]+>"
+_CONTROL_CHARS = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+# the handful of entities that dominate scraped text; tags are stripped
+# FIRST so unescaped '&lt;b&gt;' never turns into a live tag
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last: '&amp;lt;' decodes to the literal '&lt;'
+)
+
+
+def normalize_text_col(text_col: str = "text") -> Column:
+    """Normalized text: HTML tags → space, common entities unescaped,
+    ASCII control characters removed, whitespace runs collapsed to one
+    space, trimmed."""
+    out = F.coalesce(F.col(text_col), F.lit(""))
+    out = F.regexp_replace(out, _HTML_TAG, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, _CONTROL_CHARS, "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
 # Repetition-based quality filters (Gopher-style, Rae et al. 2021 §A1.1,
 # adapted from character-fractions to word-count fractions since the
 # corpus has no line structure). Pure Column code — per-row bounded work

@@ -195,6 +195,29 @@ class TestText:
         fps = [set(r[0]) for r in df.select(text.fingerprint_col()).collect()]
         assert fps[0] and fps[0] <= fps[1]
 
+    def test_normalize_text(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "<p>hello <b>world</b></p>"),
+                (1, "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f"),
+                (2, "double  \t spaces\n\nand\x01control\x02chars"),
+                (3, "&amp;lt; decodes to the literal entity"),  # amp LAST
+                (4, None),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["t"]
+            for r in df.select("doc_id", text.normalize_text_col().alias("t")).collect()
+        }
+        assert got[0] == "hello world"
+        assert got[1] == "a & b <c> \"d\" 'e' f"
+        # control chars are REMOVED (not replaced by a space) — joining
+        # the fragments, same as the DuckDB oracle's definition
+        assert got[2] == "double spaces andcontrolchars"
+        assert got[3] == "&lt; decodes to the literal entity"
+        assert got[4] == ""
+
     def test_repetition_features(self, spark):
         df = spark.createDataFrame(
             [
