@@ -167,3 +167,31 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_text_ops_are_map_only(spark, transcripts_parquet):
+    """repetition_features and normalize_text_col must compile to a single
+    Project over the scan — no Exchange at any corpus size."""
+    from fhir_owl_spark.operators.text import normalize_text_col, repetition_features
+
+    docs = spark.read.parquet(transcripts_parquet).select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    rep_plan = plan_of(repetition_features(docs))
+    assert "Exchange" not in rep_plan
+    norm_plan = plan_of(docs.select("doc_id", normalize_text_col().alias("t")))
+    assert "Exchange" not in norm_plan
+    # pure string exprs stay codegen'd (formatted mode marks spans with *)
+    assert "* Project" in norm_plan
+
+
+def test_tool_usage_aggregates_bounded_intermediate(spark, transcripts_parquet):
+    """tool_usage's second aggregation must consume the per-(conv, tool)
+    partial counts (two Exchanges total), never re-shuffle the turns."""
+    from fhir_owl_spark.operators.conversations import tool_usage
+
+    tdf = spark.read.parquet(transcripts_parquet)
+    plan = plan_of(tool_usage(tdf))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2, plan  # (conv_id, tool) then conv_id
+    assert "partial_count" in plan  # map-side combine on the first agg
