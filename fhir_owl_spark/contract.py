@@ -532,6 +532,17 @@ def q_normalize_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_vocab_top100(spark, sf_dir) -> DataFrame:
+    """Global top-k vocabulary (operators.text.vocab_top_words): one
+    combiner-backed aggregation + TakeOrderedAndProject — the vocabulary
+    is never fully sorted or collected. Ties break by word ascending."""
+    from .operators.text import vocab_top_words
+
+    docs = _read(spark, sf_dir, "documents")
+    out = vocab_top_words(docs, k=100)
+    return out.select("word", F.col("n").cast("long").alias("n"))
+
+
 def q_dedup_keep_one(spark, sf_dir) -> DataFrame:
     """Near-dup resolution to keep/drop decisions: exact-Jaccard pairs →
     connected components → min-id representative per cluster; singletons
@@ -826,6 +837,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "redact_pii": q_redact_pii,
     "normalize_docs": q_normalize_docs,
+    "vocab_top100": q_vocab_top100,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1273,6 +1285,14 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
       % 1000000
       < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "vocab_top100": r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(coalesce(text,'')), '\s+')) AS word
+  FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE length(word) > 0
+GROUP BY word ORDER BY n DESC, word LIMIT 100
 """,
         "normalize_docs": r"""
 WITH dirty AS (

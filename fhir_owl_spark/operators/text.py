@@ -356,6 +356,28 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus vocabulary: global top-k words by frequency (tokenizer-training /
+# stopword-discovery input). One explode + one combiner-backed hash
+# aggregation on the word key, then TakeOrderedAndProject for the top-k —
+# per-partition heads merged on the driver, so the full vocabulary is
+# never sorted or collected. Ties break by word ascending (deterministic).
+# ---------------------------------------------------------------------------
+
+
+def vocab_top_words(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    words = F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).alias("word")
+    counts = (
+        df.select(words)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("word")).limit(k)
+
+
+# ---------------------------------------------------------------------------
 # Corpus composition stats (the mixing-weights input for a training run):
 # per (source, lang) document/token/char totals — one partial-aggregated
 # shuffle on the tiny group key; every measure is map-side combined.
