@@ -532,6 +532,28 @@ def q_normalize_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_conv_sessions(spark, sf_dir) -> DataFrame:
+    """Batch sessionization (operators.conversations.sessionize): split
+    each conversation at inactivity gaps > 2 hours — one window, running
+    sum of boundaries, no UDF."""
+    from .operators.conversations import sessionize
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("ts"),
+    )
+    out = sessionize(t, gap="2 hours")
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "gap_us",
+        F.col("session_idx").cast("long").alias("session_idx"),
+    )
+
+
 def q_vocab_top100(spark, sf_dir) -> DataFrame:
     """Global top-k vocabulary (operators.text.vocab_top_words): one
     combiner-backed aggregation + TakeOrderedAndProject — the vocabulary
@@ -838,6 +860,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "normalize_docs": q_normalize_docs,
     "vocab_top100": q_vocab_top100,
+    "conv_sessions": q_conv_sessions,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1285,6 +1308,23 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
       % 1000000
       < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "conv_sessions": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         ts
+  FROM events),
+g AS (
+  SELECT conv_id, turn_idx,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap_us
+  FROM t)
+SELECT conv_id, turn_idx, gap_us,
+       CAST(sum(CASE WHEN gap_us > 7200000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_idx
+FROM g
 """,
         "vocab_top100": r"""
 WITH w AS (

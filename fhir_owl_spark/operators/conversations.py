@@ -77,6 +77,38 @@ def conversation_features(transcripts: DataFrame) -> DataFrame:
     return transcripts.groupBy("conv_id").applyInPandas(per_conv, CONV_FEATURES)
 
 
+def sessionize(
+    transcripts: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Batch sessionization: split each conversation into sessions at
+    inactivity gaps > ``gap`` (the batch analog of the streaming session
+    operator in streaming/sessions.py).
+
+    session_idx = cumulative count of gap-exceeding boundaries, via lag +
+    a running sum over (conv_id, turn order) — ONE window (one shuffle on
+    conv_id), no UDF, no self-join. Appends session_idx (0-based) and
+    gap_us (microseconds since the previous turn; null on the first).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike and is
+    # timezone-independent (unix_micros rejects NTZ, and a cast through
+    # session time would shift gaps across DST boundaries)
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    threshold_us = F.lit(int(pd.Timedelta(gap).total_seconds() * 1_000_000))
+    is_break = F.when(gap_us > threshold_us, 1).otherwise(0)
+    running = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return transcripts.withColumns(
+        {
+            "gap_us": gap_us,
+            "session_idx": F.sum(is_break).over(running).cast("int"),
+        }
+    )
+
+
 def tool_usage(transcripts: DataFrame) -> DataFrame:
     """Per-conversation tool-call analytics over agent transcripts — the
     ``tool`` column of the input shape (conv_id, turn_idx, role, text,

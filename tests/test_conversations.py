@@ -95,3 +95,34 @@ def test_stateful_running_counts(spark, tmp_path):
     # at least one conversation must actually have been updated across
     # batches (update rows > final conversations)
     assert spark.sql("select count(*) c from running").first()["c"] > len(rows)
+
+
+def test_sessionize_splits_on_gap(spark):
+    from datetime import datetime
+
+    from fhir_owl_spark.operators.conversations import sessionize
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+
+    def at(minutes):
+        return datetime(2024, 1, 1, 9 + minutes // 60, minutes % 60, 0)
+
+    rows = [
+        ("c1", 0, t0),          # session 0
+        ("c1", 1, at(10)),      # 10 min gap — same session
+        ("c1", 2, at(50)),      # 40 min gap > 30 — session 1
+        ("c1", 3, at(55)),      # session 1
+        ("c1", 4, at(130)),     # 75 min gap — session 2
+        ("c2", 0, t0),          # separate conversation: session 0
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts"])
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["session_idx"], r["gap_us"])
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+    assert got[("c1", 0)] == (0, None)  # first turn: no gap
+    assert got[("c1", 1)] == (0, 10 * 60 * 1_000_000)
+    assert got[("c1", 2)][0] == 1
+    assert got[("c1", 3)][0] == 1
+    assert got[("c1", 4)][0] == 2
+    assert got[("c2", 0)] == (0, None)
