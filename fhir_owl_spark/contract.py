@@ -329,6 +329,26 @@ def q_closure_orders(spark, sf_dir) -> DataFrame:
     return c.select("child", F.col("parent").alias("anc"))
 
 
+def q_closure_delta(spark, sf_dir) -> DataFrame:
+    """FHIR $closure-style incremental closure delta (plans.graph_queries.
+    closure_delta / operators.hierarchy.reachable_pairs): pairs involving
+    two newly-registered codes over the orders hierarchy — seeded
+    attribution BFS both directions, never the all-pairs closure."""
+    from .plans.graph_queries import closure_delta
+
+    edges = _order_edges(spark, sf_dir)
+    triples = edges.select(
+        F.col("child").alias("subj"),
+        F.lit("is-a").alias("pred"),
+        F.col("parent").alias("obj"),
+    )
+    out = closure_delta(triples, [42, 777])
+    return out.select(
+        F.col("code").cast("long").alias("code"),
+        F.col("ancestor").cast("long").alias("ancestor"),
+    )
+
+
 def q_reduction_orders(spark, sf_dir) -> DataFrame:
     e10 = _order_edges(spark, sf_dir, 10)
     e100 = _order_edges(spark, sf_dir, 100)
@@ -829,6 +849,7 @@ QUERIES = {
     "co_mentions": q_co_mentions,
     "context_scores": q_context_scores,
     "closure_orders": q_closure_orders,
+    "closure_delta": q_closure_delta,
     "reduction_orders": q_reduction_orders,
     "min_label": q_min_label,
     "dedup_hash": q_dedup_hash,
@@ -1053,6 +1074,20 @@ cl AS (SELECT child, parent AS anc FROM e
        UNION
        SELECT cl.child, e.parent FROM cl JOIN e ON cl.anc = e.child)
 SELECT child, anc FROM cl
+""",
+        "closure_delta": """
+WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent
+                     FROM orders WHERE o_orderkey // 10 > 0),
+up(code, ancestor) AS (
+  SELECT child, parent FROM e WHERE child IN (42, 777)
+  UNION
+  SELECT u.code, e.parent FROM up u JOIN e ON e.child = u.ancestor),
+down(code, ancestor) AS (
+  SELECT child, parent FROM e WHERE parent IN (42, 777)
+  UNION
+  SELECT e.child, d.ancestor FROM down d JOIN e ON e.parent = d.code)
+SELECT DISTINCT code, ancestor
+FROM (SELECT code, ancestor FROM up UNION SELECT code, ancestor FROM down)
 """,
         "reduction_orders": """
 WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent

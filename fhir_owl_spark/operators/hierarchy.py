@@ -227,6 +227,79 @@ def reachable_set(
     )
 
 
+def reachable_pairs(
+    edges: DataFrame,
+    seeds: list[str],
+    child_col: str = "child",
+    parent_col: str = "parent",
+    direction: str = "up",
+    max_iterations: int = 64,
+    broadcast_edges: bool | None = None,
+) -> DataFrame:
+    """Multi-seed BFS WITH seed attribution: (seed, node) for every node
+    reachable from each seed — the one-pass shape for incremental closure
+    maintenance (FHIR $closure-style deltas), where the per-seed pairing
+    matters and running `reachable_set` once per seed would cost k
+    separate BFS loops.
+
+    Same loop skeleton as reachable_set (lazy checkpoint fused with the
+    emptiness probe, visited kept as disjoint frontier parts, AUTO edge
+    broadcast) but the frontier carries the composite (seed, node) key,
+    so cost scales with Σ|reached set per seed| × depth — still never the
+    all-pairs closure.
+    """
+    import functools
+
+    if direction == "up":
+        src, dst = child_col, parent_col
+    elif direction == "down":
+        src, dst = parent_col, child_col
+    else:
+        raise ValueError(direction)
+    spark = edges.sparkSession
+    hop = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt")).filter(
+        F.col("node") != F.col("nxt")
+    )
+    if broadcast_edges is None:
+        hop = hop.localCheckpoint(eager=True)
+        broadcast_edges = hop.count() <= BROADCAST_EDGE_ROW_LIMIT
+    if broadcast_edges:
+        hop = F.broadcast(hop)
+
+    seed_frame = spark.createDataFrame(
+        [(s, s) for s in seeds], ["seed", "node"]
+    ).localCheckpoint(eager=True)
+    frontier = seed_frame
+    visited_parts: list[DataFrame] = []
+    for _ in range(max_iterations):
+        stepped = (
+            frontier.join(hop, "node")
+            .select("seed", F.col("nxt").alias("node"))
+            .distinct()
+        )
+        if visited_parts:
+            stepped = stepped.join(
+                functools.reduce(DataFrame.union, visited_parts),
+                ["seed", "node"],
+                "left_anti",
+            )
+        frontier = stepped.localCheckpoint(eager=False)
+        n = frontier.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        if n == 0:
+            break
+        visited_parts.append(frontier)
+    else:
+        raise HierarchyCycleError(
+            f"reachable_pairs did not converge within {max_iterations} hops — "
+            "graph deeper than max_iterations; raise it for this query"
+        )
+    return (
+        functools.reduce(DataFrame.union, visited_parts)
+        if visited_parts
+        else seed_frame.limit(0)  # schema (incl. seed type) matches the input
+    )
+
+
 def _closure_reduction_driver_side(
     edge_rows: list[tuple[str, str]],
     max_iterations: int = 64,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.hierarchy import reachable_set, transitive_closure
+from ..operators.hierarchy import reachable_pairs, reachable_set, transitive_closure
 
 
 def _isa_edges(triples: DataFrame) -> DataFrame:
@@ -79,6 +79,28 @@ def subsumes(triples: DataFrame, ancestor_code: str, code: str) -> bool:
         direction="up", stop_at=ancestor_code,
     )
     return not anc.filter(F.col("node") == ancestor_code).isEmpty()
+
+
+def closure_delta(triples: DataFrame, new_codes: list, max_depth: int = 64) -> DataFrame:
+    """FHIR ``$closure`` analog: the subsumption pairs INVOLVING newly
+    registered codes — what a terminology server returns as the ConceptMap
+    delta when codes are added to a maintained closure table.
+
+    (code, ancestor) rows where code ∈ new_codes (their ancestor sets,
+    seeded BFS up) or ancestor ∈ new_codes (their descendant sets, seeded
+    BFS down), both via `reachable_pairs` with per-seed attribution — cost
+    scales with the reached sets of the delta, never the all-pairs
+    closure (the wrong plan for a small registration batch on a
+    SNOMED-scale graph)."""
+    edges = _isa_edges(triples)
+    up = reachable_pairs(
+        edges, new_codes, direction="up", max_iterations=max_depth
+    ).select(F.col("seed").alias("code"), F.col("node").alias("ancestor"))
+    down = reachable_pairs(
+        edges, new_codes, direction="down", max_iterations=max_depth
+    ).select(F.col("node").alias("code"), F.col("seed").alias("ancestor"))
+    # a pair of two new codes is found by both directions — dedup
+    return up.union(down).distinct()
 
 
 def conversations_mentioning(

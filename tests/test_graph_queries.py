@@ -80,3 +80,20 @@ def test_reachable_set_depth_guard_raises(spark):
     # deep enough → full set
     got = {r["node"] for r in reachable_set(edges, ["n0"], max_iterations=16).collect()}
     assert got == {f"n{i}" for i in range(1, 11)}
+
+
+def test_closure_delta_matches_full_closure(graph):
+    """$closure delta for a registration batch must equal the all-pairs
+    closure filtered to pairs involving the batch — including the pair
+    BETWEEN two new codes (found by both BFS directions, deduped)."""
+    new = ["CheeseTopping", "PizzaTopping"]  # PizzaTopping is an ancestor
+    delta = {
+        (r["code"], r["ancestor"]) for r in gq.closure_delta(graph, new).collect()
+    }
+    full = {
+        (r["code"], r["ancestor"])
+        for r in gq.ancestors(graph).collect()
+        if r["code"] in new or r["ancestor"] in new
+    }
+    assert delta == full
+    assert ("CheeseTopping", "PizzaTopping") in delta  # both-new pair, once
