@@ -585,6 +585,27 @@ def q_vocab_top100(spark, sf_dir) -> DataFrame:
     return out.select("word", F.col("n").cast("long").alias("n"))
 
 
+def q_quantize_embeddings(spark, sf_dir) -> DataFrame:
+    """int8 embedding quantization (operators.similarity.
+    quantize_embeddings_int8), exploded to scalar rows (vec_id, idx,
+    scale, q) so the harness canonicalizer can hash the values (array
+    cells crash its pandas sort — the fingerprint_docs lesson)."""
+    from .operators.similarity import quantize_embeddings_int8
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.posexplode("q").alias("idx", "q"),
+    ).select(
+        "vec_id",
+        F.col("idx").cast("long").alias("idx"),
+        "scale",
+        F.col("q").cast("long").alias("q"),
+    )
+
+
 def q_dedup_keep_one(spark, sf_dir) -> DataFrame:
     """Near-dup resolution to keep/drop decisions: exact-Jaccard pairs →
     connected components → min-id representative per cluster; singletons
@@ -882,6 +903,7 @@ QUERIES = {
     "normalize_docs": q_normalize_docs,
     "vocab_top100": q_vocab_top100,
     "conv_sessions": q_conv_sessions,
+    "quantize_embeddings": q_quantize_embeddings,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1273,6 +1295,20 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "quantize_embeddings": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                  THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM v),
+u AS (SELECT vec_id, scale,
+             generate_subscripts(e, 1) - 1 AS idx, unnest(e) AS x
+      FROM s)
+SELECT vec_id, CAST(idx AS BIGINT) AS idx, round(scale, 6) AS scale,
+       CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT) AS q
+FROM u
 """,
         "embedding_near_dup": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

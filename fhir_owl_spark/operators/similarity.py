@@ -442,3 +442,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("cosine", 9).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (4× ANN-index memory cut; the standard
+# serving-side compression). Pure Column code, map-only.
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5) clamped to [-127, 127].
+
+    floor(x + 0.5) instead of round(): identical round-half-toward-+inf
+    semantics in every SQL engine (round() half-rules differ), so the
+    output is value-oracle-able. Zero vectors quantize to zeros with
+    scale 1.0. Per-element dequantization error ≤ scale/2.
+
+    NOTE: the scale expression is re-evaluated per element inside the
+    transform lambda (Catalyst HOF semantics), making this O(dim²) cheap
+    ops per row — fine for embedding dims (≤ a few thousand); a pandas
+    UDF wins beyond that.
+    """
+    e = F.col(vec_col)
+    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return df.select(
+        F.col(id_col), scale.cast("double").alias("scale"), q.alias("q")
+    )

@@ -505,3 +505,24 @@ class TestReviewFixesRound2:
         out = conversation_features(df).first()
         assert out["max_gap_us"] == 30_000_000
         assert abs(out["max_gap_s"] - 30.0) < 1e-9
+
+
+class TestQuantization:
+    def test_int8_roundtrip_error_bound(self, spark):
+        import numpy as np
+
+        from fhir_owl_spark.operators.similarity import quantize_embeddings_int8
+
+        rng = np.random.default_rng(3)
+        vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+        vecs.append((99, [0.0] * 16))  # zero vector: scale 1.0, all-zero q
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+        orig = dict(vecs)
+        for vid, r in rows.items():
+            scale, q = r["scale"], r["q"]
+            assert all(-127 <= v <= 127 for v in q)
+            # dequantization error per element ≤ scale/2 (+ float slack)
+            for x, qi in zip(orig[vid], q):
+                assert abs(x - qi * scale) <= scale / 2 + 1e-9
+        assert rows[99]["scale"] == 1.0 and set(rows[99]["q"]) == {0}
