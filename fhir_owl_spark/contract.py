@@ -585,6 +585,24 @@ def q_vocab_top100(spark, sf_dir) -> DataFrame:
     return out.select("word", F.col("n").cast("long").alias("n"))
 
 
+def q_corpus_rollup(spark, sf_dir) -> DataFrame:
+    """Corpus composition with ROLLUP (source, lang) — per-(source, lang),
+    per-source, and grand-total rows in one pass (partial-aggregated,
+    GROUPING SETS expansion map-side). The mixing-weights report a
+    training run reads at every aggregation level."""
+    from .operators.text import whitespace_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count("text")).cast("long").alias("n_tokens"),
+        )
+        .select("source", "lang", "n_docs", "n_tokens")
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir) -> DataFrame:
     """int8 embedding quantization (operators.similarity.
     quantize_embeddings_int8), exploded to scalar rows (vec_id, idx,
@@ -904,6 +922,7 @@ QUERIES = {
     "vocab_top100": q_vocab_top100,
     "conv_sessions": q_conv_sessions,
     "quantize_embeddings": q_quantize_embeddings,
+    "corpus_rollup": q_corpus_rollup,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1354,6 +1373,17 @@ SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM corpus c JOIN bench b ON c.shingle = b.shingle
 GROUP BY c.doc_id
 HAVING count(*) >= 1
+""",
+        "corpus_rollup": r"""
+WITH t AS (
+  SELECT source, lang,
+         CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+  FROM documents)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens
+FROM t GROUP BY ROLLUP (source, lang)
 """,
         "corpus_stats": r"""
 WITH t AS (
