@@ -69,9 +69,10 @@ def transitive_closure(
         F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
     ).distinct()
     base = base.filter(F.col("child") != F.col("parent")).localCheckpoint(eager=True)
-    n_base = base.count()  # cheap: counts cached checkpoint blocks
     if broadcast_edges is None:
-        broadcast_edges = n_base <= BROADCAST_EDGE_ROW_LIMIT
+        # counts cached checkpoint blocks; only on the AUTO path so the
+        # explicit billion-edge-shuffle caller pays no extra job
+        broadcast_edges = base.count() <= BROADCAST_EDGE_ROW_LIMIT
 
     # Renamed-column copy avoids self-join alias ambiguity (aliases do not
     # survive localCheckpoint-ed plans reliably).
@@ -162,39 +163,75 @@ def reachable_set(
     $subsumes probes with a known-bounded edge table stay
     O(path depth) with no corpus-scale materialization job up front.
     """
+    import functools
+
+    spark = edges.sparkSession
+    hop = _hop_table(edges, direction, child_col, parent_col, broadcast_edges)
+    frontier = spark.createDataFrame([(s,) for s in seeds], ["node"]).localCheckpoint(
+        eager=True
+    )
+    visited_parts = _seeded_bfs(
+        frontier, hop, ["node"], max_iterations, stop_at, "reachable_set"
+    )
+    return (
+        functools.reduce(DataFrame.union, visited_parts)
+        if visited_parts
+        else spark.createDataFrame([], "node string")
+    )
+
+
+def _hop_table(edges, direction, child_col, parent_col, broadcast_edges):
+    """Single-hop (node → nxt) table for the seeded BFS family, with AUTO
+    broadcast sizing (localCheckpoint + bounded count) when
+    broadcast_edges is None — see reachable_set's docstring."""
     if direction == "up":
         src, dst = child_col, parent_col
     elif direction == "down":
         src, dst = parent_col, child_col
     else:
         raise ValueError(direction)
-    spark = edges.sparkSession
     hop = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt")).filter(
         F.col("node") != F.col("nxt")
     )
     if broadcast_edges is None:
         hop = hop.localCheckpoint(eager=True)
         broadcast_edges = hop.count() <= BROADCAST_EDGE_ROW_LIMIT
-    if broadcast_edges:
-        hop = F.broadcast(hop)
+    return F.broadcast(hop) if broadcast_edges else hop
 
+
+def _seeded_bfs(
+    frontier: DataFrame,
+    hop,
+    key_cols: list[str],
+    max_iterations: int,
+    stop_at,
+    op_name: str,
+) -> list[DataFrame]:
+    """Shared frontier loop for reachable_set / reachable_pairs: lazy
+    checkpoint fused with the emptiness (+ optional stop-target) probe —
+    one job per hop; visited kept as disjoint checkpointed frontier parts
+    (the frontier is distinct and anti-joined against visited, so the
+    parts never overlap and never need re-materializing). ``key_cols`` is
+    ["node"] for the pooled set, ["seed", "node"] for per-seed
+    attribution. Returns the frontier parts; raises on non-convergence
+    (a silently truncated reachable set would give subsumes() false
+    negatives — same contract as transitive_closure / dup_clusters)."""
     import functools
 
-    frontier = spark.createDataFrame([(s,) for s in seeds], ["node"]).localCheckpoint(
-        eager=True
-    )
+    carried = [c for c in key_cols if c != "node"]
     visited_parts: list[DataFrame] = []
     for _ in range(max_iterations):
         stepped = (
             frontier.join(hop, "node")
-            .select(F.col("nxt").alias("node"))
+            .select(*carried, F.col("nxt").alias("node"))
             .distinct()
         )
         if visited_parts:
             stepped = stepped.join(
-                functools.reduce(DataFrame.union, visited_parts), "node", "left_anti"
+                functools.reduce(DataFrame.union, visited_parts),
+                key_cols,
+                "left_anti",
             )
-        # lazy checkpoint + probe = one job per hop (see transitive_closure)
         frontier = stepped.localCheckpoint(eager=False)
         probe = frontier.agg(
             F.count(F.lit(1)).alias("n"),
@@ -202,29 +239,18 @@ def reachable_set(
         ).first()
         if probe["n"] == 0:
             break
-        # frontier is distinct and anti-joined against visited → the parts
-        # are disjoint; keeping them as a list avoids re-materializing the
-        # whole visited set every hop
         visited_parts.append(frontier)
         if stop_at is not None and probe["hit"] is not None:
             # early exit for single-membership probes ($subsumes): stop the
             # moment the target enters the reached set — per-query cost is
-            # O(path depth), not O(full ancestor set)
+            # O(path depth), not O(full reached set)
             break
     else:
-        # frontier still non-empty after max_iterations: a silently
-        # truncated reachable set would give subsumes() false negatives
-        # and descendants_of() incomplete results — fail loudly, same
-        # contract as transitive_closure / dup_clusters
         raise HierarchyCycleError(
-            f"reachable_set did not converge within {max_iterations} hops — "
+            f"{op_name} did not converge within {max_iterations} hops — "
             "graph deeper than max_iterations; raise it for this query"
         )
-    return (
-        functools.reduce(DataFrame.union, visited_parts)
-        if visited_parts
-        else spark.createDataFrame([], "node string")
-    )
+    return visited_parts
 
 
 def reachable_pairs(
@@ -242,57 +268,20 @@ def reachable_pairs(
     matters and running `reachable_set` once per seed would cost k
     separate BFS loops.
 
-    Same loop skeleton as reachable_set (lazy checkpoint fused with the
-    emptiness probe, visited kept as disjoint frontier parts, AUTO edge
-    broadcast) but the frontier carries the composite (seed, node) key,
-    so cost scales with Σ|reached set per seed| × depth — still never the
-    all-pairs closure.
+    Same loop as reachable_set — shared via ``_seeded_bfs`` — but the
+    frontier carries the composite (seed, node) key, so cost scales with
+    Σ|reached set per seed| × depth — still never the all-pairs closure.
     """
     import functools
 
-    if direction == "up":
-        src, dst = child_col, parent_col
-    elif direction == "down":
-        src, dst = parent_col, child_col
-    else:
-        raise ValueError(direction)
     spark = edges.sparkSession
-    hop = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt")).filter(
-        F.col("node") != F.col("nxt")
-    )
-    if broadcast_edges is None:
-        hop = hop.localCheckpoint(eager=True)
-        broadcast_edges = hop.count() <= BROADCAST_EDGE_ROW_LIMIT
-    if broadcast_edges:
-        hop = F.broadcast(hop)
-
+    hop = _hop_table(edges, direction, child_col, parent_col, broadcast_edges)
     seed_frame = spark.createDataFrame(
         [(s, s) for s in seeds], ["seed", "node"]
     ).localCheckpoint(eager=True)
-    frontier = seed_frame
-    visited_parts: list[DataFrame] = []
-    for _ in range(max_iterations):
-        stepped = (
-            frontier.join(hop, "node")
-            .select("seed", F.col("nxt").alias("node"))
-            .distinct()
-        )
-        if visited_parts:
-            stepped = stepped.join(
-                functools.reduce(DataFrame.union, visited_parts),
-                ["seed", "node"],
-                "left_anti",
-            )
-        frontier = stepped.localCheckpoint(eager=False)
-        n = frontier.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-        if n == 0:
-            break
-        visited_parts.append(frontier)
-    else:
-        raise HierarchyCycleError(
-            f"reachable_pairs did not converge within {max_iterations} hops — "
-            "graph deeper than max_iterations; raise it for this query"
-        )
+    visited_parts = _seeded_bfs(
+        seed_frame, hop, ["seed", "node"], max_iterations, None, "reachable_pairs"
+    )
     return (
         functools.reduce(DataFrame.union, visited_parts)
         if visited_parts

@@ -532,17 +532,26 @@ def http_fetcher(cache_dir: str | None = None, timeout: float = 30.0):
     imports.
     """
     import hashlib
+    import os
     import ssl
     import tempfile
+    import urllib.parse
     import urllib.request
 
     cache = cache_dir or tempfile.mkdtemp(prefix="owl_imports_")
+    os.makedirs(cache, exist_ok=True)
     ctx = ssl._create_unverified_context()  # noqa: S323 — reference parity
     seen: dict[str, str] = {}
 
     def fetch(iri: str) -> str:
         if iri in seen:
             return seen[iri]
+        # http/https only: import IRIs are ontology-controlled content, and
+        # urlopen would otherwise happily read file:// / ftp:// — the
+        # trust-all TLS is documented reference parity, scheme laxity is not
+        scheme = urllib.parse.urlsplit(iri).scheme
+        if scheme not in ("http", "https"):
+            raise ValueError(f"unsupported owl:imports scheme {scheme!r}: {iri}")
         dest = f"{cache}/{hashlib.sha256(iri.encode()).hexdigest()[:24]}.owl"
         with urllib.request.urlopen(iri, timeout=timeout, context=ctx) as r:
             body = r.read()

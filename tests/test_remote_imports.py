@@ -198,3 +198,24 @@ def test_cli_flag_wires_fetcher(tmp_path, http_served):
          "--fetch-remote-imports"]
     )
     assert args.fetch_remote_imports is True
+
+
+def test_fetcher_creates_cache_dir(tmp_path, http_served):
+    """A user-supplied cache_dir that doesn't exist yet must be created,
+    not turned into a silent per-IRI fetch failure."""
+    base, _ = http_served
+    iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(iri))
+    cache = tmp_path / "nested" / "does_not_exist_yet"
+    fetch = http_fetcher(cache_dir=str(cache))
+    p = fetch(iri)
+    assert p.startswith(str(cache))
+
+
+def test_fetcher_rejects_non_http_schemes(tmp_path):
+    """owl:imports IRIs are ontology-controlled — file:///ftp:// must be
+    refused (urlopen would happily read them)."""
+    fetch = http_fetcher()
+    for iri in ("file:///etc/passwd", "ftp://example.com/a.owl"):
+        with pytest.raises(ValueError, match="unsupported owl:imports scheme"):
+            fetch(iri)
