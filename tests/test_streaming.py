@@ -147,3 +147,60 @@ def test_stream_checkpoint_resume_processes_only_new_files(spark, setup, tmp_pat
     got = {(r["subj"], r["obj"]) for r in streamed.select("subj", "obj").collect()}
     want = {(r["code"], r["conv_id"]) for r in expected.select("code", "conv_id").collect()}
     assert got == want
+
+
+def test_sessionize_stream_equals_batch_across_restarts(spark, tmp_path):
+    """Streaming sessionization must equal batch sessionize even when a
+    conversation's sessions SPAN micro-batches: early turns in run 1,
+    later turns appended and processed by run 2 on the same checkpoint —
+    the keyed (last_ts, session) state carries across the restart."""
+    from datetime import datetime, timedelta
+
+    from fhir_owl_spark.operators.conversations import sessionize
+    from fhir_owl_spark.schemas import TRANSCRIPTS
+    from fhir_owl_spark.streaming.sessions import sessionize_stream
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    for c in ("c1", "c2", "c3"):
+        offs = {"c1": 0, "c2": 7, "c3": 41}[c]
+        # gaps (minutes) between consecutive turns: mixture above/below 30
+        gaps = [0, 10, 40, 5, 90, 10]
+        acc = offs
+        for i, g in enumerate(gaps):
+            acc += g
+            rows.append((c, i, "user", f"turn {i}", None, t0 + timedelta(minutes=acc)))
+    full = spark.createDataFrame(rows, schema=TRANSCRIPTS)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    full.filter("turn_idx < 3").write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(TRANSCRIPTS).parquet(src)
+        q = (
+            sessionize_stream(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # first half: sessions 0..1 begin
+    full.filter("turn_idx >= 3").write.mode("append").parquet(src)
+    run()  # second half: the 90-minute gap lands AFTER the restart
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["session_idx"], r["gap_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["session_idx"], r["gap_us"])
+        for r in sessionize(full, gap="30 minutes").collect()
+    }
+    assert got == want
+    assert len(got) == 18
+    # sanity: the cross-restart gap really did open a new session
+    assert want[("c1", 4)][0] == want[("c1", 3)][0] + 1
