@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the training-data corpus operators.
+
+    spark-submit --py-files fhir_owl_spark.zip jobs/corpus_pipeline.py \
+        <subcommand> --input /data/documents --output /data/out [options]
+
+Subcommands (each reads a parquet documents table with at least
+(doc_id, text) and writes parquet):
+
+  dedup       exact + MinHash/LSH near-dup resolution → the KEPT rows
+              (one representative per duplicate cluster)
+  quality     token/quality/language/repetition features + keep verdicts
+              (no rows dropped — downstream filters on the columns)
+  filter      apply the keep verdicts (quality score + repetition cutoffs)
+  normalize   text normalization (tags/entities/control chars/whitespace)
+  redact      PII redaction (emails, IPs, card/SSN/phone shapes)
+  sample      deterministic hash-identity sampling (global rate or
+              per-stratum rates like lang=en:1.0,de:0.25)
+  chunk       token-window chunking (max tokens + overlap)
+  stats       corpus composition report (per source×lang + ROLLUP levels)
+
+Every stage is the library operator documented in COVERAGE.md — this CLI
+only wires io. One JSON status line is printed on success.
+
+Local smoke: python jobs/corpus_pipeline.py quality \
+    --input /root/testdata/sf0.001/documents.parquet --output /tmp/q
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Training-data corpus pipeline stages")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True, help="parquet documents dir/file")
+        sp.add_argument("--output", required=True, help="output parquet dir")
+        sp.add_argument("--text-col", default="text")
+        sp.add_argument("--id-col", default="doc_id")
+        sp.add_argument("--cpus", type=int, default=None,
+                        help="local[N] when not under spark-submit")
+
+    d = sub.add_parser("dedup", help="near-dup resolve, keep one per cluster")
+    common(d)
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="exact word-shingle Jaccard cutoff for verified pairs")
+
+    q = sub.add_parser("quality", help="append feature + verdict columns")
+    common(q)
+
+    f = sub.add_parser("filter", help="drop rows failing the keep verdicts")
+    common(f)
+    f.add_argument("--min-quality", type=float, default=0.0)
+
+    n = sub.add_parser("normalize", help="normalize text in place")
+    common(n)
+
+    r = sub.add_parser("redact", help="redact PII in place")
+    common(r)
+
+    s = sub.add_parser("sample", help="deterministic sampling")
+    common(s)
+    s.add_argument("--rate", type=float, default=None, help="global keep rate")
+    s.add_argument("--stratum-col", default=None)
+    s.add_argument("--rates", default=None,
+                   help="per-stratum rates, e.g. en:1.0,de:0.25")
+    s.add_argument("--salt", default="v1")
+
+    c = sub.add_parser("chunk", help="token-window chunking")
+    common(c)
+    c.add_argument("--max-tokens", type=int, default=128)
+    c.add_argument("--overlap", type=int, default=16)
+
+    st = sub.add_parser("stats", help="corpus composition (ROLLUP)")
+    common(st)
+    st.add_argument("--group-cols", default="source,lang")
+
+    return p.parse_args(argv)
+
+
+def run(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from fhir_owl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"corpus-{args.cmd}", parallelism=args.cpus)
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    if args.cmd == "dedup":
+        from fhir_owl_spark.operators import dedup
+
+        pairs = dedup.minhash_dedup_pairs(
+            docs, args.text_col, args.id_col, threshold=args.threshold
+        )
+        decisions = dedup.dedup_keep_one(docs, pairs, id_col=args.id_col)
+        out = docs.join(
+            decisions.filter(F.col("keep")).select(args.id_col), args.id_col
+        )
+    elif args.cmd == "quality":
+        from fhir_owl_spark.operators import text
+
+        out = text.repetition_features(
+            text.quality_features(docs, args.text_col), args.text_col
+        ).withColumn("lang_id", text.lang_id_col(args.text_col))
+    elif args.cmd == "filter":
+        from fhir_owl_spark.operators import text
+
+        feats = text.repetition_features(
+            text.quality_features(docs, args.text_col), args.text_col
+        )
+        out = feats.filter(
+            F.col("repetition_ok") & (F.col("quality_score") >= args.min_quality)
+        ).select(*docs.columns)
+    elif args.cmd == "normalize":
+        from fhir_owl_spark.operators import text
+
+        out = docs.withColumn(args.text_col, text.normalize_text_col(args.text_col))
+    elif args.cmd == "redact":
+        from fhir_owl_spark.operators import text
+
+        out = docs.withColumn(args.text_col, text.redact_pii_col(args.text_col))
+    elif args.cmd == "sample":
+        from fhir_owl_spark.operators import sampling
+
+        if args.rates:
+            rates = {
+                k: float(v)
+                for k, v in (kv.split(":") for kv in args.rates.split(","))
+            }
+            if not args.stratum_col:
+                raise SystemExit("--rates needs --stratum-col")
+            out = sampling.stratified_sample(
+                docs, rates, args.stratum_col, args.id_col, salt=args.salt
+            )
+        elif args.rate is not None:
+            out = sampling.sample_rows(docs, args.rate, args.id_col, salt=args.salt)
+        else:
+            raise SystemExit("sample needs --rate or --rates")
+    elif args.cmd == "chunk":
+        from fhir_owl_spark.operators import text
+
+        out = text.chunk_documents(
+            docs, args.max_tokens, args.overlap, args.text_col, args.id_col
+        )
+    elif args.cmd == "stats":
+        cols = [c for c in args.group_cols.split(",") if c]
+        from fhir_owl_spark.operators.text import whitespace_token_count
+
+        out = docs.rollup(*cols).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count(args.text_col)).cast("long").alias("n_tokens"),
+        )
+    else:  # pragma: no cover — argparse enforces the choice
+        raise SystemExit(args.cmd)
+
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    status = {"cmd": args.cmd, "rows_in": n_in, "rows_out": n_out,
+              "output": args.output}
+    print(json.dumps(status))
+    return status
+
+
+def main(argv=None) -> int:
+    run(parse_args(argv))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -139,3 +139,45 @@ def test_spark_submit_py_files_e2e(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["triples"] == 7345  # same count as entry(spark) at sf0.001
+
+
+def test_corpus_pipeline_subcommands(spark, tmp_path, capsys):
+    """The training-data CLI wires the library operators end-to-end:
+    filter drops rows by the verdicts, sample keeps a deterministic
+    subset, chunk fans documents out to windows."""
+    import jobs.corpus_pipeline as cp
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river"),
+            (1, "spam spam spam spam spam spam spam spam"),  # repetition fail
+            (2, "a perfectly ordinary document of plain text and the usual words"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    s = run(["filter", "--input", src, "--output", str(tmp_path / "f")])
+    assert s["rows_in"] == 4
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "f")).collect()}
+    assert 1 not in kept  # repetition verdict dropped the spam doc
+    assert s["rows_out"] == len(kept)
+
+    s = run(["sample", "--input", src, "--output", str(tmp_path / "s"),
+             "--rate", "0.5"])
+    assert 0 <= s["rows_out"] <= 4
+    s2 = run(["sample", "--input", src, "--output", str(tmp_path / "s2"),
+              "--rate", "0.5"])
+    assert s2["rows_out"] == s["rows_out"]  # deterministic
+
+    s = run(["chunk", "--input", src, "--output", str(tmp_path / "c"),
+             "--max-tokens", "4", "--overlap", "1"])
+    assert s["rows_out"] > 4  # long docs fan out to multiple windows
