@@ -574,6 +574,28 @@ def q_conv_sessions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_conv_render(spark, sf_dir) -> DataFrame:
+    """Conversation → one training document (operators.conversations.
+    render_conversations): turn-ordered 'role: text' lines — the SFT data
+    prep step; string_agg ORDER BY is the DuckDB oracle."""
+    from .operators.conversations import render_conversations
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "signup"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+    out = render_conversations(t)
+    return out.select(
+        "conv_id", "text", F.col("n_turns").cast("long").alias("n_turns")
+    )
+
+
 def q_vocab_top100(spark, sf_dir) -> DataFrame:
     """Global top-k vocabulary (operators.text.vocab_top_words): one
     combiner-backed aggregation + TakeOrderedAndProject — the vocabulary
@@ -923,6 +945,7 @@ QUERIES = {
     "conv_sessions": q_conv_sessions,
     "quantize_embeddings": q_quantize_embeddings,
     "corpus_rollup": q_corpus_rollup,
+    "conv_render": q_conv_render,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1426,6 +1449,20 @@ SELECT conv_id, turn_idx, gap_us,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS session_idx
 FROM g
+""",
+        "conv_render": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         CASE WHEN event_type IN ('click','signup') THEN 'user'
+              ELSE 'assistant' END AS role,
+         props AS text
+  FROM events)
+SELECT conv_id,
+       string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                  ORDER BY turn_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY conv_id
 """,
         "vocab_top100": r"""
 WITH w AS (

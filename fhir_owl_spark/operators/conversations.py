@@ -109,6 +109,29 @@ def sessionize(
     )
 
 
+def render_conversations(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
+    """Flatten each conversation into ONE training document (the SFT-prep
+    step): turns in turn_idx order rendered as ``role: text`` lines.
+
+    One shuffle on conv_id; collect_list is bounded by conversation
+    length (10^2-10^3 turns by contract). The in-group ordering is done
+    with array_sort over (turn_idx, …) structs — struct comparison is
+    lexicographic and turn_idx is unique per conversation, so the render
+    is deterministic under any partitioning.
+    """
+    rows = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    rendered = F.concat_ws(
+        sep,
+        F.transform(
+            rows,
+            lambda r: F.concat(r.role, F.lit(": "), F.coalesce(r.text, F.lit(""))),
+        ),
+    )
+    return transcripts.groupBy("conv_id").agg(
+        rendered.alias("text"), F.count(F.lit(1)).alias("n_turns")
+    )
+
+
 def tool_usage(transcripts: DataFrame) -> DataFrame:
     """Per-conversation tool-call analytics over agent transcripts — the
     ``tool`` column of the input shape (conv_id, turn_idx, role, text,
