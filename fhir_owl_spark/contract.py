@@ -625,6 +625,32 @@ def q_corpus_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal image-feature plumbing (operators.multimodal.
+    image_features) with VALUE verification: documents' utf-8 bytes stand
+    in for image content, the stub decoder's SHA256 stream is recomputed
+    byte-for-byte by the DuckDB oracle, and the float features are
+    re-scaled to exact byte integers for hashing."""
+    from .operators.multimodal import image_features
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("content"),
+        F.lit(320).alias("width"),
+        F.lit(240).alias("height"),
+    )
+    out = image_features(media, feature_dim=32)
+    return out.select(
+        "media_id", F.posexplode("feature").alias("idx", "feat")
+    ).select(
+        "media_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("feat") * 255).cast("long").alias("byte_val"),
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir) -> DataFrame:
     """int8 embedding quantization (operators.similarity.
     quantize_embeddings_int8), exploded to scalar rows (vec_id, idx,
@@ -946,6 +972,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "corpus_rollup": q_corpus_rollup,
     "conv_render": q_conv_render,
+    "media_features": q_media_features,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1337,6 +1364,17 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "media_features": """
+WITH sh AS (
+  SELECT doc_id, sha256(coalesce(text,'') || '|0') AS h FROM documents),
+idx AS (SELECT unnest(generate_series(0, 31)) AS i),
+lut AS (SELECT unnest(generate_series(0, 255)) AS v),
+b AS (SELECT doc_id, i, substr(h, i*2 + 1, 2) AS hx FROM sh, idx)
+SELECT b.doc_id AS media_id,
+       CAST(b.i AS BIGINT) AS idx,
+       CAST(lut.v AS BIGINT) AS byte_val
+FROM b JOIN lut ON printf('%02x', lut.v) = b.hx
 """,
         "quantize_embeddings": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

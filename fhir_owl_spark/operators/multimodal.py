@@ -69,14 +69,20 @@ FRAME_SAMPLES = StructType(
 def _fake_decode(content: bytes, n: int) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels from a SHA256 stream of
     the bytes. Replaces PIL/ffmpeg in this container; swap with a real
-    decoder in production."""
+    decoder in production.
+
+    The block counter is appended as ASCII (``|0``, ``|1``, …), not raw
+     32-bit bytes: NUL bytes cannot ride through a VARCHAR-only sha256,
+    and the ASCII form lets the DuckDB contract oracle recompute the
+    exact stream (media_features query) — value-level verification of
+    the whole multimodal plumbing, not just shapes."""
     if content is None:
         content = b""
     out = np.empty(n, dtype=np.float32)
     i = 0
     counter = 0
     while i < n:
-        block = hashlib.sha256(content + counter.to_bytes(4, "big")).digest()
+        block = hashlib.sha256(content + b"|" + str(counter).encode()).digest()
         chunk = np.frombuffer(block, dtype=np.uint8).astype(np.float32) / 255.0
         take = min(len(chunk), n - i)
         out[i : i + take] = chunk[:take]
