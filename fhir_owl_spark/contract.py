@@ -625,6 +625,30 @@ def q_corpus_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark, sf_dir) -> DataFrame:
+    """The COMPOSED training-data prep plan (plans.corpus_prep) —
+    normalize → quality+repetition filter → exact dedup (min id per
+    normalized text) → chunk → deterministic sample — value-oracled END
+    TO END, not just per stage."""
+    from .plans.corpus_prep import prepare_corpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prepare_corpus(
+        docs,
+        min_quality=0.2,
+        max_tokens=32,
+        overlap=8,
+        sample_rate=0.5,
+        hash_fn=dedup.md5_60bit,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal image-feature plumbing (operators.multimodal.
     image_features) with VALUE verification: documents' utf-8 bytes stand
@@ -973,6 +997,7 @@ QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "conv_render": q_conv_render,
     "media_features": q_media_features,
+    "corpus_prep": q_corpus_prep,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1364,6 +1389,74 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "corpus_prep": r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(coalesce(text,''), '<[^>]+>', ' ', 'g'),
+             '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''),
+             '&nbsp;',' '), '&amp;','&'),
+           '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents),
+q AS (
+  SELECT doc_id, t,
+         length(t) AS n_chars,
+         CASE WHEN trim(t) = '' THEN 0
+              ELSE len(string_split_regex(trim(t), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(t, '[^\w\s]')) AS n_punct,
+         len(list_intersect(list_distinct(string_split_regex(lower(t), '\s+')),
+             ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+  FROM norm),
+score AS (
+  SELECT doc_id, t,
+         greatest(0.0, least(1.0,
+           0.5 * (CASE WHEN n_tokens > 0 THEN n_stop / 10.0 ELSE 0.0 END)
+         + 0.3 * least(n_chars / 1000.0, 1.0)
+         - 0.2 * (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+                       ELSE 0.0 END))) AS quality_score
+  FROM q),
+rep AS (
+  SELECT doc_id, t, quality_score,
+         CASE WHEN length(trim(t)) = 0 THEN []
+              ELSE string_split_regex(lower(t), '\s+') END AS ws
+  FROM score),
+rep2 AS (
+  SELECT doc_id, t, quality_score,
+         CASE WHEN len(ws) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(ws)-1),
+                                  i -> ws[i]||' '||ws[i+1]) END AS g2,
+         CASE WHEN len(ws) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(ws)-2),
+                                  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END AS g3
+  FROM rep),
+kept AS (
+  SELECT doc_id, t FROM rep2
+  WHERE quality_score >= 0.2
+    AND (CASE WHEN len(g2) > 0
+              THEN list_max(list_transform(list_distinct(g2),
+                   d -> len(list_filter(g2, x -> x = d))))/CAST(len(g2) AS DOUBLE)
+              ELSE 0.0 END) <= 0.20
+    AND (CASE WHEN len(g3) > 0
+              THEN 1.0 - len(list_distinct(g3))/CAST(len(g3) AS DOUBLE)
+              ELSE 0.0 END) <= 0.18),
+dedup AS (SELECT t, min(doc_id) AS doc_id FROM kept GROUP BY t),
+w AS (SELECT doc_id, string_split_regex(lower(t), '\s+') AS words FROM dedup),
+n AS (SELECT doc_id, words,
+             CASE WHEN length(trim(array_to_string(words, ' '))) = 0
+                  THEN 0 ELSE len(words) END AS nw
+      FROM w),
+n2 AS (SELECT doc_id, words, nw,
+              greatest(1, 1 + CAST(floor((nw - 32 + 23) / 24.0) AS INT)) AS nc
+       FROM n)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(words[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+       CAST(greatest(0, least(nw - i*24, 32)) AS BIGINT) AS n_tokens
+FROM n2, unnest(range(0, nc)) AS tt(i)
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
+      % 1000000 < 500000
 """,
         "media_features": """
 WITH sh AS (

@@ -195,3 +195,26 @@ def test_tool_usage_aggregates_bounded_intermediate(spark, transcripts_parquet):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 2, plan  # (conv_id, tool) then conv_id
     assert "partial_count" in plan  # map-side combine on the first agg
+
+
+def test_corpus_prep_is_one_shuffle(spark, transcripts_parquet):
+    """The composed prep pipeline (normalize → verdict filter → dedup →
+    chunk → sample) must compile to scan → fused filter → ONE Exchange
+    (the dedup hash aggregate) → sample filter → explode, with the
+    sampling predicate pushed below the chunk fan-out and no Sort."""
+    from fhir_owl_spark.plans.corpus_prep import prepare_corpus
+
+    # numeric id: min(string) has an immutable aggregation buffer and
+    # would force SortAggregate (see prepare_corpus docstring)
+    docs = spark.read.parquet(transcripts_parquet).select(
+        F.abs(F.xxhash64("conv_id", "turn_idx")).alias("doc_id"), "text"
+    )
+    out = prepare_corpus(docs, min_quality=0.1, sample_rate=0.5)
+    tree = plan_of(out).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Sort" not in tree, tree
+    assert "Generate" in tree  # the chunk explode
+    # the sample filter sits BELOW the explode (pushed before the chunk
+    # fan-out) and above the dedup aggregate; the tree prints parents
+    # first, so: Generate < Filter < HashAggregate by string position
+    assert tree.index("Generate") < tree.index("Filter") < tree.index("HashAggregate")
