@@ -18,6 +18,15 @@ Subcommands (each reads a parquet documents table with at least
               per-stratum rates like lang=en:1.0,de:0.25)
   chunk       token-window chunking (max tokens + overlap)
   stats       corpus composition report (per source×lang + ROLLUP levels)
+  prep        the composed plan: normalize → quality/repetition filter →
+              exact dedup → chunk → sample, one Catalyst plan
+              (plans/corpus_prep.py; one shuffle end to end)
+
+Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
+
+  render      flatten each conversation to one 'role: text' document
+  sessionize  append inactivity-gap session indexes
+  tool-stats  per-conversation tool-call analytics
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -82,6 +91,23 @@ def parse_args(argv=None):
     st = sub.add_parser("stats", help="corpus composition (ROLLUP)")
     common(st)
     st.add_argument("--group-cols", default="source,lang")
+
+    pp = sub.add_parser("prep", help="composed normalize→filter→dedup→chunk→sample")
+    common(pp)
+    pp.add_argument("--min-quality", type=float, default=0.0)
+    pp.add_argument("--max-tokens", type=int, default=128)
+    pp.add_argument("--overlap", type=int, default=16)
+    pp.add_argument("--rate", type=float, default=1.0)
+
+    rd = sub.add_parser("render", help="conversation → one training document")
+    common(rd)
+
+    sz = sub.add_parser("sessionize", help="append inactivity-gap sessions")
+    common(sz)
+    sz.add_argument("--gap", default="30 minutes")
+
+    ts = sub.add_parser("tool-stats", help="per-conversation tool analytics")
+    common(ts)
 
     return p.parse_args(argv)
 
@@ -159,6 +185,30 @@ def run(args) -> dict:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(whitespace_token_count(args.text_col)).cast("long").alias("n_tokens"),
         )
+    elif args.cmd == "prep":
+        from fhir_owl_spark.plans.corpus_prep import prepare_corpus
+
+        out = prepare_corpus(
+            docs,
+            min_quality=args.min_quality,
+            max_tokens=args.max_tokens,
+            overlap=args.overlap,
+            sample_rate=args.rate,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    elif args.cmd == "render":
+        from fhir_owl_spark.operators.conversations import render_conversations
+
+        out = render_conversations(docs)
+    elif args.cmd == "sessionize":
+        from fhir_owl_spark.operators.conversations import sessionize
+
+        out = sessionize(docs, gap=args.gap)
+    elif args.cmd == "tool-stats":
+        from fhir_owl_spark.operators.conversations import tool_usage
+
+        out = tool_usage(docs)
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 
