@@ -291,3 +291,69 @@ def test_sampling_monotone_and_salt_independent_property(spark, rate_lo, rate_hi
     # determinism: same call → same set
     again = {r["doc_id"] for r in sample_rows(df, hi, "doc_id", salt=salt).collect()}
     assert big == again
+
+
+@st.composite
+def random_dags(draw):
+    """Random DAG as (child, parent) edges over nodes n0..n{k}: each node
+    may point to any lower-numbered node — acyclic by construction."""
+    k = draw(st.integers(min_value=2, max_value=14))
+    edges = []
+    for c in range(1, k + 1):
+        for p in draw(st.lists(st.integers(0, c - 1), max_size=3, unique=True)):
+            edges.append((f"n{c}", f"n{p}"))
+    return edges
+
+
+def _py_reach(edges, seeds):
+    """Independent model: per-seed upward reachability by plain BFS."""
+    adj: dict = {}
+    for c, p in edges:
+        adj.setdefault(c, set()).add(p)
+    out = set()
+    for s in seeds:
+        frontier, seen = {s}, set()
+        while frontier:
+            nxt = set()
+            for n in frontier:
+                for p in adj.get(n, ()):
+                    if p not in seen:
+                        seen.add(p)
+                        nxt.add(p)
+            frontier = nxt
+        out |= {(s, n) for n in seen}
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(edges=random_dags(), data=st.data())
+def test_reachable_pairs_and_closure_delta_match_model(spark, edges, data):
+    """reachable_pairs (per-seed attribution) and the closure-delta
+    composition must equal a plain-Python BFS model on random DAGs,
+    through BOTH physical paths (broadcast and shuffle hops)."""
+    from fhir_owl_spark.operators.hierarchy import reachable_pairs
+
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    seeds = data.draw(
+        st.lists(st.sampled_from(nodes), min_size=1, max_size=3, unique=True)
+    )
+    bcast = data.draw(st.booleans())
+    e = spark.createDataFrame(edges, ["child", "parent"])
+    got = {
+        (r["seed"], r["node"])
+        for r in reachable_pairs(e, seeds, direction="up", broadcast_edges=bcast).collect()
+    }
+    assert got == _py_reach(edges, seeds)
+
+    # downward reachability ≡ upward over reversed edges
+    got_down = {
+        (r["seed"], r["node"])
+        for r in reachable_pairs(e, seeds, direction="down", broadcast_edges=bcast).collect()
+    }
+    assert got_down == _py_reach([(p, c) for c, p in edges], seeds)
