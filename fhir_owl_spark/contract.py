@@ -625,6 +625,37 @@ def q_corpus_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_asof_events(spark, sf_dir) -> DataFrame:
+    """Backward as-of join (operators.temporal.asof_join): each click
+    event gets the most recent prior-or-equal purchase value for its
+    user. DuckDB's native ASOF LEFT JOIN is the oracle, so the operator's
+    tie and inclusivity rules are checked against an independent
+    implementation of the same semantics."""
+    from .operators.temporal import asof_join
+
+    events = _read(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # one right row per (user, ts): tie-break = max event_id, same on
+    # both sides (the operator requires unique (key, ts) rights)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    # wall-clock string, not epoch: TZ-proof for TIMESTAMP_NTZ inputs
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("asof_value"), 6).alias("last_purchase_value"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_purchase_at"
+        ),
+    )
+
+
 def q_corpus_prep(spark, sf_dir) -> DataFrame:
     """The COMPOSED training-data prep plan (plans.corpus_prep) —
     normalize → quality+repetition filter → exact dedup (min id per
@@ -998,6 +1029,7 @@ QUERIES = {
     "conv_render": q_conv_render,
     "media_features": q_media_features,
     "corpus_prep": q_corpus_prep,
+    "asof_events": q_asof_events,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1389,6 +1421,18 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "asof_events": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id,
+       round(r.value, 6) AS last_purchase_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_at
+FROM clicks l ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
         "corpus_prep": r"""
 WITH norm AS (

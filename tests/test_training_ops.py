@@ -526,3 +526,41 @@ class TestQuantization:
             for x, qi in zip(orig[vid], q):
                 assert abs(x - qi * scale) <= scale / 2 + 1e-9
         assert rows[99]["scale"] == 1.0 and set(rows[99]["q"]) == {0}
+
+
+class TestAsofJoin:
+    def test_semantics(self, spark):
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import asof_join
+
+        t = lambda m: datetime(2024, 1, 1, 9, m, 0)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, "u1", t(5)), (2, "u1", t(10)), (3, "u1", t(2)), (4, "u2", t(5))],
+            ["event_id", "user_id", "ts"],
+        )
+        right = spark.createDataFrame(
+            [("u1", t(5), 50.0), ("u1", t(8), 80.0), ("u3", t(1), 10.0)],
+            ["user_id", "ts", "value"],
+        )
+        got = {
+            r["event_id"]: (r["asof_value"], r["asof_ts"])
+            for r in asof_join(left, right, on="user_id").collect()
+        }
+        assert got[1] == (50.0, t(5))  # equal ts matches (inclusive)
+        assert got[2] == (80.0, t(8))  # latest prior, not first
+        assert got[3] == (None, None)  # nothing at-or-before
+        assert got[4] == (None, None)  # key with no rights at all
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import asof_join
+
+        t = lambda m: datetime(2024, 1, 1, 9, m, 0)  # noqa: E731
+        left = spark.createDataFrame([(1, "u1", t(30))], ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame([("u1", t(0), 7.0)], ["user_id", "ts", "value"])
+        fresh = asof_join(left, right, on="user_id", tolerance_us=31 * 60 * 1_000_000)
+        assert fresh.collect()[0]["asof_value"] == 7.0
+        stale = asof_join(left, right, on="user_id", tolerance_us=10 * 60 * 1_000_000)
+        assert stale.collect()[0]["asof_value"] is None
