@@ -625,6 +625,75 @@ def q_corpus_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_range_join_events(spark, sf_dir) -> DataFrame:
+    """Bucketed interval-containment join (operators.temporal.range_join):
+    click events inside per-user [first purchase, first purchase + 6h]
+    windows — equi-join on (key, time bucket) + exact filter, never a
+    nested-loop join; oracle is the plain inequality join."""
+    from .operators.temporal import range_join
+
+    events = _read(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    out = range_join(clicks, windows, on="user_id", bucket_s=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("win_start"),
+    )
+
+
+def q_time_rollup(spark, sf_dir) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (operators.temporal.
+    time_rollup): hour+day event counts and value sums in ONE shuffle."""
+    from .operators.temporal import time_rollup
+
+    events = _read(spark, sf_dir, "events")
+    out = time_rollup(
+        events,
+        resolutions=("hour", "day"),
+        group_cols=("event_type",),
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 6),
+        },
+    )
+    return out.select(
+        "resolution",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    )
+
+
+def q_kmv_vocab(spark, sf_dir) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (operators.sketches.
+    kmv_distinct) over the corpus vocabulary — the estimate is a
+    deterministic function of the md5-60bit hash, so DuckDB recomputes
+    the SAME approximate number bit-for-bit (unlike HLL, whose estimate
+    is engine-internal)."""
+    from .operators.sketches import kmv_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+")
+        ).alias("word")
+    ).filter(F.length("word") > 0)
+    return kmv_distinct(words, "word", k=64, hash_fn=dedup.md5_60bit).select(
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.col("distinct_est").cast("long").alias("distinct_est"),
+    )
+
+
 def q_asof_events(spark, sf_dir) -> DataFrame:
     """Backward as-of join (operators.temporal.asof_join): each click
     event gets the most recent prior-or-equal purchase value for its
@@ -1030,6 +1099,9 @@ QUERIES = {
     "media_features": q_media_features,
     "corpus_prep": q_corpus_prep,
     "asof_events": q_asof_events,
+    "range_join_events": q_range_join_events,
+    "time_rollup": q_time_rollup,
+    "kmv_vocab": q_kmv_vocab,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1421,6 +1493,40 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "range_join_events": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+win AS (
+  SELECT user_id, min(ts) AS start_ts, min(ts) + INTERVAL 6 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT c.event_id, c.user_id,
+       strftime(w.start_ts, '%Y-%m-%d %H:%M:%S.%f') AS win_start
+FROM clicks c JOIN win w
+  ON c.user_id = w.user_id AND c.ts >= w.start_ts AND c.ts <= w.end_ts
+""",
+        "time_rollup": """
+WITH x AS (
+  SELECT 'hour' AS resolution, date_trunc('hour', ts) AS b, event_type, value
+  FROM events
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type, value FROM events)
+SELECT resolution, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
+FROM x GROUP BY resolution, b, event_type
+""",
+        "kmv_vocab": r"""
+WITH w AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(coalesce(text,'')), '\s+')) AS word
+  FROM documents),
+h AS (SELECT DISTINCT CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+      FROM w WHERE length(word) > 0),
+k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE floor(63 * 1152921504606846976.0 / max(h)) END AS BIGINT)
+         AS distinct_est
+FROM k
 """,
         "asof_events": """
 WITH clicks AS (

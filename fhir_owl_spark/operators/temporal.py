@@ -1,4 +1,5 @@
-"""Temporal operators: backward as-of join.
+"""Temporal operators: backward as-of join, bucketed range join,
+hypertable-style multi-resolution rollup.
 
 Spark has no built-in as-of join (joining each left row to the most
 recent right row at or before its timestamp). The standard workarounds
@@ -22,6 +23,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval containment join: every (point, interval) pair with the
+    same key and ``start <= point_ts <= end`` (inclusive both ends).
+
+    Spark compiles a raw inequality join to BroadcastNestedLoopJoin — a
+    per-key cartesian. This implementation BUCKETS time instead: each
+    interval is exploded to the ``bucket_s``-second buckets it overlaps,
+    points map to exactly one bucket, and the join is a plain equi-join
+    on (key, bucket) followed by the exact containment filter. Cost is
+    |points| + Σ interval_span/bucket_s — linear, shuffle on a uniform
+    composite key; pick ``bucket_s`` near the typical interval length so
+    the fan-out stays O(1) per interval.
+    """
+    pb = F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / (bucket_s * 1_000_000))
+    p = points.withColumn("_bucket", pb.cast("long"))
+    sb = F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / (bucket_s * 1_000_000))
+    eb = F.floor(F.unix_micros(F.col(end_col).cast("timestamp")) / (bucket_s * 1_000_000))
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(sb.cast("long"), eb.cast("long")))
+    )
+    joined = p.join(iv, [on, "_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")
 
 
 def asof_join(
@@ -78,3 +113,41 @@ def asof_join(
             }
         )
     return out.drop("_marker", "_ets")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    resolutions: tuple[str, ...] = ("hour", "day"),
+    group_cols: tuple[str, ...] = (),
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: ONE pass emitting a
+    row per (resolution, truncated bucket, group) — the multi-resolution
+    materialized view TimescaleDB keeps per hypertable.
+
+    Implemented as explode over the per-row (resolution, date_trunc)
+    pairs followed by a single partial-aggregated groupBy — Catalyst sees
+    one shuffle regardless of how many resolutions roll up, instead of
+    one scan+shuffle per resolution unioned. ``aggs`` maps output name →
+    Column aggregate; default counts rows.
+    """
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("resolution"),
+                F.date_trunc(r, F.col(ts_col)).alias("bucket"),
+            )
+            for r in resolutions
+        ]
+    )
+    exploded = df.withColumn("_rb", F.explode(pairs))
+    return (
+        exploded.groupBy(
+            F.col("_rb.resolution").alias("resolution"),
+            F.col("_rb.bucket").alias("bucket"),
+            *group_cols,
+        )
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )

@@ -564,3 +564,25 @@ class TestAsofJoin:
         assert fresh.collect()[0]["asof_value"] == 7.0
         stale = asof_join(left, right, on="user_id", tolerance_us=10 * 60 * 1_000_000)
         assert stale.collect()[0]["asof_value"] is None
+
+
+class TestSketches:
+    def test_kmv_estimates_large_distinct_counts(self, spark):
+        from fhir_owl_spark.operators.sketches import kmv_distinct
+
+        n = 20_000
+        df = spark.range(n).selectExpr("concat('val', id) AS v")
+        row = kmv_distinct(df, "v", k=256).collect()[0]
+        assert row["n_sketch"] == 256  # sketch saturated → estimator path
+        # standard error ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(row["distinct_est"] - n) / n < 0.25
+        # duplicates must not change the estimate (distinct semantics)
+        row2 = kmv_distinct(df.union(df), "v", k=256).collect()[0]
+        assert row2["distinct_est"] == row["distinct_est"]
+
+    def test_kmv_exact_below_k(self, spark):
+        from fhir_owl_spark.operators.sketches import kmv_distinct
+
+        df = spark.range(10).selectExpr("concat('v', id) AS v")
+        row = kmv_distinct(df, "v", k=64).collect()[0]
+        assert (row["n_sketch"], row["distinct_est"]) == (10, 10)
