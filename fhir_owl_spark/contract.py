@@ -694,6 +694,23 @@ def q_kmv_vocab(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pagerank_orders(spark, sf_dir) -> DataFrame:
+    """Distributed PageRank (operators.graph.pagerank), 10 synchronous
+    iterations with dangling-mass redistribution, over the orders
+    hierarchy. The oracle is a recursive CTE computing the exact same
+    recurrence; ranks are emitted ×N (relative to uniform) so 6-decimal
+    rounding keeps real precision at any graph size."""
+    from .operators.graph import pagerank
+
+    edges = _order_edges(spark, sf_dir)
+    pr = pagerank(edges, iterations=10, src_col="child", dst_col="parent")
+    n = pr.count()
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("rank") * n, 6).alias("rank_x_n"),
+    )
+
+
 def q_asof_events(spark, sf_dir) -> DataFrame:
     """Backward as-of join (operators.temporal.asof_join): each click
     event gets the most recent prior-or-equal purchase value for its
@@ -1102,6 +1119,7 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "time_rollup": q_time_rollup,
     "kmv_vocab": q_kmv_vocab,
+    "pagerank_orders": q_pagerank_orders,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1493,6 +1511,40 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "pagerank_orders": """
+WITH RECURSIVE
+e AS (SELECT DISTINCT o_orderkey AS src, o_orderkey // 10 AS dst
+      FROM orders WHERE o_orderkey // 10 > 0),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+pr(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  -- single self-reference: the tag-2 copies carry fanned contributions
+  -- to their edge targets, the tag-1 copies guarantee every node (and
+  -- only dangling-node rows, which never fan, feed the dangling mass)
+  SELECT q.iter + 1, q.tgt,
+         (1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (max(q.dang) / (SELECT n FROM nn) + sum(q.share))
+  FROM (
+    SELECT p.iter,
+           CASE WHEN u.tag = 1 THEN p.node ELSE e.dst END AS tgt,
+           CASE WHEN u.tag = 2 AND e.dst IS NOT NULL
+                THEN p.rank / d.deg ELSE 0.0 END AS share,
+           sum(CASE WHEN u.tag = 1 AND d.deg IS NULL AND e.dst IS NULL
+                    THEN p.rank ELSE 0.0 END) OVER () AS dang
+    FROM pr p
+    LEFT JOIN deg d ON p.node = d.src
+    LEFT JOIN e ON p.node = e.src
+    CROSS JOIN (SELECT unnest([1, 2]) AS tag) u
+  ) q
+  WHERE q.tgt IS NOT NULL AND q.iter < 10
+  GROUP BY q.iter, q.tgt)
+SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_x_n
+FROM pr WHERE iter = 10
 """,
         "range_join_events": """
 WITH clicks AS (

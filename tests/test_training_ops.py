@@ -586,3 +586,18 @@ class TestSketches:
         df = spark.range(10).selectExpr("concat('v', id) AS v")
         row = kmv_distinct(df, "v", k=64).collect()[0]
         assert (row["n_sketch"], row["distinct_est"]) == (10, 10)
+
+
+class TestPageRank:
+    def test_mass_conservation_and_ordering(self, spark):
+        from fhir_owl_spark.operators.graph import pagerank
+
+        # star: 1..5 all point at 0; 0 dangles
+        edges = spark.createDataFrame(
+            [(str(i), "0") for i in range(1, 6)], ["src", "dst"]
+        )
+        rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=15).collect()}
+        assert abs(sum(rows.values()) - 1.0) < 1e-9  # dangling mass conserved
+        assert all(rows["0"] > rows[str(i)] for i in range(1, 6))  # hub wins
+        leaf = [rows[str(i)] for i in range(1, 6)]
+        assert max(leaf) - min(leaf) < 1e-12  # symmetry
