@@ -218,3 +218,33 @@ def test_corpus_prep_is_one_shuffle(spark, transcripts_parquet):
     # fan-out) and above the dedup aggregate; the tree prints parents
     # first, so: Generate < Filter < HashAggregate by string position
     assert tree.index("Generate") < tree.index("Filter") < tree.index("HashAggregate")
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must compile to a hash equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin/CartesianProduct, which
+    is what Spark produces for a raw inequality join."""
+    from datetime import datetime
+
+    from fhir_owl_spark.operators.temporal import range_join
+
+    t0 = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, "u1", t0) for i in range(10)], ["event_id", "user_id", "ts"]
+    )
+    iv = spark.createDataFrame([("u1", t0, t0)], ["user_id", "start_ts", "end_ts"])
+    plan = plan_of(range_join(pts, iv, on="user_id"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # a real equi-join happened
+
+
+def test_time_rollup_single_shuffle(spark, transcripts_parquet):
+    """All rollup resolutions must aggregate through ONE exchange."""
+    from fhir_owl_spark.operators.temporal import time_rollup
+
+    tdf = spark.read.parquet(transcripts_parquet)
+    out = time_rollup(tdf, resolutions=("hour", "day", "week"))
+    tree = plan_of(out).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "partial_count" in plan_of(out)  # map-side combine
