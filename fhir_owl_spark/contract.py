@@ -694,6 +694,37 @@ def q_kmv_vocab(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_length_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact distribution stats per language: median / p90 / p99 of
+    document length (Spark median/percentile vs DuckDB median/
+    quantile_cont — probe-verified identical linear interpolation)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.median("n_chars"), 6).alias("med_chars"),
+        F.round(F.percentile("n_chars", 0.9), 6).alias("p90_chars"),
+        F.round(F.percentile("n_chars", 0.99), 6).alias("p99_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_top_docs_per_source(spark, sf_dir) -> DataFrame:
+    """Group-wise top-k: the 3 highest-quality documents per source
+    (quality_features score; deterministic ties by doc_id) — the
+    curation shortlist query; window row_number over a bounded group."""
+    from .operators.text import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_features(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", F.round("quality_score", 6).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", F.col("rank").cast("long").alias("rank"), "doc_id", "score")
+    )
+
+
 def q_pagerank_orders(spark, sf_dir) -> DataFrame:
     """Distributed PageRank (operators.graph.pagerank), 10 synchronous
     iterations with dangling-mass redistribution, over the orders
@@ -1120,6 +1151,8 @@ QUERIES = {
     "time_rollup": q_time_rollup,
     "kmv_vocab": q_kmv_vocab,
     "pagerank_orders": q_pagerank_orders,
+    "length_percentiles": q_length_percentiles,
+    "top_docs_per_source": q_top_docs_per_source,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
 }
@@ -1511,6 +1544,38 @@ SELECT doc_id,
        round(mean_word_len, 6) AS mean_word_len,
        (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18) AS repetition_ok
 FROM f
+""",
+        "length_percentiles": """
+SELECT lang,
+       round(median(n_chars), 6) AS med_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+""",
+        "top_docs_per_source": r"""
+WITH f AS (
+  SELECT doc_id, source,
+         length(coalesce(text,'')) AS n_chars,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(coalesce(text,''), '[^\w\s]')) AS n_punct,
+         len(list_intersect(list_distinct(string_split_regex(lower(coalesce(text,'')), '\s+')),
+             ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+  FROM documents),
+s AS (
+  SELECT doc_id, source,
+         round(greatest(0.0, least(1.0,
+               0.5 * (CASE WHEN n_tokens > 0 THEN n_stop / 10.0 ELSE 0.0 END)
+             + 0.3 * least(n_chars / 1000.0, 1.0)
+             - 0.2 * (CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE)
+                           ELSE 0.0 END))), 6) AS score
+  FROM f),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rank <= 3
 """,
         "pagerank_orders": """
 WITH RECURSIVE
