@@ -120,11 +120,17 @@ def render_conversations(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
     is deterministic under any partitioning.
     """
     rows = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    # role coalesced like text: a NULL role would null the whole line and
+    # concat_ws would silently DROP that turn while n_turns still counts it
     rendered = F.concat_ws(
         sep,
         F.transform(
             rows,
-            lambda r: F.concat(r.role, F.lit(": "), F.coalesce(r.text, F.lit(""))),
+            lambda r: F.concat(
+                F.coalesce(r.role, F.lit("")),
+                F.lit(": "),
+                F.coalesce(r.text, F.lit("")),
+            ),
         ),
     )
     return transcripts.groupBy("conv_id").agg(

@@ -23,7 +23,6 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank steps.
 
@@ -31,8 +30,12 @@ def pagerank(
 
     Ranks are exact doubles (no sampling); cross-partition summation
     order is the only nondeterminism, worth ~1 ulp per in-degree — the
-    contract oracle compares at 6 decimals. localCheckpoint every
-    ``checkpoint_every`` iterations keeps the plan flat.
+    contract oracle compares at 6 decimals. Each iteration LAZILY
+    checkpoints the new ranks and the next iteration's dangling-mass
+    action materializes them — every iteration's ranks are computed
+    exactly once (a sparser checkpoint cadence would make each per-
+    iteration driver action recompute the joins since the last
+    checkpoint: quadratic work inside every checkpoint window).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -51,7 +54,7 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(iterations):
+    for _ in range(iterations):
         with_deg = ranks.join(deg, ranks.node == deg.src, "left").select(
             "node", "rank", "deg"
         )
@@ -72,7 +75,5 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
                 "rank"
             ),
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks

@@ -53,8 +53,12 @@ def range_join(
     iv = intervals.withColumn(
         "_bucket", F.explode(F.sequence(sb.cast("long"), eb.cast("long")))
     )
+    # DATAFRAME-QUALIFIED refs in the containment filter: unqualified
+    # F.col(point_ts) is AMBIGUOUS_REFERENCE whenever both sides carry a
+    # column of that name (e.g. intervals derived from the same table
+    # still holding its raw ts)
     joined = p.join(iv, [on, "_bucket"]).filter(
-        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+        (p[point_ts] >= iv[start_col]) & (p[point_ts] <= iv[end_col])
     )
     return joined.drop("_bucket")
 
@@ -83,9 +87,20 @@ def asof_join(
     lhs = left.withColumn("_marker", F.lit(1)).withColumn(
         "_ets", F.col(left_ts)
     )
-    rhs_cols = [F.col(on), F.col(right_ts).alias("_ets"), F.lit(0).alias("_marker")]
-    rhs_cols += [F.col(c).alias(f"asof_{c}") for c in payload]
-    rhs = right.select(*rhs_cols).withColumn("asof_ts", F.col("_ets"))
+    # the ENTIRE right row rides as ONE struct: carrying payload columns
+    # independently with last(ignorenulls) would resurrect an older row's
+    # value wherever the most recent row holds NULL, stitching fields of
+    # different right rows together (and mis-judging tolerance on the
+    # wrong timestamp) — the matched row must stay atomic
+    row_struct = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in payload]
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ets"),
+        F.lit(0).alias("_marker"),
+        row_struct.alias("_asof_row"),
+    )
 
     combined = lhs.unionByName(rhs, allowMissingColumns=True)
     w = (
@@ -93,26 +108,24 @@ def asof_join(
         .orderBy("_ets", "_marker")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = {
-        f"asof_{c}": F.last(f"asof_{c}", ignorenulls=True).over(w) for c in payload
-    }
-    carried["asof_ts"] = F.last("asof_ts", ignorenulls=True).over(w)
-    out = combined.withColumns(carried).filter(F.col("_marker") == 1)
+    out = combined.withColumn(
+        "_asof_row", F.last("_asof_row", ignorenulls=True).over(w)
+    ).filter(F.col("_marker") == 1)
 
+    matched = F.col("_asof_row")
     if tolerance_us is not None:
-        stale = F.timestamp_diff("MICROSECOND", F.col("asof_ts"), F.col(left_ts)) > F.lit(
-            tolerance_us
+        fresh = (
+            F.timestamp_diff("MICROSECOND", matched.getField("ts"), F.col(left_ts))
+            <= F.lit(tolerance_us)
         )
-        out = out.withColumns(
-            {
-                **{
-                    f"asof_{c}": F.when(~stale, F.col(f"asof_{c}"))
-                    for c in payload
-                },
-                "asof_ts": F.when(~stale, F.col("asof_ts")),
-            }
-        )
-    return out.drop("_marker", "_ets")
+        matched = F.when(fresh, matched)
+    out = out.withColumns(
+        {
+            "asof_ts": matched.getField("ts"),
+            **{f"asof_{c}": matched.getField(c) for c in payload},
+        }
+    )
+    return out.drop("_marker", "_ets", "_asof_row")
 
 
 def time_rollup(

@@ -388,13 +388,15 @@ def corpus_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),
     text_col: str = "text",
+    rollup: bool = False,
 ) -> DataFrame:
-    return (
-        df.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
-            F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
-            F.avg(whitespace_token_count(text_col)).alias("avg_tokens"),
-        )
+    """Per-group composition totals; with ``rollup=True`` every GROUPING
+    SETS level (per-group, per-prefix, grand total) comes out of the same
+    single partial-aggregated pass."""
+    grouped = df.rollup(*group_cols) if rollup else df.groupBy(*group_cols)
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count(text_col)).alias("n_tokens"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
+        F.avg(whitespace_token_count(text_col)).alias("avg_tokens"),
     )

@@ -113,11 +113,16 @@ def parse_args(argv=None):
 
 
 def run(args) -> dict:
-    from pyspark.sql import functions as F
+    from pyspark.sql import SparkSession, functions as F
 
     from fhir_owl_spark.session import get_spark
 
-    spark = get_spark(app_name=f"corpus-{args.cmd}", parallelism=args.cpus)
+    # under spark-submit an active session with the SUBMITTED master already
+    # exists — get_spark would override it with local[N] (same guard as
+    # jobs/build_graph.py)
+    spark = SparkSession.getActiveSession() or get_spark(
+        app_name=f"corpus-{args.cmd}", parallelism=args.cpus
+    )
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
@@ -178,13 +183,10 @@ def run(args) -> dict:
             docs, args.max_tokens, args.overlap, args.text_col, args.id_col
         )
     elif args.cmd == "stats":
-        cols = [c for c in args.group_cols.split(",") if c]
-        from fhir_owl_spark.operators.text import whitespace_token_count
+        from fhir_owl_spark.operators.text import corpus_stats
 
-        out = docs.rollup(*cols).agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(whitespace_token_count(args.text_col)).cast("long").alias("n_tokens"),
-        )
+        cols = tuple(c for c in args.group_cols.split(",") if c)
+        out = corpus_stats(docs, cols, args.text_col, rollup=True)
     elif args.cmd == "prep":
         from fhir_owl_spark.plans.corpus_prep import prepare_corpus
 

@@ -601,3 +601,40 @@ class TestPageRank:
         assert all(rows["0"] > rows[str(i)] for i in range(1, 6))  # hub wins
         leaf = [rows[str(i)] for i in range(1, 6)]
         assert max(leaf) - min(leaf) < 1e-12  # symmetry
+
+class TestTemporalEdgeCases:
+    def test_null_payload_in_latest_row_is_not_resurrected(self, spark):
+        """The matched right row is atomic: a NULL value in the most
+        recent row must NOT be replaced by an older row's value (the
+        per-column last(ignorenulls) Frankenstein bug)."""
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import asof_join
+
+        t = lambda m: datetime(2024, 1, 1, 9, m, 0)  # noqa: E731
+        left = spark.createDataFrame([(1, "u1", t(10))], ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame(
+            [("u1", t(1), 5.0), ("u1", t(8), None)], ["user_id", "ts", "value"]
+        )
+        row = asof_join(left, right, on="user_id").collect()[0]
+        assert row["asof_ts"] == t(8)   # newest row matched...
+        assert row["asof_value"] is None  # ...with ITS value, not 5.0
+
+    def test_range_join_with_shared_column_names(self, spark):
+        """Both sides carrying a 'ts' column must not raise
+        AMBIGUOUS_REFERENCE in the containment filter."""
+        from datetime import datetime, timedelta
+
+        from fhir_owl_spark.operators.temporal import range_join
+
+        t0 = datetime(2024, 1, 1, 9, 0, 0)
+        pts = spark.createDataFrame(
+            [(i, "u1", t0 + timedelta(minutes=10 * i)) for i in range(6)],
+            ["event_id", "user_id", "ts"],
+        )
+        iv = spark.createDataFrame(
+            [("u1", t0 + timedelta(minutes=15), t0 + timedelta(minutes=35), t0)],
+            ["user_id", "start_ts", "end_ts", "ts"],  # clashing 'ts'
+        )
+        got = {r["event_id"] for r in range_join(pts, iv, on="user_id").collect()}
+        assert got == {2, 3}  # minutes 20 and 30 fall inside [15, 35]
