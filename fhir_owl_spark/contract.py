@@ -1008,6 +1008,27 @@ def q_tool_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tool_transitions(spark, sf_dir) -> DataFrame:
+    """Tool-call bigram counts (operators.conversations.tool_transitions)
+    over the same event-derived transcripts as tool_stats — the
+    workflow-mining view (dominant chains, loops, entry points)."""
+    from .operators.conversations import tool_transitions
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(
+            ~F.col("event_type").isin("click", "signup", "view"), F.col("event_type")
+        ).alias("tool"),
+    )
+    out = tool_transitions(t)
+    return out.select(
+        "prev_tool", "tool", F.col("n_transitions").cast("long").alias("n_transitions")
+    )
+
+
 def q_repetition_docs(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition quality features (operators.text.
     repetition_features) — word/2-gram/3-gram duplicate and top-element
@@ -1130,6 +1151,7 @@ QUERIES = {
     "conv_features": q_conv_features,
     "tool_stats": q_tool_stats,
     "repetition_docs": q_repetition_docs,
+    "tool_transitions": q_tool_transitions,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "chunk_docs": q_chunk_docs,
@@ -1507,6 +1529,20 @@ SELECT conv_id,
        arg_min(tool, mn) AS first_tool,
        arg_max(tool, mx) AS last_tool
 FROM ranked GROUP BY conv_id
+""",
+        "tool_transitions": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         CASE WHEN event_type NOT IN ('click','signup','view')
+              THEN event_type END AS tool
+  FROM events),
+seq AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM t WHERE tool IS NOT NULL)
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq GROUP BY prev_tool, tool
 """,
         "repetition_docs": r"""
 WITH wd AS (

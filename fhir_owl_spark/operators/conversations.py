@@ -109,6 +109,30 @@ def sessionize(
     )
 
 
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Corpus-wide tool-call bigram counts: how often tool B directly
+    follows tool A within a conversation (intervening non-tool turns are
+    skipped — the sequence is over TOOL turns in turn order). The
+    workflow-mining view of agent transcripts: dominant chains, loops
+    (A→A), and entry points (prev_tool null for each conversation's first
+    tool call).
+
+    One window over (conv_id, turn order among tool turns) + one global
+    bigram aggregation — both map-side combined; the bigram key space is
+    |tools|², tiny at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    t = transcripts.filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = t.select(
+        F.lag("tool").over(w).alias("prev_tool"), F.col("tool")
+    )
+    return pairs.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
 def render_conversations(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
     """Flatten each conversation into ONE training document (the SFT-prep
     step): turns in turn_idx order rendered as ``role: text`` lines.

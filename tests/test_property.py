@@ -357,3 +357,41 @@ def test_reachable_pairs_and_closure_delta_match_model(spark, edges, data):
         for r in reachable_pairs(e, seeds, direction="down", broadcast_edges=bcast).collect()
     }
     assert got_down == _py_reach([(p, c) for c, p in edges], seeds)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=12),
+    threshold_min=st.integers(min_value=1, max_value=60),
+)
+def test_sessionize_invariants(spark, gaps, threshold_min):
+    """Session indexes start at 0, never decrease, and increment EXACTLY
+    at turns whose gap to the previous turn exceeds the threshold."""
+    from datetime import datetime, timedelta
+
+    from fhir_owl_spark.operators.conversations import sessionize
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    acc, rows = 0, []
+    for i, g in enumerate(gaps):
+        acc += g
+        rows.append(("c", i, "user", "x", None, t0 + timedelta(minutes=acc)))
+    from fhir_owl_spark.schemas import TRANSCRIPTS
+
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS)
+    got = {
+        r["turn_idx"]: (r["session_idx"], r["gap_us"])
+        for r in sessionize(df, gap=f"{threshold_min} minutes").collect()
+    }
+    expect_idx = 0
+    assert got[0] == (0, None)
+    for i, g in enumerate(gaps):
+        if i == 0:
+            continue
+        if g * 60 * 1_000_000 > threshold_min * 60 * 1_000_000:
+            expect_idx += 1
+        assert got[i] == (expect_idx, g * 60 * 1_000_000)
