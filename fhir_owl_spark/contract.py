@@ -1008,6 +1008,29 @@ def q_tool_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dup_cluster_sizes(spark, sf_dir) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup-rate report a corpus
+    owner reads (how much of the corpus is duplicated, at what cluster
+    granularity): components from the minhash pipeline → (size,
+    n_clusters). Singletons are excluded (dup_clusters only labels ids
+    appearing in a pair), matching the oracle's component definition."""
+    from .operators.dedup import dup_clusters, minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    clusters = dup_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("size").cast("long").alias("size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+        )
+    )
+
+
 def q_tool_transitions(spark, sf_dir) -> DataFrame:
     """Tool-call bigram counts (operators.conversations.tool_transitions)
     over the same event-derived transcripts as tool_stats — the
@@ -1152,6 +1175,7 @@ QUERIES = {
     "tool_stats": q_tool_stats,
     "repetition_docs": q_repetition_docs,
     "tool_transitions": q_tool_transitions,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "chunk_docs": q_chunk_docs,
@@ -2026,6 +2050,21 @@ SELECT o_orderkey,
        ), '%Y-%m-%d') AS reparsed_date
 FROM orders
 """,
+        "dup_cluster_sizes": f"""
+WITH RECURSIVE {{shingles}},
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sset, b.sset))
+            / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.8),
+und AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT s AS id, s AS r FROM und
+          UNION
+          SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY cluster_id)
+SELECT CAST(size AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY size
+""".format(shingles=_oracle_shingles_cte().lstrip()),
         "dup_clusters": f"""
 WITH RECURSIVE {{shingles}},
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
