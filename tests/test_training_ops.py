@@ -638,3 +638,45 @@ class TestTemporalEdgeCases:
         )
         got = {r["event_id"] for r in range_join(pts, iv, on="user_id").collect()}
         assert got == {2, 3}  # minutes 20 and 30 fall inside [15, 35]
+
+    def test_range_join_interval_spanning_many_buckets(self, spark):
+        """An interval spanning several buckets must catch points in EVERY
+        overlapped bucket (the explode fan-out), and none outside."""
+        from datetime import datetime, timedelta
+
+        from fhir_owl_spark.operators.temporal import range_join
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        pts = spark.createDataFrame(
+            [(i, "u", t0 + timedelta(minutes=30 * i)) for i in range(12)],
+            ["event_id", "user_id", "ts"],
+        )  # every 30 min over 5.5 h
+        iv = spark.createDataFrame(
+            [("u", t0 + timedelta(minutes=45), t0 + timedelta(minutes=200))],
+            ["user_id", "start_ts", "end_ts"],
+        )  # spans buckets 0..3 at bucket_s=3600
+        got = {r["event_id"] for r in range_join(pts, iv, on="user_id", bucket_s=3600).collect()}
+        # minutes 60,90,120,150,180 inside [45, 200]
+        assert got == {2, 3, 4, 5, 6}
+
+    def test_time_rollup_matches_manual(self, spark):
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import time_rollup
+
+        rows = [
+            (datetime(2024, 1, 1, 9, 5), "a"),
+            (datetime(2024, 1, 1, 9, 55), "a"),
+            (datetime(2024, 1, 1, 10, 5), "b"),
+            (datetime(2024, 1, 2, 9, 5), "a"),
+        ]
+        df = spark.createDataFrame(rows, ["ts", "k"])
+        got = {
+            (r["resolution"], str(r["bucket"]), r["k"]): r["n"]
+            for r in time_rollup(df, resolutions=("hour", "day"), group_cols=("k",)).collect()
+        }
+        assert got[("hour", "2024-01-01 09:00:00", "a")] == 2
+        assert got[("hour", "2024-01-01 10:00:00", "b")] == 1
+        assert got[("day", "2024-01-01 00:00:00", "a")] == 2
+        assert got[("day", "2024-01-02 00:00:00", "a")] == 1
+        assert len(got) == 6
