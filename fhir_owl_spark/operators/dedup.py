@@ -102,11 +102,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 64,
     shingle_k: int = 3,
+    drop_empty: bool = True,
 ) -> DataFrame:
     """(id, signature[array<long>]) via Arrow-batched pandas UDF.
 
     Signature j = min over shingles of mix64(shingle_hash ^ seed_j) —
     one permutation family, vectorized with numpy inside the batch.
+
+    Documents with NO shingles (empty / whitespace-only text) are dropped
+    by default: on a real web corpus they are numerous, all collide into
+    the all-zero signature (every band identical), and would form one
+    degenerate LSH bucket of millions of rows. Exact dedup is the right
+    tool for them — they are byte-identical after trim. Pass
+    drop_empty=False to restore the old emit-zero-signature behavior.
 
     An input with fewer partitions than the cluster's default parallelism
     (e.g. one small parquet file) is repartitioned first so the Arrow
@@ -130,13 +138,18 @@ def minhash_signatures(
             for i, text in zip(pdf[id_col], pdf[text_col].fillna("")):
                 sh = _shingle_hashes(text, shingle_k)
                 if len(sh) == 0:
+                    if drop_empty:
+                        continue
                     sig = np.zeros(len(seeds), dtype=np.uint64)
                 else:
                     # outer xor then min → (n_hashes,) signature
                     sig = _mix64(sh[None, :] ^ seeds[:, None]).min(axis=1)
                 ids.append(i)
                 sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+            if ids:  # an all-empty batch must yield nothing: an empty
+                # dict-of-lists frame defaults to float64 columns, which
+                # Arrow cannot cast to list<int64>
+                yield pd.DataFrame({id_col: ids, "signature": sigs})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
@@ -146,12 +159,27 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 16,
     sig_len: int | None = None,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash) buckets.
 
     Only rows sharing a full band collide → candidate pair (id_a < id_b).
-    The shuffle key is the band hash (uniform); giant buckets only occur
-    for true duplicate clusters, which AQE skew-join splits.
+    The shuffle key is the band hash (uniform for distinct documents).
+
+    Degenerate-cluster guard: a 100-TB web corpus reliably contains
+    100k+-member clusters of byte-near-identical boilerplate; those
+    collide in EVERY band, and emitting all intra-bucket pairs is
+    C(C−1)/2 rows of OUTPUT — AQE can split the join but cannot shrink
+    the result. Buckets larger than ``max_bucket_size`` therefore
+    star-connect instead: each member pairs only with the bucket's
+    minimum id (O(C) edges). Connectivity — and thus the connected
+    components dup_clusters/dedup_keep_one build — is preserved exactly
+    (every member still reaches the same representative); only the
+    exhaustive pair REPORT inside oversized buckets is truncated.
+    The number of truncated buckets is published as the observation
+    metric ``n_truncated_buckets`` on the returned frame's
+    ``_lsh_observation`` attribute (readable after any action, costs no
+    extra job); pass max_bucket_size=None for unconditional all-pairs.
 
     The signature frame is persisted (LAZY — plan construction stays
     free, the first action populates the cache) because it feeds BOTH
@@ -162,6 +190,7 @@ def lsh_candidate_pairs(
     at any corpus scale; MEMORY_AND_DISK spills instead of OOMing.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     if sig_len is None:
@@ -176,33 +205,80 @@ def lsh_candidate_pairs(
             "would hash an empty slice and all documents would collide into "
             "one bucket"
         )
-    rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
+    rows_per_band = sig_len // n_bands
     # band hash = xxhash64 of the raw long-array slice: no string concat,
     # no cryptographic hash — bucketing only needs uniformity, and the
-    # join key includes band_idx so cross-band collisions are impossible
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                ),
+    # join key includes band_idx so cross-band collisions are impossible.
+    # The when/raise_error keeps a caller-supplied sig_len honest: a
+    # signature whose actual length disagrees fails loudly instead of
+    # silently hashing wrong slices (which could defeat the n_bands guard).
+    band_hash = F.when(
+        F.size("signature") == sig_len,
+        F.xxhash64(F.col("_slice")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_candidate_pairs: sig_len={sig_len} but signature has "),
+                F.size("signature").cast("string"),
+                F.lit(" elements"),
             )
-        ).alias("band_idx", "band_hash"),
+        ).cast("long")
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    banded = (
+        signatures.select(
+            F.col(id_col),
+            F.col("signature"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.slice(
+                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band_idx", "_slice"),
+        )
+        .select(F.col(id_col), "band_idx", band_hash.alias("band_hash"))
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    if max_bucket_size is None:
+        left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+        return (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # bucket stats shuffle on the SAME keys the self-join uses, so the
+    # join back (and the small-bucket self-join) reuse that partitioning —
+    # Catalyst/AQE emit one Exchange for the whole banded side.
+    stats = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bsize"), F.min(id_col).alias("_bmin")
     )
-    return (
+    obs = Observation("lsh_buckets")
+    stats = stats.observe(
+        obs,
+        F.sum(
+            F.when(F.col("_bsize") > max_bucket_size, 1).otherwise(0)
+        ).alias("n_truncated_buckets"),
+        F.max("_bsize").alias("max_bucket_size"),
+    )
+    tagged = banded.join(stats, ["band_idx", "band_hash"])
+    small = tagged.filter(F.col("_bsize") <= max_bucket_size)
+    big = tagged.filter(F.col("_bsize") > max_bucket_size)
+    left = small.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = small.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    small_pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # star edges: O(C) rows, _bmin < id always (it is the bucket minimum)
+    star_pairs = big.filter(F.col(id_col) != F.col("_bmin")).select(
+        F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    out = small_pairs.union(star_pairs).distinct()
+    out._lsh_observation = obs  # type: ignore[attr-defined]
+    return out
 
 
 def minhash_dedup_pairs(
@@ -213,15 +289,22 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → verify with exact word-shingle Jaccard ≥ threshold.
 
     Verification joins candidate ids back to text (two broadcast-or-shuffle
     hash joins on ids) and computes exact Jaccard on the pair only.
+    Empty/whitespace docs never enter the LSH (minhash_signatures drops
+    no-shingle docs — exact dedup's job), and buckets over max_bucket_size
+    star-connect (see lsh_candidate_pairs) so degenerate duplicate
+    clusters cost O(C) candidate pairs, not O(C²).
     """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands, sig_len=n_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, n_bands, sig_len=n_hashes, max_bucket_size=max_bucket_size
+    )
     texts = df.select(F.col(id_col), F.col(text_col))
     pairs = (
         cands.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
@@ -312,11 +395,18 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_blocks: int = 4,
     allow_partial_recall: bool = False,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-permuted banding: split the
     64-bit hash into n_blocks; by pigeonhole, any pair within max_hamming
     (< n_blocks) shares at least one exact block → join per block, verify
-    Hamming distance exactly."""
+    Hamming distance exactly.
+
+    Same degenerate-cluster guard as lsh_candidate_pairs: a block bucket
+    larger than max_bucket_size (boilerplate near-identical docs all share
+    every block) star-connects members to the bucket's min id instead of
+    emitting C(C−1)/2 pairs — components are preserved, the exhaustive
+    pair report inside oversized buckets is truncated (None disables)."""
     if max_hamming >= n_blocks:
         # pigeonhole only guarantees a shared block for hamming < n_blocks;
         # beyond that the result is candidates-that-share-a-block, not "all
@@ -341,18 +431,48 @@ def simhash_near_dup_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    left = blocks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
-    )
-    right = blocks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
-    )
-    cand = (
-        left.join(right, ["block_idx", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    if max_bucket_size is None:
+        left = blocks.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
+        )
+        right = blocks.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
+        )
+        cand = (
+            left.join(right, ["block_idx", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b")
+            .distinct()
+        )
+    else:
+        # bucket stats on the same join keys; min_by carries the min id's
+        # simhash so star edges stay verifiable without another join
+        stats = blocks.groupBy("block_idx", "block_val").agg(
+            F.count(F.lit(1)).alias("_bsize"),
+            F.min(id_col).alias("_bmin"),
+            F.min_by("simhash", F.col(id_col)).alias("_bmin_sim"),
+        )
+        tagged = blocks.join(stats, ["block_idx", "block_val"])
+        small = tagged.filter(F.col("_bsize") <= max_bucket_size)
+        big = tagged.filter(F.col("_bsize") > max_bucket_size)
+        left = small.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_val"
+        )
+        right = small.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_val"
+        )
+        small_cand = (
+            left.join(right, ["block_idx", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sim_a", "sim_b")
+        )
+        star_cand = big.filter(F.col(id_col) != F.col("_bmin")).select(
+            F.col("_bmin").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_bmin_sim").alias("sim_a"),
+            F.col("simhash").alias("sim_b"),
+        )
+        cand = small_cand.union(star_cand).distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

@@ -304,6 +304,77 @@ class TestDedupParamValidation:
             dedup.lsh_candidate_pairs(sigs, n_bands=16)
 
 
+class TestDegenerateClusters:
+    """Scale-safety on degenerate inputs: a giant duplicate cluster must
+    cost O(C) candidate pairs (star-connected buckets), never O(C²), and
+    empty docs must never enter the LSH at all."""
+
+    N_DUP = 10_000
+
+    @pytest.fixture(scope="class")
+    def giant(self, spark):
+        boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+        rows = [(i, boiler) for i in range(self.N_DUP)]
+        rows += [(self.N_DUP + i, "   " if i % 2 else "") for i in range(50)]  # empty block
+        rows += [(self.N_DUP + 100, "a unique document about spark adaptive execution")]
+        return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+    def test_candidate_pairs_linear_in_cluster(self, giant):
+        sigs = dedup.minhash_signatures(giant)
+        cands = dedup.lsh_candidate_pairs(sigs, sig_len=64, max_bucket_size=256)
+        n = cands.count()
+        # star-connect: every member pairs with the bucket min only →
+        # exactly C-1 distinct pairs for the cluster, none for empties
+        assert n == self.N_DUP - 1
+        obs = cands._lsh_observation.get
+        assert obs["n_truncated_buckets"] >= 1
+        assert obs["max_bucket_size"] == self.N_DUP
+        sigs.unpersist()
+
+    def test_empty_docs_dropped_from_signatures(self, giant):
+        sigs = dedup.minhash_signatures(giant)
+        ids = {r["doc_id"] for r in sigs.select("doc_id").collect()}
+        assert all(i < self.N_DUP or i == self.N_DUP + 100 for i in ids)
+        assert len(ids) == self.N_DUP + 1
+        sigs.unpersist()
+
+    def test_keep_one_still_collapses_cluster(self, giant):
+        pairs = dedup.minhash_dedup_pairs(giant, threshold=0.8)
+        decisions = dedup.dedup_keep_one(giant, pairs)
+        agg = decisions.agg(
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("cluster_id") == 0).cast("int")).alias("in_cluster0"),
+        ).first()
+        # one representative for the 10k cluster; empties + unique doc are
+        # singletons (kept) — 51 of them
+        assert agg["total"] == self.N_DUP + 51
+        assert agg["in_cluster0"] == self.N_DUP
+        assert agg["kept"] == 1 + 51
+
+    def test_sig_len_mismatch_fails_loudly(self, spark):
+        sigs = spark.createDataFrame(
+            [(0, list(range(32))), (1, list(range(32)))], ["doc_id", "signature"]
+        )
+        with pytest.raises(Exception, match="sig_len=64"):
+            dedup.lsh_candidate_pairs(sigs, sig_len=64).count()
+        sigs.unpersist()
+
+    def test_simhash_star_fallback(self, spark):
+        boiler = "pack my box with five dozen liquor jugs for the big party"
+        rows = [(i, boiler) for i in range(600)]
+        rows.append((1000, "entirely different content regarding catalyst optimizer rules"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = dedup.simhash_near_dup_pairs(df, max_hamming=3, n_blocks=4,
+                                           max_bucket_size=256)
+        assert got.count() == 599  # star edges only, all hamming 0
+        # small corpora below the cap are byte-identical to the uncapped path
+        small = df.filter(F.col("doc_id") < 5)
+        a = {tuple(r) for r in dedup.simhash_near_dup_pairs(small).collect()}
+        b = {tuple(r) for r in dedup.simhash_near_dup_pairs(small, max_bucket_size=None).collect()}
+        assert a == b
+
+
 class TestDupClusters:
     def test_components(self, spark):
         # components: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
