@@ -33,6 +33,8 @@ def range_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_s: int = 3600,
+    max_fanout: int = 100_000,
+    on_invalid: str = "error",
 ) -> DataFrame:
     """Interval containment join: every (point, interval) pair with the
     same key and ``start <= point_ts <= end`` (inclusive both ends).
@@ -43,15 +45,66 @@ def range_join(
     points map to exactly one bucket, and the join is a plain equi-join
     on (key, bucket) followed by the exact containment filter. Cost is
     |points| + Σ interval_span/bucket_s — linear, shuffle on a uniform
-    composite key; pick ``bucket_s`` near the typical interval length so
-    the fan-out stays O(1) per interval.
+    composite key; pick ``bucket_s`` near the typical interval length
+    (p95 of the span distribution is a good adaptive choice) so the
+    fan-out stays O(1) per interval.
+
+    Fan-out guard: ONE malformed or open-ended interval (e.g. end_ts
+    9999-12-31 with bucket_s=3600) would otherwise build a multi-million
+    element array in a single row and kill its executor. Intervals with
+    ``end < start`` or spanning more than ``max_fanout`` buckets
+    therefore fail loudly (``on_invalid='error'``, default) or are
+    dropped (``on_invalid='drop'``) — never silently exploded. Note
+    Spark's ``sequence`` itself caps arrays at ~2.5M elements with an
+    opaque error; max_fanout must stay well under that, and the guard
+    runs BEFORE sequence is evaluated.
     """
+    if on_invalid not in ("error", "drop"):
+        raise ValueError(f"on_invalid must be 'error' or 'drop', got {on_invalid!r}")
     pb = F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / (bucket_s * 1_000_000))
     p = points.withColumn("_bucket", pb.cast("long"))
-    sb = F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / (bucket_s * 1_000_000))
-    eb = F.floor(F.unix_micros(F.col(end_col).cast("timestamp")) / (bucket_s * 1_000_000))
+    sb = F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / (bucket_s * 1_000_000)).cast("long")
+    eb = F.floor(F.unix_micros(F.col(end_col).cast("timestamp")) / (bucket_s * 1_000_000)).cast("long")
+    if on_invalid == "drop":
+        intervals = intervals.filter(
+            (F.col(end_col) >= F.col(start_col)) & ((eb - sb) <= max_fanout)
+        )
+        sb_checked = sb
+    else:
+        # the guard is woven into the sequence's lower bound so column
+        # pruning can never optimize it away: evaluating the explode
+        # forces the check first
+        sb_checked = (
+            F.when(
+                F.col(end_col) < F.col(start_col),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"range_join: {end_col} < {start_col} ("),
+                        F.col(end_col).cast("string"),
+                        F.lit(" < "),
+                        F.col(start_col).cast("string"),
+                        F.lit(") — fix the interval or pass on_invalid='drop'"),
+                    )
+                ).cast("long"),
+            )
+            .when(
+                (eb - sb) > max_fanout,
+                F.raise_error(
+                    F.concat(
+                        F.lit("range_join: interval spans "),
+                        (eb - sb + 1).cast("string"),
+                        F.lit(
+                            f" buckets > max_fanout={max_fanout} at bucket_s={bucket_s}"
+                            " — raise bucket_s (≈ p95 interval span), raise"
+                            " max_fanout, or pass on_invalid='drop'"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(sb)
+        )
     iv = intervals.withColumn(
-        "_bucket", F.explode(F.sequence(sb.cast("long"), eb.cast("long")))
+        "_bucket", F.explode(F.sequence(sb_checked, eb))
     )
     # DATAFRAME-QUALIFIED refs in the containment filter: unqualified
     # F.col(point_ts) is AMBIGUOUS_REFERENCE whenever both sides carry a
@@ -81,8 +134,38 @@ def asof_join(
     with the caller's tie-break rule, otherwise "most recent" is
     ill-defined. With ``tolerance_us``, matches older than the tolerance
     (in microseconds) are nulled out, matching merge_asof semantics.
+
+    Name-collision validation: the implementation reserves the internal
+    columns ``_marker``/``_ets``/``_asof_row``, stores the matched
+    timestamp under struct field ``ts``, and emits ``asof_``-prefixed
+    outputs — inputs that collide with any of these are rejected up
+    front (a duplicate struct field would make getField('ts') resolve
+    ambiguously; a clashing output name would be silently overwritten).
     """
     payload = [c for c in right.columns if c not in (on, right_ts)]
+
+    internal = {"_marker", "_ets", "_asof_row"}
+    clash = internal & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input column(s) {sorted(clash)} collide with "
+            "reserved internal names — rename them before joining"
+        )
+    if right_ts != "ts" and "ts" in payload:
+        raise ValueError(
+            "asof_join: right has a payload column literally named 'ts' "
+            f"while right_ts={right_ts!r}; the matched-timestamp struct "
+            "field is also called 'ts' and would be ambiguous — rename "
+            "the payload column"
+        )
+    out_names = {"asof_ts", *(f"asof_{c}" for c in payload)}
+    out_clash = out_names & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join: left column(s) {sorted(out_clash)} collide with "
+            "the asof_-prefixed output columns and would be overwritten — "
+            "rename them before joining"
+        )
 
     lhs = left.withColumn("_marker", F.lit(1)).withColumn(
         "_ets", F.col(left_ts)

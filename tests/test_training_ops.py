@@ -751,3 +751,65 @@ class TestTemporalEdgeCases:
         assert got[("day", "2024-01-01 00:00:00", "a")] == 2
         assert got[("day", "2024-01-02 00:00:00", "a")] == 1
         assert len(got) == 6
+
+    def test_range_join_rejects_open_ended_interval(self, spark):
+        """An effectively unbounded interval must error BEFORE sequence
+        tries to build a ~70M-element array (executor OOM at scale)."""
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "u", datetime(2024, 1, 2))], ["event_id", "user_id", "ts"]
+        )
+        iv = spark.createDataFrame(
+            [("u", datetime(2024, 1, 1), datetime(9999, 12, 31))],
+            ["user_id", "start_ts", "end_ts"],
+        )
+        with pytest.raises(Exception, match="max_fanout"):
+            range_join(pts, iv, on="user_id", bucket_s=3600).collect()
+        # drop mode: the malformed interval vanishes, no match, no error
+        assert range_join(pts, iv, on="user_id", bucket_s=3600,
+                          on_invalid="drop").count() == 0
+
+    def test_range_join_rejects_end_before_start(self, spark):
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "u", datetime(2024, 1, 1, 1))], ["event_id", "user_id", "ts"]
+        )
+        iv = spark.createDataFrame(
+            [("u", datetime(2024, 1, 1, 6), datetime(2024, 1, 1, 0)),
+             ("u", datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 2))],
+            ["user_id", "start_ts", "end_ts"],
+        )
+        with pytest.raises(Exception, match="end_ts < start_ts"):
+            range_join(pts, iv, on="user_id").collect()
+        # drop mode keeps the valid interval's match
+        got = range_join(pts, iv, on="user_id", on_invalid="drop").collect()
+        assert [r["event_id"] for r in got] == [1]
+
+    def test_asof_join_rejects_name_collisions(self, spark):
+        from datetime import datetime
+
+        from fhir_owl_spark.operators.temporal import asof_join
+
+        t0 = datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, "u", t0)], ["event_id", "user_id", "ts"])
+        # right payload literally named 'ts' while right_ts is 'rts'
+        right = spark.createDataFrame(
+            [("u", t0, t0)], ["user_id", "rts", "ts"]
+        )
+        with pytest.raises(ValueError, match="literally named 'ts'"):
+            asof_join(left, right, on="user_id", right_ts="rts")
+        # reserved internal name on either input
+        bad = left.withColumn("_marker", F.lit(1))
+        with pytest.raises(ValueError, match="reserved internal"):
+            asof_join(bad, right.drop("ts"), on="user_id", right_ts="rts")
+        # left column that the asof_ output would overwrite
+        bad2 = left.withColumn("asof_value", F.lit(0))
+        right2 = spark.createDataFrame([("u", t0, 1.0)], ["user_id", "ts", "value"])
+        with pytest.raises(ValueError, match="asof_-prefixed"):
+            asof_join(bad2, right2, on="user_id")
