@@ -120,6 +120,143 @@ def _forces_existence(rest_el) -> tuple[str, str | None] | None:
     return (prop, filler) if forces and prop else None
 
 
+_BODY_REST_TAGS = {
+    "onProperty",
+    "someValuesFrom",
+    "onClass",
+    "minCardinality",
+    "minQualifiedCardinality",
+}
+
+
+def _body_existential(rest_el) -> tuple[str, str] | None:
+    """Parse a Restriction appearing as a DEFINED-CLASS BODY conjunct into
+    the strict existential form ∃p.F (named filler) that told logic can
+    check for membership: someValuesFrom with a named class, or
+    min(Qualified)Cardinality == 1 with a named onClass. Anything else —
+    allValuesFrom, hasValue, exact/max cardinality, min ≥ 2, anonymous
+    fillers — returns None: a told ∃p'.F' cannot witness those, so the
+    whole body becomes ineligible for membership inference (sound:
+    we only ever SKIP inferences)."""
+    prop = None
+    filler = None
+    has_some = False
+    min_one = False
+    for c in rest_el:
+        local = c.tag.rsplit("}", 1)[-1]
+        if local not in _BODY_REST_TAGS:
+            return None
+        if local == "onProperty":
+            prop = c.get(_RESOURCE)
+        elif local == "someValuesFrom":
+            if not c.get(_RESOURCE):
+                return None  # anonymous filler
+            has_some = True
+            filler = c.get(_RESOURCE)
+        elif local == "onClass":
+            if not c.get(_RESOURCE):
+                return None
+            filler = c.get(_RESOURCE)
+        else:  # minCardinality / minQualifiedCardinality
+            try:
+                if int((c.text or "").strip()) != 1:
+                    return None
+            except ValueError:
+                return None
+            min_one = True
+    if prop and filler and (has_some or min_one):
+        return (prop, filler)
+    return None
+
+
+def _classify_defined_members(
+    edges: list[tuple[str, str]],
+    existential_uses: set[tuple[str, str, str | None]],
+    bodies: dict[str, list[list]],
+    class_iris: set[str],
+) -> list[tuple[str, str]]:
+    """EL-slice defined-class MEMBERSHIP classification — the told slice
+    of what the reference's reasoner (ELK/JFact, loaded at
+    FhirOwlService.java:258, superclasses consumed at :533) infers for
+    defined classes: X ⊑ D for D ≡ C₁ ⊓ … ⊓ Cₙ whenever X's told
+    ancestor-or-self set satisfies EVERY conjunct —
+
+      * named conjunct N:   N ∈ anc(X);
+      * existential ∃p.F:   some told existential ∃p'.F' asserted on X or
+        on a told ancestor, with p' ⊑* p (told property hierarchy) and
+        F' ⊑* F (told class hierarchy).
+
+    Run to fixpoint: an inferred X ⊑ D edge can satisfy another body's
+    named conjunct (nested definitions). Sound but deliberately
+    incomplete: bodies containing conjuncts outside the slice were never
+    recorded in ``bodies`` (see _body_existential), so no unsound edge is
+    ever emitted. Ontology-bounded driver-side computation, like the
+    parse itself (e.g. a named pizza with a told mozzarella topping lands
+    under CheeseyPizza ≡ Pizza ⊓ ∃hasTopping.CheeseTopping exactly as
+    the reasoner classifies it)."""
+    from collections import defaultdict
+
+    adj: dict[str, set[str]] = defaultdict(set)
+    for c, p in edges:
+        adj[c].add(p)
+    exist_of: dict[str, set[tuple[str, str]]] = defaultdict(set)
+    for c, p, f in existential_uses:
+        if f is not None:
+            exist_of[c].add((p, f))
+
+    def anc(x: str) -> set[str]:
+        out, todo = {x}, [x]
+        while todo:
+            for p in adj[todo.pop()]:
+                if p not in out:
+                    out.add(p)
+                    todo.append(p)
+        return out
+
+    told_anc = {x: anc(x) for x in class_iris}
+    changed = True
+    while changed:
+        changed = False
+        for x in class_iris:
+            a = anc(x)
+            own_exists = set().union(*(exist_of[y] for y in a))
+            for d, blist in bodies.items():
+                if d == x or d in a:
+                    continue
+                for conj in blist:
+                    ok = True
+                    for kind, *rest in conj:
+                        if kind == "named":
+                            if rest[0] not in a:
+                                ok = False
+                                break
+                        else:  # ("exists", prop, filler)
+                            p_req, f_req = rest
+                            if not any(
+                                p_req in anc(p_have) and f_req in anc(f_have)
+                                for p_have, f_have in own_exists
+                            ):
+                                ok = False
+                                break
+                    if ok:
+                        adj[x].add(d)
+                        changed = True
+                        a = anc(x)  # refreshed for the remaining bodies
+                        break
+    # canonical, iteration-order-independent output: after saturation
+    # (the least fixpoint — order cannot change it), emit every defined
+    # class newly in X's ancestor closure. Redundant-but-true edges
+    # (X ⊑ D already implied via another inferred member) are emitted
+    # too; downstream transitive reduction (J4) prunes them exactly like
+    # any other told redundancy.
+    return [
+        (x, d)
+        for x in sorted(class_iris)
+        for d in sorted(bodies)
+        if d != x and d in anc(x) and d not in told_anc[x]
+    ]
+
+
 def _infer_unsatisfiable(
     edges: list[tuple[str, str]],
     disjoint_pairs: set[tuple[str, str]],
@@ -198,6 +335,7 @@ def parse_owl_xml(
     include_data_properties: bool = False,
     unsatisfiable_iris: set[str] | None = None,
     ontology_id: str = "root",
+    classify_defined: bool = True,
 ) -> ParsedOntology:
     tree = ET.parse(path)
     root = tree.getroot()
@@ -246,6 +384,9 @@ def parse_owl_xml(
     # existence-forcing restriction uses (class, property, filler|None)
     disjoint_pairs: set[tuple[str, str]] = set()
     existential_uses: set[tuple[str, str, str | None]] = set()
+    # defined-class bodies fully inside the EL membership slice:
+    # iri → list of conjunct lists (("named", N) | ("exists", p, F))
+    defined_bodies: dict[str, list[list]] = {}
     restriction_tag = f"{{{OWL_NS}}}Restriction"
     class_tag = f"{{{OWL_NS}}}Class"
     intersection_tag = f"{{{OWL_NS}}}intersectionOf"
@@ -302,16 +443,36 @@ def parse_owl_xml(
                         elif gc.tag == class_tag:  # anonymous class body
                             for inter in gc:
                                 if inter.tag == intersection_tag:
+                                    # conjunct list for the membership
+                                    # slice; None marks a conjunct told
+                                    # logic cannot witness → whole body
+                                    # ineligible (skipped, never unsound)
+                                    conjuncts: list | None = []
                                     for m in inter:
                                         if m.get(_ABOUT):
                                             # C ≡/⊑ A ⊓ … ⇒ C ⊑ A (one-way:
                                             # the conjunction is NOT ⊑ C)
                                             ont.edge(iri, m.get(_ABOUT))
                                             children.add(iri)
+                                            conjuncts.append(("named", m.get(_ABOUT)))
                                         elif m.tag == restriction_tag:
                                             pf = _forces_existence(m)
                                             if pf:
                                                 existential_uses.add((iri, *pf))
+                                            be = _body_existential(m)
+                                            conjuncts.append(
+                                                ("exists", *be) if be else None
+                                            )
+                                        else:
+                                            conjuncts.append(None)
+                                    if (
+                                        ch.tag == equivalent_tag
+                                        and conjuncts
+                                        and all(c is not None for c in conjuncts)
+                                    ):
+                                        defined_bodies.setdefault(iri, []).append(
+                                            conjuncts
+                                        )
                                 elif (
                                     inter.tag == union_tag
                                     and ch.tag == equivalent_tag
@@ -386,6 +547,23 @@ def parse_owl_xml(
             if c.tag == domain_tag and c.get(_RESOURCE):
                 domains.setdefault(about, c.get(_RESOURCE))
 
+    class_iris = {i for i, k in kind_of.items() if k == class_tag}
+
+    # EL-slice defined-class membership (reasoner parity, What's-missing
+    # item of round 3): classify every class whose told closure satisfies
+    # a defined class's full intersection body, BEFORE the unsat check so
+    # an inferred membership under a disjoint ancestor correctly unsats.
+    # Uses asserted edges only — domain-inferred edges stay unsat-only.
+    if classify_defined and defined_bodies:
+        for c, p in _classify_defined_members(
+            [(e["child_iri"], e["parent_iri"]) for e in ont.edges],
+            existential_uses,
+            defined_bodies,
+            class_iris,
+        ):
+            ont.edge(c, p)
+            children.add(c)
+
     # told-unsat: asserted edges + domain-inferred edges (unsat-only, never
     # emitted as parents), then the two-disjoint-ancestors / under-Nothing
     # check; caller-supplied reasoner output is ORed in.
@@ -394,7 +572,6 @@ def parse_owl_xml(
         (c, domains[p]) for c, p, _ in existential_uses if p in domains
     ]
     fillers = {(c, f) for c, _, f in existential_uses if f is not None}
-    class_iris = {i for i, k in kind_of.items() if k == class_tag}
     unsat = set(unsatisfiable_iris or ())
     nothing_iri = OWL_NS + "Nothing"
     if (

@@ -838,3 +838,200 @@ def test_named_node_equivalent_class(tmp_path):
     edges = {(e["child_iri"], e["parent_iri"]) for e in parsed.tables.edges}
     assert ("http://ex/eqnn#A", "http://ex/eqnn#B") in edges
     assert ("http://ex/eqnn#B", "http://ex/eqnn#A") in edges
+
+
+class TestDefinedClassMembership:
+    """EL-slice defined-class MEMBERSHIP (round-4: the reasoner infers
+    e.g. Margherita ⊑ CheeseyPizza from its told mozzarella topping —
+    FhirOwlService.java:258 classifies with ELK/JFact, :533 consumes the
+    superclasses). The parser's told classifier must reproduce those
+    inferences on the REAL pizza.owl with no injected reasoner output."""
+
+    def test_named_pizzas_classified_under_cheesey_pizza(self, pizza_triples):
+        # Margherita ⊑ NamedPizza(⊑ Pizza) + ∃hasTopping.Mozzarella(⊑ Cheese)
+        # satisfies CheeseyPizza ≡ Pizza ⊓ ∃hasTopping.CheeseTopping
+        for pizza in ("Margherita", "American", "QuattroFormaggi", "Soho"):
+            assert (pizza, "is-a", "CheeseyPizza") in pizza_triples, pizza
+        # told direct parent NamedPizza survives alongside (reasoner emits both)
+        assert ("Margherita", "is-a", "NamedPizza") in pizza_triples
+
+    def test_spicy_classification(self, pizza_triples):
+        # SpicyTopping ≡ PizzaTopping ⊓ ∃hasSpiciness.Hot
+        assert ("JalapenoPepperTopping", "is-a", "SpicyTopping") in pizza_triples
+        # SpicyPizza ≡ Pizza ⊓ ∃hasTopping.SpicyTopping — needs the
+        # FIXPOINT: JalapenoPepperTopping ⊑ SpicyTopping is itself inferred
+        assert ("AmericanHot", "is-a", "SpicyPizza") in pizza_triples
+        assert ("SloppyGiuseppe", "is-a", "SpicyPizza") in pizza_triples
+
+    def test_meaty_pizzas(self, pizza_triples):
+        assert ("American", "is-a", "MeatyPizza") in pizza_triples
+        assert ("LaReine", "is-a", "MeatyPizza") in pizza_triples
+        # a meatless pizza must NOT classify as meaty
+        assert ("Margherita", "is-a", "MeatyPizza") not in pizza_triples
+
+    def test_slice_boundary_universal_bodies_abstain(self, pizza_triples):
+        """VegetarianPizza's body contains ∀hasTopping.(...) — outside the
+        told slice, so membership is soundly NOT inferred (the documented
+        remaining reasoner gap, absorbed by the 0.95 P/R tolerance)."""
+        assert ("Margherita", "is-a", "VegetarianPizza") not in pizza_triples
+
+    def test_opt_out_flag(self):
+        parsed = parse_owl_xml(PIZZA, include_object_properties=True,
+                               classify_defined=False)
+        edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+                 for e in parsed.tables.edges}
+        assert ("Margherita", "CheeseyPizza") not in edges
+
+
+class TestDefinedMembershipProperty:
+    """Property-based check of the membership classifier on RANDOM
+    ontologies vs an independent whole-graph fixpoint model written
+    straight from the spec. Parser-only — no Spark, cheap."""
+
+    @staticmethod
+    def _render(n, edges, exists, bodies) -> str:
+        ns = "http://ex/dm#"
+        parts = [
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+            '<owl:Ontology rdf:about="http://ex/dm"/>',
+        ]
+        for i in range(n):
+            body = [f"<rdfs:label>c{i}</rdfs:label>"]
+            for c, p in edges:
+                if c == i:
+                    body.append(f'<rdfs:subClassOf rdf:resource="{ns}C{p}"/>')
+            for c, prop, filler in exists:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf><owl:Restriction>"
+                        f'<owl:onProperty rdf:resource="{ns}p{prop}"/>'
+                        f'<owl:someValuesFrom rdf:resource="{ns}C{filler}"/>'
+                        "</owl:Restriction></rdfs:subClassOf>"
+                    )
+            if i in bodies:
+                named, ex = bodies[i]
+                members = [
+                    f'<rdf:Description rdf:about="{ns}C{m}"/>' for m in named
+                ] + [
+                    "<owl:Restriction>"
+                    f'<owl:onProperty rdf:resource="{ns}p{p}"/>'
+                    f'<owl:someValuesFrom rdf:resource="{ns}C{f}"/>'
+                    "</owl:Restriction>"
+                    for p, f in ex
+                ]
+                body.append(
+                    "<owl:equivalentClass><owl:Class>"
+                    '<owl:intersectionOf rdf:parseType="Collection">'
+                    + "".join(members)
+                    + "</owl:intersectionOf></owl:Class></owl:equivalentClass>"
+                )
+            parts.append(
+                f'<owl:Class rdf:about="{ns}C{i}">' + "".join(body) + "</owl:Class>"
+            )
+        parts.append("</rdf:RDF>")
+        return "".join(parts)
+
+    @staticmethod
+    def _model(n, edges, exists, bodies) -> set[tuple[int, int]]:
+        from collections import defaultdict
+
+        parents = defaultdict(set)
+        for c, p in edges:
+            parents[c].add(p)
+        have = defaultdict(set)  # class -> {(p, f)} direct existentials
+        for c, p, f in exists:
+            have[c].add((p, f))
+        for d, (named, ex) in bodies.items():
+            parents[d].update(named)   # told one-way conjunct edges
+            have[d].update(ex)         # body existentials belong to d
+
+        def anc(i):
+            out, todo = {i}, [i]
+            while todo:
+                for p in parents[todo.pop()]:
+                    if p not in out:
+                        out.add(p)
+                        todo.append(p)
+            return out
+
+        told_anc = {x: anc(x) for x in range(n)}
+        changed = True
+        while changed:
+            changed = False
+            for d, (named, ex) in bodies.items():
+                for x in range(n):
+                    a = anc(x)
+                    if x == d or d in a:
+                        continue
+                    mine = set().union(*(have[y] for y in a))
+                    ok = all(m in a for m in named) and all(
+                        any(p_req == p_have and f_req in anc(f_have)
+                            for p_have, f_have in mine)
+                        for p_req, f_req in ex
+                    )
+                    if ok:
+                        parents[x].add(d)
+                        changed = True
+        # canonical output, mirroring the parser: every defined class
+        # newly in x's saturated ancestor closure
+        return {
+            (x, d)
+            for x in range(n)
+            for d in bodies
+            if d != x and d in anc(x) and d not in told_anc[x]
+        }
+
+    def test_property_random_graphs(self, tmp_path):
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 10**9))
+        def check(seed):
+            rng = _random.Random(seed)
+            n = rng.randint(4, 9)
+            edges = [
+                (i, rng.randrange(i)) for i in range(1, n) if rng.random() < 0.6
+            ]
+            n_props = 2
+            exists = [
+                (rng.randrange(n), rng.randrange(n_props), rng.randrange(n))
+                for _ in range(rng.randint(0, 4))
+            ]
+            bodies = {}
+            for _ in range(rng.randint(1, 3)):
+                d = rng.randrange(n)
+                named = rng.sample([i for i in range(n) if i != d],
+                                   rng.randint(0, 2))
+                ex = [
+                    (rng.randrange(n_props), rng.randrange(n))
+                    for _ in range(rng.randint(0, 2))
+                ]
+                if named or ex:
+                    bodies[d] = (named, ex)
+            xml = self._render(n, edges, exists, bodies)
+            f = tmp_path / f"dm{seed}.owl"
+            f.write_text(xml)
+            parsed = parse_owl_xml(str(f), include_object_properties=False)
+            got_edges = {
+                (e["child_iri"], e["parent_iri"])
+                for e in parsed.tables.edges
+            }
+            ns = "http://ex/dm#"
+            want_base = {(f"{ns}C{c}", f"{ns}C{p}") for c, p in edges}
+            for d, (named, _) in bodies.items():
+                want_base |= {(f"{ns}C{d}", f"{ns}C{m}") for m in named}
+            want_inferred = {
+                (f"{ns}C{x}", f"{ns}C{d}")
+                for x, d in self._model(n, edges, exists, bodies)
+            }
+            assert got_edges == want_base | want_inferred, (
+                xml, sorted(got_edges - want_base - want_inferred),
+                sorted((want_base | want_inferred) - got_edges),
+            )
+
+        check()
