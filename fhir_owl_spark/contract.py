@@ -946,8 +946,11 @@ def q_scalar_funcs(spark, sf_dir) -> DataFrame:
 
 
 def q_conv_features(spark, sf_dir) -> DataFrame:
-    """Grouped-map (applyInPandas) per-conversation features over events
-    adapted to the transcript shape (conv=user, turn order by ts)."""
+    """Per-conversation features (pure-Column default — one window + one
+    groupBy on conv_id, no Python stage; the applyInPandas twin
+    conversation_features_grouped is the opt-in context-scoring seam)
+    over events adapted to the transcript shape (conv=user, turn order
+    by ts)."""
     from .operators.conversations import conversation_features
 
     events = _read(spark, sf_dir, "events")

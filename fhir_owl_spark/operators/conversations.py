@@ -1,12 +1,14 @@
-"""Per-conversation operators — the grouped-map (applyInPandas) pattern.
+"""Per-conversation operators.
 
-``conversation_features`` computes per-conversation shape statistics with
-one Arrow batch per conversation group. NOTE: these particular aggregates
-are also expressible as groupBy + window Column code (and that is what
-the DuckDB oracle does — the two implementations cross-check each other);
-the grouped-map form is here because it is the extension seam for
-context-dependent per-conversation scoring (mention disambiguation using
-surrounding turns), which Column code cannot express.
+``conversation_features`` (the DEFAULT) is pure Column code: one window
+for the inter-turn gap + one groupBy on conv_id — both partitioned on
+conv_id, so Catalyst emits ONE Exchange and the whole computation stays
+inside whole-stage codegen, no Python in the hot path.
+``conversation_features_grouped`` computes the identical schema with one
+Arrow batch per conversation group (applyInPandas); it exists as the
+documented extension seam for context-dependent per-conversation scoring
+(mention disambiguation using surrounding turns), which Column code
+cannot express — tests assert the two paths agree row-for-row.
 
 Scale shape: one shuffle on conv_id; conversations are bounded (10^2-10^3
 turns), so group memory is bounded; skewed giant conversations are the
@@ -44,6 +46,58 @@ CONV_FEATURES = StructType(
 
 
 def conversation_features(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation shape statistics (CONV_FEATURES schema), pure
+    Column implementation.
+
+    The gap is computed against the previous NON-NULL timestamp in turn
+    order (last(ignorenulls) over the preceding frame), matching the
+    grouped-map path's dropna-then-diff semantics — a NULL ts in the
+    middle of a conversation must not sever the gap chain. Microsecond
+    integers throughout: float seconds on epoch-scale timestamps lose
+    sub-microsecond precision and break cross-engine value equality
+    (the DuckDB oracle subtracts epoch_us bigints).
+    """
+    from pyspark.sql.window import Window
+
+    prev_ts = F.last("ts", ignorenulls=True).over(
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap_us = F.when(
+        F.col("ts").isNotNull(),
+        F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")),
+    )
+    max_gap_us = F.coalesce(F.max("_gap_us"), F.lit(0)).cast("long")
+    return (
+        transcripts.withColumn("_gap_us", gap_us)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("long")
+            .alias("n_user_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .cast("long")
+            .alias("total_chars"),
+            # cast to TIMESTAMP to match the declared CONV_FEATURES schema
+            # on NTZ inputs too (the grouped-map path always emits
+            # TimestampType); the gap itself is computed on the ORIGINAL
+            # ts via timestamp_diff, which is timezone-independent
+            F.min("ts").cast("timestamp").alias("first_ts"),
+            F.max("ts").cast("timestamp").alias("last_ts"),
+            (max_gap_us / F.lit(1e6)).alias("max_gap_s"),
+            max_gap_us.alias("max_gap_us"),
+            F.size(F.collect_set("role")).cast("int").alias("n_roles"),
+        )
+    )
+
+
+def conversation_features_grouped(transcripts: DataFrame) -> DataFrame:
+    """Grouped-map (applyInPandas) twin of ``conversation_features`` —
+    the extension seam for context-dependent per-conversation scoring
+    that Column code cannot express. Same CONV_FEATURES schema; tests
+    assert equality with the Column default."""
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         ts = pdf["ts"]

@@ -6,42 +6,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fhir_owl_spark import fixtures as fx
-from fhir_owl_spark.operators.conversations import conversation_features
+from fhir_owl_spark.operators.conversations import (
+    conversation_features,
+    conversation_features_grouped,
+)
 from fhir_owl_spark.streaming.sessions import running_conversation_counts
 
 
-def test_conversation_features_match_column_impl(spark):
-    """The grouped-map result must equal the pure-Column groupBy/window
-    computation of the same statistics (cross-implementation check)."""
+def _feature_rows(df):
+    return {
+        (r["conv_id"], r["n_turns"], r["n_user_turns"], r["total_chars"],
+         r["first_ts"], r["last_ts"], round(r["max_gap_s"], 6),
+         r["max_gap_us"], r["n_roles"])
+        for r in df.collect()
+    }
+
+
+def test_conversation_features_column_and_grouped_agree(spark):
+    """The Column default and the grouped-map seam must produce identical
+    rows (cross-implementation check), and the default plan must contain
+    no Python stage."""
     ont, cfg = fx.pizza_fixture()
     tdf = fx.transcripts_df(spark, fx.make_transcripts(ont, cfg, n_conv=25, seed=5))
 
-    got = {
-        (r["conv_id"], r["n_turns"], r["n_user_turns"], r["total_chars"],
-         r["first_ts"], r["last_ts"], round(r["max_gap_s"], 6), r["n_roles"])
-        for r in conversation_features(tdf).collect()
-    }
-
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    gaps = tdf.withColumn(
-        "gap", F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-    )
-    expected = {
-        (r["conv_id"], r["n_turns"], r["n_user_turns"], r["total_chars"],
-         r["first_ts"], r["last_ts"], round(r["max_gap_s"], 6), r["n_roles"])
-        for r in gaps.groupBy("conv_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
-            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("total_chars"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
-            F.coalesce(F.max("gap"), F.lit(0.0)).alias("max_gap_s"),
-            F.size(F.collect_set("role")).alias("n_roles"),
-        )
-        .collect()
-    }
+    col_df = conversation_features(tdf)
+    got = _feature_rows(col_df)
+    expected = _feature_rows(conversation_features_grouped(tdf))
     assert got == expected and got
+    plan = col_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "Python" not in plan
+
+
+def test_conversation_features_schemas_identical(spark):
+    ont, cfg = fx.pizza_fixture()
+    tdf = fx.transcripts_df(spark, fx.make_transcripts(ont, cfg, n_conv=3, seed=1))
+    a = conversation_features(tdf)
+    b = conversation_features_grouped(tdf)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
 
 
 def test_stateful_running_counts(spark, tmp_path):
