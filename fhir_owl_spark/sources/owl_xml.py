@@ -315,6 +315,57 @@ def _infer_unsatisfiable(
     return unsat
 
 
+class UnsupportedOwlFormatError(ValueError):
+    """Raised when an ontology document is a recognized OWL serialization
+    this parser does not read (the reference's
+    loadOntologyFromOntologyDocument auto-detects RDF/XML, OWL/XML,
+    functional syntax, Turtle, Manchester and OBO —
+    FhirOwlService.java:201; this engine reads RDF/XML natively, Turtle
+    via sources.turtle.parse_turtle, and tabular input in production)."""
+
+    def __init__(self, fmt: str, path: str, hint: str = ""):
+        self.format = fmt
+        super().__init__(
+            f"unsupported OWL serialization {fmt!r} in {path}: supply "
+            "RDF/XML or tabular input" + (f" ({hint})" if hint else "")
+        )
+
+
+def detect_owl_format(head: str) -> str:
+    """Cheap format sniff on the first bytes of an ontology document.
+    Returns one of 'rdfxml', 'owlxml', 'turtle', 'functional',
+    'manchester', 'obo', 'unknown'. Mirrors the constructs the OWL API's
+    auto-detection keys on, without parsing anything."""
+    stripped = head.lstrip("﻿ \t\r\n")
+    low = stripped.lower()
+    if stripped.startswith("format-version:"):
+        return "obo"
+    if re.search(r"^\s*@(prefix|base)\b", stripped, re.MULTILINE) or re.search(
+        r"^\s*(PREFIX|BASE)\s", stripped
+    ):
+        return "turtle"
+    if re.search(r"^\s*(Prefix|Ontology)\(", stripped, re.MULTILINE):
+        return "functional"
+    if re.search(r"^\s*(Prefix|Class|ObjectProperty|Ontology):\s", stripped, re.MULTILINE):
+        return "manchester"
+    if low.startswith("<?xml") or low.startswith("<rdf:rdf") or low.startswith("<!doctype"):
+        # OWL/XML's root element is <Ontology xmlns="…owl/2/xml"> — still
+        # XML but a different vocabulary than RDF/XML
+        if "www.w3.org/2006/12/owl2-xml" in low or re.search(
+            r"<ontology\s[^>]*xmlns=\"http://www\.w3\.org/2002/07/owl", low
+        ):
+            return "owlxml"
+        return "rdfxml"
+    if stripped.startswith("<"):
+        return "rdfxml" if "rdf" in low[:200] else "owlxml"
+    return "unknown"
+
+
+def sniff_owl_format(path: str) -> str:
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        return detect_owl_format(fh.read(4096))
+
+
 @dataclass
 class ParsedOntology:
     ontology_iri: str | None
@@ -337,7 +388,21 @@ def parse_owl_xml(
     ontology_id: str = "root",
     classify_defined: bool = True,
 ) -> ParsedOntology:
-    tree = ET.parse(path)
+    fmt = sniff_owl_format(path)
+    if fmt == "turtle":
+        raise UnsupportedOwlFormatError(
+            fmt, path, hint="or use fhir_owl_spark.sources.turtle.parse_turtle"
+        )
+    if fmt not in ("rdfxml", "unknown"):
+        raise UnsupportedOwlFormatError(fmt, path)
+    try:
+        tree = ET.parse(path)
+    except ET.ParseError as exc:
+        if fmt == "unknown":
+            raise UnsupportedOwlFormatError(
+                "unknown", path, hint=f"not parseable as RDF/XML: {exc}"
+            ) from exc
+        raise
     root = tree.getroot()
 
     ont = Ontology()
@@ -691,25 +756,43 @@ def parse_iri_mappings_file(path: str) -> dict[str, str]:
     return mappings
 
 
-def http_fetcher(cache_dir: str | None = None, timeout: float = 30.0):
+def http_fetcher(
+    cache_dir: str | None = None,
+    timeout: float = 30.0,
+    verify_tls: bool = True,
+    allow_private_hosts: bool = False,
+    max_bytes: int = 256 * 1024 * 1024,
+):
     """Build a ``fetch(iri) -> local path`` callable that downloads remote
     ``owl:imports`` documents over HTTP(S), mirroring the reference's
-    network-import resolution: the reference installs a trust-all
-    SSLContext at startup (Application.java:86-113 — ``trustEverything()``
-    with an all-accepting X509TrustManager and hostname verifier) and then
-    lets the OWL API fetch any unmapped import IRI from the network
-    (FhirOwlService.java:196-229). Parity here: an unverified
-    ``ssl._create_unverified_context()`` so self-signed ontology hosts
-    resolve exactly as they do for the reference.
+    network-import resolution (FhirOwlService.java:196-229).
+
+    TLS: verified by default. ``verify_tls=False`` reproduces the
+    reference's trust-all SSLContext (Application.java:86-113 —
+    ``trustEverything()`` with an all-accepting X509TrustManager and
+    hostname verifier) for self-signed ontology hosts — explicit opt-in
+    only, because import IRIs are ontology-controlled content.
+
+    SSRF guard: IRIs resolving to loopback / link-local / private /
+    reserved addresses are rejected unless ``allow_private_hosts=True``
+    (imports are fetched recursively, so a hostile document could
+    otherwise probe internal hosts).
+
+    Size guard: the response is STREAMED to the cache file and the fetch
+    aborts once ``max_bytes`` is exceeded — a hostile or misconfigured
+    host cannot exhaust driver memory (the largest real ontologies,
+    SNOMED-scale, are low-hundreds of MB; default cap 256 MiB).
 
     Each IRI is downloaded at most once per fetcher instance, into
     ``cache_dir`` (a fresh tempdir by default). Raises ``URLError`` /
-    ``OSError`` on failure — ``load_owl_closure`` catches, warns, and
-    continues, matching the reference's log-and-skip on unresolvable
-    imports.
+    ``OSError`` / ``ValueError`` on failure — ``load_owl_closure``
+    catches, warns, and continues, matching the reference's log-and-skip
+    on unresolvable imports.
     """
     import hashlib
+    import ipaddress
     import os
+    import socket
     import ssl
     import tempfile
     import urllib.parse
@@ -717,23 +800,60 @@ def http_fetcher(cache_dir: str | None = None, timeout: float = 30.0):
 
     cache = cache_dir or tempfile.mkdtemp(prefix="owl_imports_")
     os.makedirs(cache, exist_ok=True)
-    ctx = ssl._create_unverified_context()  # noqa: S323 — reference parity
+    if verify_tls:
+        ctx = ssl.create_default_context()
+    else:
+        ctx = ssl._create_unverified_context()  # noqa: S323 — reference parity, opt-in
     seen: dict[str, str] = {}
+
+    def _check_host(host: str) -> None:
+        if allow_private_hosts:
+            return
+        try:
+            infos = socket.getaddrinfo(host, None)
+        except OSError as exc:
+            raise ValueError(f"cannot resolve owl:imports host {host!r}") from exc
+        for info in infos:
+            addr = ipaddress.ip_address(info[4][0])
+            if (
+                addr.is_private
+                or addr.is_loopback
+                or addr.is_link_local
+                or addr.is_reserved
+                or addr.is_unspecified
+            ):
+                raise ValueError(
+                    f"owl:imports host {host!r} resolves to non-public address "
+                    f"{addr} — pass allow_private_hosts=True to permit"
+                )
 
     def fetch(iri: str) -> str:
         if iri in seen:
             return seen[iri]
         # http/https only: import IRIs are ontology-controlled content, and
-        # urlopen would otherwise happily read file:// / ftp:// — the
-        # trust-all TLS is documented reference parity, scheme laxity is not
-        scheme = urllib.parse.urlsplit(iri).scheme
-        if scheme not in ("http", "https"):
-            raise ValueError(f"unsupported owl:imports scheme {scheme!r}: {iri}")
+        # urlopen would otherwise happily read file:// / ftp://
+        parts = urllib.parse.urlsplit(iri)
+        if parts.scheme not in ("http", "https"):
+            raise ValueError(f"unsupported owl:imports scheme {parts.scheme!r}: {iri}")
+        _check_host(parts.hostname or "")
         dest = f"{cache}/{hashlib.sha256(iri.encode()).hexdigest()[:24]}.owl"
-        with urllib.request.urlopen(iri, timeout=timeout, context=ctx) as r:
-            body = r.read()
-        with open(dest, "wb") as f:
-            f.write(body)
+        got = 0
+        with urllib.request.urlopen(iri, timeout=timeout, context=ctx) as r, open(
+            dest, "wb"
+        ) as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                got += len(chunk)
+                if got > max_bytes:
+                    f.close()
+                    os.unlink(dest)
+                    raise ValueError(
+                        f"owl:imports document {iri} exceeds max_bytes="
+                        f"{max_bytes} — raise the cap if this is expected"
+                    )
+                f.write(chunk)
         seen[iri] = dest
         return dest
 

@@ -254,7 +254,11 @@ def main(argv=None) -> int:
         if args.fetch_remote_imports:
             from fhir_owl_spark.sources.owl_xml import http_fetcher
 
-            kw["fetcher"] = http_fetcher()
+            # CLI opts into reference parity explicitly: trust-all TLS
+            # and any-host fetch, exactly what the flag's help documents
+            # (Application.java:86-113); the LIBRARY default is verified
+            # TLS + public hosts only
+            kw["fetcher"] = http_fetcher(verify_tls=False, allow_private_hosts=True)
         if mappings or args.fetch_remote_imports:
             parsed = load_owl_closure(args.owl, mappings, **kw)
         else:

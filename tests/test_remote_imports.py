@@ -81,7 +81,9 @@ def test_unmapped_import_fetched_over_http(tmp_path, http_served):
     root = tmp_path / "root.owl"
     root.write_text(_root_doc(import_iri))
 
-    parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher())
+    parsed = load_owl_closure(
+        str(root), {}, fetcher=http_fetcher(allow_private_hosts=True)
+    )
     flags = {c["iri"]: c["imported"] for c in parsed.tables.concepts}
     labels = {c["iri"]: c["label"] for c in parsed.tables.concepts}
     assert flags[f"{import_iri}#A"] is True  # closure class marked imported
@@ -94,7 +96,7 @@ def test_fetcher_caches_one_download_per_iri(tmp_path, http_served):
     base, handler = http_served
     iri = f"{base}/a.owl"
     (tmp_path / "a.owl").write_text(_imported_doc(iri))
-    fetch = http_fetcher()
+    fetch = http_fetcher(allow_private_hosts=True)
     p1, p2 = fetch(iri), fetch(iri)
     assert p1 == p2
     assert handler.hits["/a.owl"] == 1
@@ -124,7 +126,7 @@ def test_fetch_failure_warns_and_continues(tmp_path):
     root.write_text(_root_doc(iri))
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
-        parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher(timeout=2))
+        parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher(timeout=2, allow_private_hosts=True))
     assert any("fetch failed" in str(x.message) for x in caught)
     # root still parsed, like the reference's log-and-skip
     assert parsed.ontology_iri == "http://ex/root"
@@ -177,7 +179,14 @@ def test_self_signed_https_import_trust_all_parity(tmp_path, https_served):
     with pytest.raises(urllib.error.URLError):
         urllib.request.urlopen(iri, timeout=5)  # verifying client: refused
 
-    parsed = load_owl_closure(str(root), {}, fetcher=http_fetcher())
+    # default fetcher VERIFIES TLS → self-signed host rejected
+    with pytest.raises(urllib.error.URLError):
+        http_fetcher(allow_private_hosts=True)(iri)
+
+    parsed = load_owl_closure(
+        str(root), {},
+        fetcher=http_fetcher(verify_tls=False, allow_private_hosts=True),
+    )
     flags = {c["iri"]: c["imported"] for c in parsed.tables.concepts}
     assert flags[f"{iri}#A"] is True
 
@@ -207,7 +216,7 @@ def test_fetcher_creates_cache_dir(tmp_path, http_served):
     iri = f"{base}/a.owl"
     (tmp_path / "a.owl").write_text(_imported_doc(iri))
     cache = tmp_path / "nested" / "does_not_exist_yet"
-    fetch = http_fetcher(cache_dir=str(cache))
+    fetch = http_fetcher(cache_dir=str(cache), allow_private_hosts=True)
     p = fetch(iri)
     assert p.startswith(str(cache))
 
@@ -219,3 +228,33 @@ def test_fetcher_rejects_non_http_schemes(tmp_path):
     for iri in ("file:///etc/passwd", "ftp://example.com/a.owl"):
         with pytest.raises(ValueError, match="unsupported owl:imports scheme"):
             fetch(iri)
+
+
+def test_fetcher_rejects_private_hosts_by_default(http_served, tmp_path):
+    """SSRF guard: import IRIs resolving to loopback/private addresses are
+    refused unless explicitly allowed (imports are fetched recursively, so
+    a hostile document could otherwise probe internal hosts)."""
+    base, _ = http_served
+    iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(iri))
+    with pytest.raises(ValueError, match="non-public address"):
+        http_fetcher()(iri)
+
+
+def test_fetcher_size_cap_streams_and_aborts(http_served, tmp_path):
+    """A response larger than max_bytes aborts the fetch (streamed to
+    disk — never buffered whole in driver memory) and leaves no partial
+    cache file behind."""
+    import os
+
+    base, _ = http_served
+    (tmp_path / "big.owl").write_text("x" * 10_000)
+    cache = tmp_path / "cache"
+    fetch = http_fetcher(cache_dir=str(cache), allow_private_hosts=True,
+                         max_bytes=1_000)
+    with pytest.raises(ValueError, match="max_bytes"):
+        fetch(f"{base}/big.owl")
+    assert os.listdir(cache) == []
+    # under the cap: fetch succeeds
+    (tmp_path / "small.owl").write_text("y" * 100)
+    assert os.path.exists(fetch(f"{base}/small.owl"))
