@@ -30,12 +30,13 @@ def pagerank(
 
     Ranks are exact doubles (no sampling); cross-partition summation
     order is the only nondeterminism, worth ~1 ulp per in-degree — the
-    contract oracle compares at 6 decimals. Each iteration LAZILY
-    checkpoints the new ranks and the next iteration's dangling-mass
-    action materializes them — every iteration's ranks are computed
-    exactly once (a sparser checkpoint cadence would make each per-
-    iteration driver action recompute the joins since the last
-    checkpoint: quadratic work inside every checkpoint window).
+    contract oracle compares at 6 decimals. The dangling mass is FOLDED
+    into the plan as a broadcast one-row aggregate cross-joined onto the
+    rank update (round-3 review item: the scalar used to be collected
+    with a separate .first() per iteration — now there is exactly ONE
+    driver action per iteration, the eager checkpoint that materializes
+    the new ranks and truncates lineage so every iteration is computed
+    exactly once).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -58,10 +59,12 @@ def pagerank(
         with_deg = ranks.join(deg, ranks.node == deg.src, "left").select(
             "node", "rank", "deg"
         )
-        # dangling mass: total rank on nodes with no out-edges
+        # dangling mass (total rank on nodes with no out-edges) as a
+        # ONE-ROW broadcast frame, not a collected scalar: the cross join
+        # is a broadcast of 8 bytes and keeps the whole update in one plan
         dangling = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-        ).first()["m"]
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        )
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
             .join(e, with_deg.node == e.src)
@@ -69,11 +72,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                "rank"
-            ),
-        ).localCheckpoint(eager=False)
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.col("_dangling") / F.lit(float(n))
+                        + F.coalesce("contrib", F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
     return ranks

@@ -91,31 +91,76 @@ def _fake_decode(content: bytes, n: int) -> np.ndarray:
     return out
 
 
+def _try_pil():
+    """Real codec seam: PIL when present, None otherwise (absent from
+    this container — the import executes on the EXECUTOR inside the
+    decode UDF, so a cluster with pillow installed gets real decoding
+    with no code change)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def image_features(
     media: DataFrame, feature_dim: int = 64, strict: bool = False
 ) -> DataFrame:
-    """Decode + resize + feature-extract images (STUBBED decode).
+    """Decode + resize + feature-extract images.
 
     Real plumbing: filters on metadata columns (pushed to the scan),
     Arrow batches of binary in, fixed-dim float features out.
+
+    Decode paths: ``strict=False`` (default) uses the deterministic
+    SHA256 stub — stable across environments, value-oracled by the
+    contract's DuckDB query. ``strict=True`` REQUIRES a real codec: with
+    PIL installed the bytes are decoded, grayscale-resized and emitted
+    as a normalized pixel feature (baseline featurizer; swap in a model
+    embedding in production); without PIL it raises NotImplementedError
+    (honest container limitation, no silent fake in strict mode).
     """
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        pil = _try_pil() if strict else None
+        if strict and pil is None:
             raise NotImplementedError(
-                "image decoding requires a codec library not present in this "
-                "container; run with strict=False for the deterministic stub"
+                "image decoding requires a codec library (pillow) not present "
+                "in this container; install PIL for real decoding or run with "
+                "strict=False for the deterministic stub"
             )
+        import io
+
         for pdf in batches:
-            feats = [
-                _fake_decode(c, feature_dim).tolist() for c in pdf["content"]
-            ]
+            if pil is None:
+                feats = [
+                    _fake_decode(c, feature_dim).tolist() for c in pdf["content"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "feature": feats,
+                        "out_width": np.minimum(pdf["width"].fillna(0), 224).astype("int32"),
+                        "out_height": np.minimum(pdf["height"].fillna(0), 224).astype("int32"),
+                    }
+                )
+                continue
+            feats, ows, ohs = [], [], []
+            for c in pdf["content"]:
+                img = pil.open(io.BytesIO(c)).convert("L")
+                ow, oh = (min(img.width, 224), min(img.height, 224))
+                small = img.resize((feature_dim, 1))
+                feats.append(
+                    (np.asarray(small, dtype=np.float32).ravel() / 255.0).tolist()
+                )
+                ows.append(ow)
+                ohs.append(oh)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "feature": feats,
-                    "out_width": np.minimum(pdf["width"].fillna(0), 224).astype("int32"),
-                    "out_height": np.minimum(pdf["height"].fillna(0), 224).astype("int32"),
+                    "out_width": np.asarray(ows, dtype="int32"),
+                    "out_height": np.asarray(ohs, dtype="int32"),
                 }
             )
 

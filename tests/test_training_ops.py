@@ -267,10 +267,29 @@ class TestMultimodal:
         assert all(sorted(v) == list(range(len(v))) for v in by_media.values())
         assert all(len(v) <= 4 for v in by_media.values())
 
-    def test_strict_mode_raises(self, spark):
+    def test_strict_mode_raises_without_codec(self, spark):
+        if multimodal._try_pil() is not None:
+            pytest.skip("PIL present: strict mode decodes for real")
         media = multimodal.fake_media_df(spark, n=3)
-        with pytest.raises(Exception):
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
             multimodal.image_features(media, strict=True).collect()
+
+    def test_strict_mode_real_codec_path(self, spark):
+        """Exercised only where pillow exists (skip-marked here): strict
+        mode must decode REAL image bytes into normalized pixel features."""
+        pil = multimodal._try_pil()
+        if pil is None:
+            pytest.skip("pillow not installed in this container")
+        import io
+
+        buf = io.BytesIO()
+        pil.new("RGB", (32, 16), color=(255, 0, 0)).save(buf, format="PNG")
+        rows = [(0, "image", buf.getvalue(), 32, 16, None, None)]
+        media = spark.createDataFrame(rows, multimodal.MEDIA)
+        r = multimodal.image_features(media, feature_dim=8, strict=True).first()
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert (r["out_width"], r["out_height"]) == (32, 16)
 
 
 class TestIVF:
