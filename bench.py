@@ -204,6 +204,57 @@ def main() -> None:
         lambda: mentions.extract_mentions(big_corpus, dict18, cfg18).count(),
     )
 
+    # --- up-scale anchor (sf1-equivalent): the headline plans at 10× the
+    # bench data, inside the 128 GiB sandbox. Reported under a separate
+    # "upscale" key so the headline total stays round-over-round
+    # comparable. Single timed run each (these are minutes-scale; the
+    # best-of-N steal-noise argument matters less at this duration).
+    # SPARK_GRAFT_BENCH_UPSCALE=0 skips for quick iteration.
+    upscale: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_UPSCALE", "1") != "0":
+        n_up = 6_000_000  # sf1-equivalent turn count
+        up_tpath = f"/tmp/fhir_owl_spark_bench/transcripts_n{n_up}"
+        if not os.path.exists(f"{up_tpath}/_SUCCESS"):
+            shutil.rmtree(up_tpath, ignore_errors=True)
+            bench_transcripts(spark, n_up).repartition(256).write.mode(
+                "overwrite"
+            ).parquet(up_tpath)
+        t6 = spark.read.parquet(up_tpath)
+        t0 = time.perf_counter()
+        build_graph(spark, concepts, edges, synonyms, t6, cfg).count()
+        upscale["kg_build_6m"] = round(time.perf_counter() - t0, 3)
+
+        # 10× the document corpus (sf1-equivalent 50k docs): replicas get
+        # distinct ids and a replica marker appended so near-dup structure
+        # is preserved without making every replica an exact dup
+        docs10_path = "/tmp/fhir_owl_spark_bench/docs10"
+        if not os.path.exists(f"{docs10_path}/_SUCCESS"):
+            n_docs = docs.count()
+            reps = spark.range(10).withColumnRenamed("id", "rep")
+            docs10_df = docs.crossJoin(reps).select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" replica "), F.col("rep").cast("string")
+                ).alias("text"),
+            )
+            docs10_df.repartition(64).write.mode("overwrite").parquet(docs10_path)
+        docs10 = spark.read.parquet(docs10_path)
+        t0 = time.perf_counter()
+        n_pairs = dedup.minhash_dedup_pairs(docs10, threshold=0.8).count()
+        upscale["minhash_dedup_10x"] = round(time.perf_counter() - t0, 3)
+        upscale.update(
+            {
+                "turns_6m": n_up,
+                "docs_10x_rows": 10 * 5000 if sf == 0.1 else None,
+                "minhash_10x_pairs": n_pairs,
+                "note": (
+                    "single-run wall times at 10x the bench data on the same "
+                    "local[cpus] session; see BENCH_SCALING.md for the "
+                    "partition/spill analysis"
+                ),
+            }
+        )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
@@ -217,6 +268,8 @@ def main() -> None:
         "runs_per_query": runs_per_query,
         "agg": "min",
     }
+    if upscale:
+        out["upscale"] = upscale
     print(json.dumps(out))
     spark.stop()
 

@@ -313,9 +313,15 @@ def minhash_dedup_pairs(
     pairs = pairs.withColumn(
         "jaccard", ngram_jaccard_col("text_a", "text_b", shingle_k)
     )
-    return pairs.filter(F.col("jaccard") >= threshold).select(
+    out = pairs.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+    # propagate the truncation observation so pipeline callers can log
+    # n_truncated_buckets after their action (zero extra jobs)
+    obs = getattr(cands, "_lsh_observation", None)
+    if obs is not None:
+        out._lsh_observation = obs  # type: ignore[attr-defined]
+    return out
 
 
 # ---------------------------------------------------------------------------

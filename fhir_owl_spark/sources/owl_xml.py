@@ -888,8 +888,13 @@ def load_owl_closure(
     """
     import warnings
 
+    # format-dispatching loader so a Turtle root or import document
+    # parses (the reference's OWL API auto-detects per document —
+    # a closure can legally mix serializations)
+    from .turtle import parse_ontology_document
+
     mappings = iri_mappings or {}
-    root = parse_owl_xml(
+    root = parse_ontology_document(
         path,
         include_object_properties=include_object_properties,
         include_data_properties=include_data_properties,
@@ -921,7 +926,7 @@ def load_owl_closure(
                 stacklevel=2,
             )
             continue
-        doc = parse_owl_xml(
+        doc = parse_ontology_document(
             local,
             include_object_properties=include_object_properties,
             include_data_properties=include_data_properties,

@@ -136,6 +136,7 @@ def run(args) -> dict:
         out = docs.join(
             decisions.filter(F.col("keep")).select(args.id_col), args.id_col
         )
+        lsh_obs = getattr(pairs, "_lsh_observation", None)
     elif args.cmd == "quality":
         from fhir_owl_spark.operators import text
 
@@ -218,6 +219,14 @@ def run(args) -> dict:
     n_out = spark.read.parquet(args.output).count()
     status = {"cmd": args.cmd, "rows_in": n_in, "rows_out": n_out,
               "output": args.output}
+    if args.cmd == "dedup" and lsh_obs is not None:
+        # observation metrics materialized by the write action above —
+        # reading them costs no extra job; a non-zero count means some
+        # degenerate duplicate cluster was star-connected (candidate pair
+        # REPORT truncated; keep-one decisions unaffected)
+        metrics = lsh_obs.get
+        status["lsh_truncated_buckets"] = int(metrics["n_truncated_buckets"] or 0)
+        status["lsh_max_bucket_size"] = int(metrics["max_bucket_size"] or 0)
     print(json.dumps(status))
     return status
 

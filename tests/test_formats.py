@@ -191,3 +191,35 @@ class TestTurtleReader:
         assert child_a["label"] == child_b["label"] == "a-sorts-first"
         ea = {(e["child_iri"], e["parent_iri"]) for e in a.tables.edges}
         assert ("http://ex/t#Child", "http://ex/t#Parent") in ea
+
+
+def test_closure_mixes_serializations(tmp_path):
+    """An RDF/XML root can import a Turtle document (the OWL API
+    auto-detects per document) — the closure must parse both and mark the
+    Turtle classes imported."""
+    from fhir_owl_spark.sources.owl_xml import load_owl_closure
+
+    ttl = tmp_path / "imp.ttl"
+    ttl.write_text(
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "<http://ex/imp> a owl:Ontology .\n"
+        "<http://ex/imp#I> a owl:Class ; rdfs:label \"imported turtle\" .\n"
+    )
+    root = tmp_path / "root.owl"
+    root.write_text(
+        '<?xml version="1.0"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/root">'
+        '<owl:imports rdf:resource="http://ex/imp"/></owl:Ontology>'
+        '<owl:Class rdf:about="http://ex/root#R"><rdfs:label>R</rdfs:label>'
+        '<rdfs:subClassOf rdf:resource="http://ex/imp#I"/></owl:Class>'
+        "</rdf:RDF>"
+    )
+    parsed = load_owl_closure(str(root), {"http://ex/imp": str(ttl)})
+    by_iri = {c["iri"]: c for c in parsed.tables.concepts}
+    assert by_iri["http://ex/imp#I"]["imported"] is True
+    assert by_iri["http://ex/imp#I"]["label"] == "imported turtle"
+    assert by_iri["http://ex/root#R"]["imported"] is False
