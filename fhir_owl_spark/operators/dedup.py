@@ -154,6 +154,15 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
+class _StaticLshMetrics:
+    """Duck-typed stand-in for pyspark Observation when the probe proves
+    no bucket exceeds the cap: ``.get`` is the metrics dict (Observation
+    exposes ``.get`` as a property), already final at plan-build time."""
+
+    def __init__(self, metrics: dict):
+        self.get = metrics
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -239,32 +248,72 @@ def lsh_candidate_pairs(
         )
         .select(F.col(id_col), "band_idx", band_hash.alias("band_hash"))
     )
+    static_metrics = None
+    if max_bucket_size is not None:
+        # one cheap probe action (map + two-level agg over cached
+        # signatures, no window/join) decides the plan: when NO bucket
+        # exceeds the cap — the overwhelmingly common case — the lean
+        # uncapped self-join below is emitted, whose output is IDENTICAL
+        # (all-pairs everywhere) but ~2× cheaper in fixed stage overhead;
+        # only a corpus that actually contains a degenerate bucket pays
+        # for the star-connect machinery.
+        biggest = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        if biggest is None or biggest <= max_bucket_size:
+            max_bucket_size = None
+            static_metrics = {
+                "n_truncated_buckets": 0,
+                "max_bucket_size": biggest,
+            }
     if max_bucket_size is None:
         left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-        return (
+        out = (
             left.join(right, ["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )
-    # bucket stats shuffle on the SAME keys the self-join uses, so the
-    # join back (and the small-bucket self-join) reuse that partitioning —
-    # Catalyst/AQE emit one Exchange for the whole banded side.
-    stats = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("_bsize"), F.min(id_col).alias("_bmin")
+        if static_metrics is not None:
+            out._lsh_observation = _StaticLshMetrics(static_metrics)  # type: ignore[attr-defined]
+        return out
+    # bucket size + representative via ONE window over the same keys the
+    # self-join shuffles on — no separate stats aggregate, no join back
+    # (measured ~2× cheaper than the groupBy+join tagging at sf0.1; the
+    # stats side would also be bucket-cardinality rows, i.e. corpus-scale
+    # at 100 TB, so there is no broadcast shortcut)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    tagged = banded.select(
+        F.col(id_col),
+        "band_idx",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("_bsize"),
+        F.min(id_col).over(w).alias("_bmin"),
     )
+    # tagged feeds three subtrees (self-join left/right + star branch);
+    # only its Exchange is reusable — the Sort+Window would run three
+    # times. LAZY cache computes the window once; footprint is
+    # n_bands × rows × ~50 B, same magnitude as the signature cache,
+    # MEMORY_AND_DISK spills instead of OOMing.
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    small = tagged.filter(F.col("_bsize") <= max_bucket_size)
+    # the observe node lives ONLY on the big branch (a plan may not carry
+    # the same CollectMetrics twice, and tagged feeds three subtrees);
+    # metrics therefore read 0/None when nothing was truncated
     obs = Observation("lsh_buckets")
-    stats = stats.observe(
+    big = tagged.filter(F.col("_bsize") > max_bucket_size).observe(
         obs,
-        F.sum(
-            F.when(F.col("_bsize") > max_bucket_size, 1).otherwise(0)
-        ).alias("n_truncated_buckets"),
+        F.sum(F.when(F.col(id_col) == F.col("_bmin"), 1).otherwise(0)).alias(
+            "n_truncated_buckets"
+        ),
         F.max("_bsize").alias("max_bucket_size"),
     )
-    tagged = banded.join(stats, ["band_idx", "band_hash"])
-    small = tagged.filter(F.col("_bsize") <= max_bucket_size)
-    big = tagged.filter(F.col("_bsize") > max_bucket_size)
     left = small.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = small.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     small_pairs = (
@@ -294,24 +343,33 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → verify with exact word-shingle Jaccard ≥ threshold.
 
-    Verification joins candidate ids back to text (two broadcast-or-shuffle
-    hash joins on ids) and computes exact Jaccard on the pair only.
-    Empty/whitespace docs never enter the LSH (minhash_signatures drops
-    no-shingle docs — exact dedup's job), and buckets over max_bucket_size
-    star-connect (see lsh_candidate_pairs) so degenerate duplicate
-    clusters cost O(C) candidate pairs, not O(C²).
+    Verification computes each document's distinct shingle SET once
+    (O(corpus), not O(pairs) — building shingles per pair row measured
+    9× slower on a 250k-candidate corpus) and joins the sets to the
+    candidate ids (two shuffle-or-broadcast hash joins on ids, array
+    payload ≈ text size); exact Jaccard is then two array intersect/
+    union size ops per pair. Empty/whitespace docs never enter the LSH
+    (minhash_signatures drops no-shingle docs — exact dedup's job), and
+    buckets over max_bucket_size star-connect (see lsh_candidate_pairs)
+    so degenerate duplicate clusters cost O(C) candidate pairs, not
+    O(C²).
     """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(
         sigs, id_col, n_bands, sig_len=n_hashes, max_bucket_size=max_bucket_size
     )
-    texts = df.select(F.col(id_col), F.col(text_col))
-    pairs = (
-        cands.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
-        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles_col(text_col, shingle_k)).alias("_sset"),
     )
+    pairs = (
+        cands.join(sets.withColumnsRenamed({id_col: "id_a", "_sset": "_sa"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "_sset": "_sb"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
     pairs = pairs.withColumn(
-        "jaccard", ngram_jaccard_col("text_a", "text_b", shingle_k)
+        "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     )
     out = pairs.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
@@ -330,15 +388,24 @@ def minhash_dedup_pairs(
 
 
 def word_shingles_col(text_col: str, k: int):
-    """array of word k-shingles as a Column expression (no UDF)."""
+    """array of word k-shingles as a Column expression (no UDF).
+
+    Built by zip_with-folding k shifted slices of the word array (the
+    same shape as text._ngrams): zip_with evaluates its ARGUMENTS once
+    per row and only the lambda per element. The previous
+    transform(sequence)/slice/concat_ws form re-expanded the split()
+    subtree per output element (HOF lambdas re-evaluate argument
+    subtrees), making verification O(words²) per candidate pair —
+    measured 60× slower on a 50k-doc corpus with 250k candidates."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(words)
-    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    m = n - (k - 1)
+    out = F.slice(words, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(words, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(out)
 
 
 def ngram_jaccard_col(text_a: str, text_b: str, k: int = 3):
@@ -451,14 +518,27 @@ def simhash_near_dup_pairs(
             .distinct()
         )
     else:
-        # bucket stats on the same join keys; min_by carries the min id's
-        # simhash so star edges stay verifiable without another join
-        stats = blocks.groupBy("block_idx", "block_val").agg(
-            F.count(F.lit(1)).alias("_bsize"),
-            F.min(id_col).alias("_bmin"),
-            F.min_by("simhash", F.col(id_col)).alias("_bmin_sim"),
+        # same window tagging as lsh_candidate_pairs; the min-id struct
+        # carries that row's simhash so star edges stay verifiable
+        # without another join
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("block_idx", "block_val")
+        mn = F.min(F.struct(F.col(id_col), F.col("simhash"))).over(w)
+        tagged = blocks.select(
+            F.col(id_col),
+            "simhash",
+            "block_idx",
+            "block_val",
+            F.count(F.lit(1)).over(w).alias("_bsize"),
+            mn.getField(id_col).alias("_bmin"),
+            mn.getField("simhash").alias("_bmin_sim"),
         )
-        tagged = blocks.join(stats, ["block_idx", "block_val"])
+        from pyspark import StorageLevel
+
+        # same three-subtree reuse problem as lsh_candidate_pairs —
+        # cache so the window runs once
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         small = tagged.filter(F.col("_bsize") <= max_bucket_size)
         big = tagged.filter(F.col("_bsize") > max_bucket_size)
         left = small.select(
