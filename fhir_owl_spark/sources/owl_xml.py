@@ -129,6 +129,66 @@ _BODY_REST_TAGS = {
 }
 
 
+def _universal_of(rest_el) -> tuple[str, tuple[str, ...]] | None:
+    """If this owl:Restriction is a pure universal ∀p.C with C a NAMED
+    class or a union of named classes, return (p, disjuncts); else None.
+    These told universals are the closure axioms (e.g. Margherita ⊑
+    ∀hasTopping.(Mozzarella ∪ Tomato)) that let told logic prove
+    NEGATIVE facts: every p-successor lies under one of the disjuncts."""
+    prop = None
+    fillers: tuple[str, ...] | None = None
+    saw_all = False
+    for c in rest_el:
+        local = c.tag.rsplit("}", 1)[-1]
+        if local == "onProperty":
+            prop = c.get(_RESOURCE)
+        elif local == "allValuesFrom":
+            saw_all = True
+            if c.get(_RESOURCE):
+                fillers = (c.get(_RESOURCE),)
+            else:
+                for gc in c:  # anonymous filler: only unionOf-of-named
+                    if gc.tag == f"{{{OWL_NS}}}Class":
+                        for u in gc:
+                            if u.tag == f"{{{OWL_NS}}}unionOf":
+                                members = [m.get(_ABOUT) for m in u]
+                                if members and all(members):
+                                    fillers = tuple(members)
+        else:
+            return None  # mixed restriction — not a pure universal
+    if prop and saw_all and fillers:
+        return (prop, fillers)
+    return None
+
+
+def _negated_existential_of(class_el) -> tuple[str, str] | None:
+    """If this anonymous owl:Class element is ¬∃p.F with F named
+    (complementOf over a someValuesFrom restriction — VegetarianPizza's
+    body conjuncts), return (p, F); else None."""
+    comp = None
+    for c in class_el:
+        if c.tag.rsplit("}", 1)[-1] == "complementOf":
+            comp = c
+        else:
+            return None
+    if comp is None:
+        return None
+    rest = [g for g in comp]
+    if len(rest) != 1 or rest[0].tag != f"{{{OWL_NS}}}Restriction":
+        return None
+    prop = None
+    filler = None
+    for c in rest[0]:
+        local = c.tag.rsplit("}", 1)[-1]
+        if local == "onProperty":
+            prop = c.get(_RESOURCE)
+        elif local == "someValuesFrom" and c.get(_RESOURCE):
+            filler = c.get(_RESOURCE)
+        else:
+            return None
+    return (prop, filler) if prop and filler else None
+
+
 def _body_existential(rest_el) -> tuple[str, str] | None:
     """Parse a Restriction appearing as a DEFINED-CLASS BODY conjunct into
     the strict existential form ∃p.F (named filler) that told logic can
@@ -174,26 +234,35 @@ def _classify_defined_members(
     existential_uses: set[tuple[str, str, str | None]],
     bodies: dict[str, list[list]],
     class_iris: set[str],
+    universal_uses: set[tuple[str, str, tuple[str, ...]]] = frozenset(),
+    disjoint_pairs: set[tuple[str, str]] = frozenset(),
 ) -> list[tuple[str, str]]:
-    """EL-slice defined-class MEMBERSHIP classification — the told slice
-    of what the reference's reasoner (ELK/JFact, loaded at
+    """Told-slice defined-class MEMBERSHIP classification — the told
+    slice of what the reference's reasoner (ELK/JFact, loaded at
     FhirOwlService.java:258, superclasses consumed at :533) infers for
     defined classes: X ⊑ D for D ≡ C₁ ⊓ … ⊓ Cₙ whenever X's told
-    ancestor-or-self set satisfies EVERY conjunct —
+    closure satisfies EVERY conjunct —
 
-      * named conjunct N:   N ∈ anc(X);
-      * existential ∃p.F:   some told existential ∃p'.F' asserted on X or
-        on a told ancestor, with p' ⊑* p (told property hierarchy) and
-        F' ⊑* F (told class hierarchy).
+      * named N:            N ∈ anc(X);
+      * existential ∃p.F:   some told ∃p'.F' on X or a told ancestor,
+        with p' ⊑* p (told property hierarchy) and F' ⊑* F;
+      * universal ∀p.(C₁∪…): some told ∀p'.(D₁∪…) on X or an ancestor
+        with p ⊑* p' (X's p-successors are p'-successors) and every Dᵢ
+        told-subsumed by some Cⱼ;
+      * negated existential ¬∃p.F: some told ∀p'.(D₁∪…) with p ⊑* p'
+        where every Dᵢ ⊓ F is told-unsatisfiable (declared-disjoint
+        ancestors, or a Nothing side) — the closure-axiom proof that
+        e.g. Margherita ⊑ ∀hasTopping.(Mozzarella ∪ Tomato) can have no
+        fish topping, landing it under VegetarianPizza ≡ Pizza ⊓
+        ¬∃hasTopping.Fish ⊓ ¬∃hasTopping.Meat exactly as JFact does.
 
     Run to fixpoint: an inferred X ⊑ D edge can satisfy another body's
     named conjunct (nested definitions). Sound but deliberately
     incomplete: bodies containing conjuncts outside the slice were never
-    recorded in ``bodies`` (see _body_existential), so no unsound edge is
+    recorded in ``bodies`` (see _body_existential /
+    _negated_existential_of / _universal_of), so no unsound edge is
     ever emitted. Ontology-bounded driver-side computation, like the
-    parse itself (e.g. a named pizza with a told mozzarella topping lands
-    under CheeseyPizza ≡ Pizza ⊓ ∃hasTopping.CheeseTopping exactly as
-    the reasoner classifies it)."""
+    parse itself."""
     from collections import defaultdict
 
     adj: dict[str, set[str]] = defaultdict(set)
@@ -203,6 +272,10 @@ def _classify_defined_members(
     for c, p, f in existential_uses:
         if f is not None:
             exist_of[c].add((p, f))
+    univ_of: dict[str, set[tuple[str, tuple[str, ...]]]] = defaultdict(set)
+    for c, p, fillers in universal_uses:
+        univ_of[c].add((p, fillers))
+    nothing = OWL_NS + "Nothing"
 
     def anc(x: str) -> set[str]:
         out, todo = {x}, [x]
@@ -213,6 +286,14 @@ def _classify_defined_members(
                     todo.append(p)
         return out
 
+    def pair_unsat(a_iri: str, b_iri: str) -> bool:
+        if nothing in (a_iri, b_iri):
+            return True
+        aa, ab = anc(a_iri), anc(b_iri)
+        return any(
+            (min(x, y), max(x, y)) in disjoint_pairs for x in aa for y in ab
+        )
+
     told_anc = {x: anc(x) for x in class_iris}
     changed = True
     while changed:
@@ -220,6 +301,7 @@ def _classify_defined_members(
         for x in class_iris:
             a = anc(x)
             own_exists = set().union(*(exist_of[y] for y in a))
+            own_univs = set().union(*(univ_of[y] for y in a))
             for d, blist in bodies.items():
                 if d == x or d in a:
                     continue
@@ -229,15 +311,34 @@ def _classify_defined_members(
                         if kind == "named":
                             if rest[0] not in a:
                                 ok = False
-                                break
-                        else:  # ("exists", prop, filler)
+                        elif kind == "exists":
                             p_req, f_req = rest
                             if not any(
                                 p_req in anc(p_have) and f_req in anc(f_have)
                                 for p_have, f_have in own_exists
                             ):
                                 ok = False
-                                break
+                        elif kind == "only":
+                            p_req, cs = rest
+                            if not any(
+                                p_have in anc(p_req)
+                                and all(
+                                    any(c in anc(dd) for c in cs)
+                                    for dd in ds
+                                )
+                                for p_have, ds in own_univs
+                            ):
+                                ok = False
+                        else:  # ("not_exists", prop, filler)
+                            p_req, f_req = rest
+                            if not any(
+                                p_have in anc(p_req)
+                                and all(pair_unsat(dd, f_req) for dd in ds)
+                                for p_have, ds in own_univs
+                            ):
+                                ok = False
+                        if not ok:
+                            break
                     if ok:
                         adj[x].add(d)
                         changed = True
@@ -449,8 +550,11 @@ def parse_owl_xml(
     # existence-forcing restriction uses (class, property, filler|None)
     disjoint_pairs: set[tuple[str, str]] = set()
     existential_uses: set[tuple[str, str, str | None]] = set()
-    # defined-class bodies fully inside the EL membership slice:
-    # iri → list of conjunct lists (("named", N) | ("exists", p, F))
+    # told universals (closure axioms): (class, property, union-disjuncts)
+    universal_uses: set[tuple[str, str, tuple[str, ...]]] = set()
+    # defined-class bodies fully inside the told membership slice:
+    # iri → list of conjunct lists (("named", N) | ("exists", p, F) |
+    # ("only", p, (C…,)) | ("not_exists", p, F))
     defined_bodies: dict[str, list[list]] = {}
     restriction_tag = f"{{{OWL_NS}}}Restriction"
     class_tag = f"{{{OWL_NS}}}Class"
@@ -505,6 +609,9 @@ def parse_owl_xml(
                             pf = _forces_existence(gc)
                             if pf:
                                 existential_uses.add((iri, *pf))
+                            uv = _universal_of(gc)
+                            if uv:
+                                universal_uses.add((iri, uv[0], uv[1]))
                         elif gc.tag == class_tag:  # anonymous class body
                             for inter in gc:
                                 if inter.tag == intersection_tag:
@@ -524,9 +631,26 @@ def parse_owl_xml(
                                             pf = _forces_existence(m)
                                             if pf:
                                                 existential_uses.add((iri, *pf))
+                                            uv = _universal_of(m)
+                                            if uv:
+                                                # X ≡/⊑ … ⊓ ∀p.C also
+                                                # ASSERTS X ⊑ ∀p.C
+                                                universal_uses.add(
+                                                    (iri, uv[0], uv[1])
+                                                )
                                             be = _body_existential(m)
+                                            if be:
+                                                conjuncts.append(("exists", *be))
+                                            elif uv:
+                                                conjuncts.append(
+                                                    ("only", uv[0], uv[1])
+                                                )
+                                            else:
+                                                conjuncts.append(None)
+                                        elif m.tag == class_tag:
+                                            ne = _negated_existential_of(m)
                                             conjuncts.append(
-                                                ("exists", *be) if be else None
+                                                ("not_exists", *ne) if ne else None
                                             )
                                         else:
                                             conjuncts.append(None)
@@ -625,6 +749,8 @@ def parse_owl_xml(
             existential_uses,
             defined_bodies,
             class_iris,
+            universal_uses,
+            disjoint_pairs,
         ):
             ont.edge(c, p)
             children.add(c)

@@ -869,11 +869,48 @@ class TestDefinedClassMembership:
         # a meatless pizza must NOT classify as meaty
         assert ("Margherita", "is-a", "MeatyPizza") not in pizza_triples
 
-    def test_slice_boundary_universal_bodies_abstain(self, pizza_triples):
-        """VegetarianPizza's body contains ∀hasTopping.(...) — outside the
-        told slice, so membership is soundly NOT inferred (the documented
-        remaining reasoner gap, absorbed by the 0.95 P/R tolerance)."""
-        assert ("Margherita", "is-a", "VegetarianPizza") not in pizza_triples
+    def test_vegetarian_pizzas_via_closure_axioms(self, pizza_triples):
+        """The negative slice: VegetarianPizza ≡ Pizza ⊓ ¬∃hasTopping.Fish
+        ⊓ ¬∃hasTopping.Meat. Margherita's CLOSURE axiom
+        (∀hasTopping.(Mozzarella ∪ Tomato)) + declared topping-category
+        disjointness prove both negations — exactly the 10 vegetarian
+        named pizzas JFact classifies, and ONLY those."""
+        # direct is-a triples are the post-reduction DIRECT parents (the
+        # engine also infers VegetarianPizzaEquivalent2 ⊑ VegetarianPizza,
+        # so named pizzas' direct parent is Equivalent2) — membership is
+        # asserted on the is-a CLOSURE, like the reasoner's ancestor set
+        parents: dict[str, set[str]] = {}
+        for s, p, o in pizza_triples:
+            if p == "is-a":
+                parents.setdefault(s, set()).add(o)
+
+        def closure(x):
+            out, todo = set(), [x]
+            while todo:
+                for q in parents.get(todo.pop(), ()):
+                    if q not in out:
+                        out.add(q)
+                        todo.append(q)
+            return out
+
+        for pizza in ("Margherita", "Fiorentina", "Mushroom",
+                      "QuattroFormaggi", "Soho"):
+            assert "VegetarianPizza" in closure(pizza), pizza
+        # UnclosedPizza has a mozzarella topping but NO closure axiom —
+        # the canonical example of why closure axioms matter: without ∀,
+        # nothing rules out a hidden meat topping, so no membership
+        assert "VegetarianPizza" not in closure("UnclosedPizza")
+        # a meaty pizza must never classify as vegetarian
+        assert "VegetarianPizza" not in closure("American")
+
+    def test_slice_boundary_still_abstains(self, pizza_triples):
+        """Bodies outside the told slice stay un-inferred (sound
+        abstention): NonVegetarianPizza needs ¬Named reasoning,
+        InterestingPizza needs ≥3 cardinality."""
+        for target in ("NonVegetarianPizza", "InterestingPizza"):
+            assert not any(
+                p == "is-a" and o == target for _, p, o in pizza_triples
+            ), target
 
     def test_opt_out_flag(self):
         parsed = parse_owl_xml(PIZZA, include_object_properties=True,
@@ -1032,6 +1069,254 @@ class TestDefinedMembershipProperty:
             assert got_edges == want_base | want_inferred, (
                 xml, sorted(got_edges - want_base - want_inferred),
                 sorted((want_base | want_inferred) - got_edges),
+            )
+
+        check()
+
+
+class TestNegativeSliceProperty:
+    """Property-based check of the ∀/¬∃ (closure-axiom) membership slice
+    on RANDOM ontologies vs an independent whole-graph fixpoint model
+    written straight from the spec. Parser-only — no Spark, cheap."""
+
+    NS = "http://ex/ng#"
+
+    @classmethod
+    def _render(cls, n, edges, disjoints, exists, univs, bodies) -> str:
+        ns = cls.NS
+        parts = [
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+            '<owl:Ontology rdf:about="http://ex/ng"/>',
+        ]
+
+        def rest_univ(p, fillers):
+            if len(fillers) == 1:
+                fv = f'<owl:allValuesFrom rdf:resource="{ns}C{fillers[0]}"/>'
+            else:
+                inner = "".join(
+                    f'<rdf:Description rdf:about="{ns}C{f}"/>' for f in fillers
+                )
+                fv = (
+                    "<owl:allValuesFrom><owl:Class>"
+                    '<owl:unionOf rdf:parseType="Collection">'
+                    + inner
+                    + "</owl:unionOf></owl:Class></owl:allValuesFrom>"
+                )
+            return (
+                "<owl:Restriction>"
+                f'<owl:onProperty rdf:resource="{ns}p{p}"/>' + fv
+                + "</owl:Restriction>"
+            )
+
+        for i in range(n):
+            body = [f"<rdfs:label>c{i}</rdfs:label>"]
+            for c, p in edges:
+                if c == i:
+                    body.append(f'<rdfs:subClassOf rdf:resource="{ns}C{p}"/>')
+            for a, b in disjoints:
+                if a == i:
+                    body.append(f'<owl:disjointWith rdf:resource="{ns}C{b}"/>')
+            for c, p, f in exists:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf><owl:Restriction>"
+                        f'<owl:onProperty rdf:resource="{ns}p{p}"/>'
+                        f'<owl:someValuesFrom rdf:resource="{ns}C{f}"/>'
+                        "</owl:Restriction></rdfs:subClassOf>"
+                    )
+            for c, p, fillers in univs:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf>" + rest_univ(p, fillers)
+                        + "</rdfs:subClassOf>"
+                    )
+            if i in bodies:
+                members = []
+                for kind, *rest in bodies[i]:
+                    if kind == "named":
+                        members.append(
+                            f'<rdf:Description rdf:about="{ns}C{rest[0]}"/>'
+                        )
+                    elif kind == "only":
+                        members.append(rest_univ(rest[0], rest[1]))
+                    elif kind == "exists":
+                        members.append(
+                            "<owl:Restriction>"
+                            f'<owl:onProperty rdf:resource="{ns}p{rest[0]}"/>'
+                            f'<owl:someValuesFrom rdf:resource="{ns}C{rest[1]}"/>'
+                            "</owl:Restriction>"
+                        )
+                    else:  # not_exists
+                        members.append(
+                            "<owl:Class><owl:complementOf><owl:Restriction>"
+                            f'<owl:onProperty rdf:resource="{ns}p{rest[0]}"/>'
+                            f'<owl:someValuesFrom rdf:resource="{ns}C{rest[1]}"/>'
+                            "</owl:Restriction></owl:complementOf></owl:Class>"
+                        )
+                body.append(
+                    "<owl:equivalentClass><owl:Class>"
+                    '<owl:intersectionOf rdf:parseType="Collection">'
+                    + "".join(members)
+                    + "</owl:intersectionOf></owl:Class></owl:equivalentClass>"
+                )
+            parts.append(
+                f'<owl:Class rdf:about="{ns}C{i}">' + "".join(body) + "</owl:Class>"
+            )
+        parts.append("</rdf:RDF>")
+        return "".join(parts)
+
+    @staticmethod
+    def _model(n, edges, disjoints, exists, univs, bodies):
+        from collections import defaultdict
+
+        parents = defaultdict(set)
+        for c, p in edges:
+            parents[c].add(p)
+        have_e = defaultdict(set)
+        for c, p, f in exists:
+            have_e[c].add((p, f))
+        have_u = defaultdict(set)
+        for c, p, fs in univs:
+            have_u[c].add((p, tuple(fs)))
+        for d, conj in bodies.items():
+            for kind, *rest in conj:
+                if kind == "named":
+                    parents[d].add(rest[0])
+                elif kind == "only":
+                    have_u[d].add((rest[0], tuple(rest[1])))
+                elif kind == "exists":
+                    # the body's ∃ conjunct is also a told fact about d
+                    have_e[d].add((rest[0], rest[1]))
+        dj = {tuple(sorted(x)) for x in disjoints}
+
+        def anc(i):
+            out, todo = {i}, [i]
+            while todo:
+                for p in parents[todo.pop()]:
+                    if p not in out:
+                        out.add(p)
+                        todo.append(p)
+            return out
+
+        def pair_unsat(a, b):
+            return any(
+                tuple(sorted((x, y))) in dj for x in anc(a) for y in anc(b)
+            )
+
+        told_anc = {x: anc(x) for x in range(n)}
+        changed = True
+        while changed:
+            changed = False
+            for d, conj in bodies.items():
+                for x in range(n):
+                    a = anc(x)
+                    if x == d or d in a:
+                        continue
+                    es = set().union(*(have_e[y] for y in a))
+                    us = set().union(*(have_u[y] for y in a))
+                    ok = True
+                    for kind, *rest in conj:
+                        if kind == "named":
+                            ok = rest[0] in a
+                        elif kind == "exists":
+                            ok = any(p == rest[0] and rest[1] in anc(f)
+                                     for p, f in es)
+                        elif kind == "only":
+                            ok = any(
+                                p == rest[0]
+                                and all(any(c in anc(dd) for c in rest[1])
+                                        for dd in ds)
+                                for p, ds in us
+                            )
+                        else:  # not_exists
+                            ok = any(
+                                p == rest[0]
+                                and all(pair_unsat(dd, rest[1]) for dd in ds)
+                                for p, ds in us
+                            )
+                        if not ok:
+                            break
+                    if ok:
+                        parents[x].add(d)
+                        changed = True
+        return {
+            (x, d)
+            for x in range(n)
+            for d in bodies
+            if d != x and d in anc(x) and d not in told_anc[x]
+        }
+
+    def test_property_random_graphs(self, tmp_path):
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 10**9))
+        def check(seed):
+            rng = _random.Random(seed)
+            n = rng.randint(5, 10)
+            edges = [
+                (i, rng.randrange(i)) for i in range(1, n) if rng.random() < 0.5
+            ]
+            disjoints = [
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(1, 3))
+            ]
+            n_props = 2
+            exists = [
+                (rng.randrange(n), rng.randrange(n_props), rng.randrange(n))
+                for _ in range(rng.randint(0, 3))
+            ]
+            univs = [
+                (rng.randrange(n), rng.randrange(n_props),
+                 tuple(sorted(set(rng.sample(range(n), rng.randint(1, 2))))))
+                for _ in range(rng.randint(0, 3))
+            ]
+            bodies = {}
+            for _ in range(rng.randint(1, 3)):
+                d = rng.randrange(n)
+                conj = []
+                for _ in range(rng.randint(1, 3)):
+                    kind = rng.choice(["named", "exists", "only", "not_exists"])
+                    if kind == "named":
+                        others = [i for i in range(n) if i != d]
+                        conj.append(("named", rng.choice(others)))
+                    elif kind == "exists":
+                        conj.append(("exists", rng.randrange(n_props),
+                                     rng.randrange(n)))
+                    elif kind == "only":
+                        conj.append(("only", rng.randrange(n_props),
+                                     tuple(sorted(set(rng.sample(
+                                         range(n), rng.randint(1, 2)))))))
+                    else:
+                        conj.append(("not_exists", rng.randrange(n_props),
+                                     rng.randrange(n)))
+                bodies[d] = conj
+            xml = self._render(n, edges, disjoints, exists, univs, bodies)
+            f = tmp_path / f"ng{seed}.owl"
+            f.write_text(xml)
+            parsed = parse_owl_xml(str(f), include_object_properties=False)
+            ns = self.NS
+            got_edges = {
+                (e["child_iri"], e["parent_iri"]) for e in parsed.tables.edges
+            }
+            want_base = {(f"{ns}C{c}", f"{ns}C{p}") for c, p in edges}
+            for d, conj in bodies.items():
+                for kind, *rest in conj:
+                    if kind == "named":
+                        want_base.add((f"{ns}C{d}", f"{ns}C{rest[0]}"))
+            want_inf = {
+                (f"{ns}C{x}", f"{ns}C{d}")
+                for x, d in self._model(n, edges, disjoints, exists, univs, bodies)
+            }
+            assert got_edges == want_base | want_inf, (
+                xml,
+                sorted(got_edges - want_base - want_inf),
+                sorted((want_base | want_inf) - got_edges),
             )
 
         check()
