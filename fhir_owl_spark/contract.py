@@ -607,6 +607,55 @@ def q_vocab_top100(spark, sf_dir) -> DataFrame:
     return out.select("word", F.col("n").cast("long").alias("n"))
 
 
+def q_conv_near_dups(spark, sf_dir) -> DataFrame:
+    """Cross-operator COMPOSITION: render each conversation to one
+    document (conversations.render_conversations) then MinHash near-dup
+    over the rendered corpus — the find-duplicate-conversations pass an
+    SFT pipeline runs before training. Threshold 0.3 (conversation-level
+    similarity tops out ~0.37 on this corpus) with 1-row bands
+    (n_bands = n_hashes = 64): a pair at j ≥ 0.3 is missed only with
+    probability (1-j)^64 ≈ 1e-10, so the exact-Jaccard DuckDB oracle
+    matches value-for-value; production thresholds (0.8) use the default
+    banding."""
+    from .operators.conversations import render_conversations
+    from .operators.dedup import minhash_dedup_pairs
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "user").otherwise("assistant").alias("role"),
+        F.coalesce("props", F.lit("")).alias("text"),
+    )
+    rendered = render_conversations(t)
+    pairs = minhash_dedup_pairs(
+        rendered.select("conv_id", "text"),
+        id_col="conv_id",
+        n_hashes=64,
+        n_bands=64,
+        threshold=0.3,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_tfidf_terms(spark, sf_dir) -> DataFrame:
+    """Per-document top-5 characteristic terms (operators.text.
+    tfidf_top_terms): tf/df scoring — the division-form idf keeps the
+    doubles bit-identical across engines (ln is libm-dependent, ÷ is
+    IEEE-correctly-rounded), so this is a full value oracle."""
+    from .operators.text import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "score", "rank",
+    )
+
+
 def q_corpus_rollup(spark, sf_dir) -> DataFrame:
     """Corpus composition with ROLLUP (source, lang) — per-(source, lang),
     per-source, and grand-total rows in one pass (partial-aggregated,
@@ -1189,6 +1238,8 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "normalize_docs": q_normalize_docs,
     "vocab_top100": q_vocab_top100,
+    "tfidf_terms": q_tfidf_terms,
+    "conv_near_dups": q_conv_near_dups,
     "conv_sessions": q_conv_sessions,
     "quantize_embeddings": q_quantize_embeddings,
     "corpus_rollup": q_corpus_rollup,
@@ -1932,6 +1983,50 @@ WITH w AS (
 SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM w WHERE length(word) > 0
 GROUP BY word ORDER BY n DESC, word LIMIT 100
+""",
+        "conv_near_dups": r"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         CASE WHEN event_type = 'click' THEN 'user' ELSE 'assistant' END AS role,
+         coalesce(props, '') AS text
+  FROM events),
+r AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+  FROM t GROUP BY conv_id),
+cwd AS (SELECT conv_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS ws FROM r),
+csh AS (SELECT conv_id,
+              CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                                     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+              END AS sset
+       FROM cwd)
+SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+       round(len(list_intersect(a.sset, b.sset))
+             / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE), 6) AS jaccard
+FROM csh a JOIN csh b ON a.conv_id < b.conv_id
+WHERE len(list_intersect(a.sset, b.sset))
+      / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE) >= 0.3
+""",
+        "tfidf_terms": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(coalesce(text,'')), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         tf.tf / CAST(dfq.df AS DOUBLE) AS raw_score
+  FROM tf JOIN dfq USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY raw_score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(raw_score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """,
         "normalize_docs": r"""
 WITH dirty AS (

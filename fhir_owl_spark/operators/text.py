@@ -400,3 +400,54 @@ def corpus_stats(
         F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
         F.avg(whitespace_token_count(text_col)).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document characteristic terms (TF-IDF-style): the corpus-curation
+# primitive behind topic filtering and domain mixing.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document, scored tf/df
+    (document-frequency-normalized term frequency).
+
+    The idf factor is the DIVISION form rather than ln(N/df)
+    deliberately: ÷ is IEEE-correctly-rounded and therefore
+    bit-identical across engines, while ln() depends on the platform
+    libm — this keeps the operator value-oracle-able (the DuckDB
+    contract query recomputes the identical doubles). Monotone in the
+    same direction as classic idf: rarer term → higher score.
+
+    Scale shape: tokens explode map-side; ONE (doc,term) hash aggregate
+    (tf); term frequencies derive from it with a term-keyed aggregate
+    that is vocabulary-sized, not corpus-sized; the scoring join is
+    term-keyed (AQE handles stop-word skew); per-doc top-k is a
+    row_number window on doc_id with a deterministic (score desc, term)
+    tie-break. No driver-side N: the score needs only tf and df.
+    """
+    from pyspark.sql.window import Window
+
+    tokens = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
+    )

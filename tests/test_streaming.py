@@ -204,3 +204,43 @@ def test_sessionize_stream_equals_batch_across_restarts(spark, tmp_path):
     assert len(got) == 18
     # sanity: the cross-restart gap really did open a new session
     assert want[("c1", 4)][0] == want[("c1", 3)][0] + 1
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark): duplicated
+    texts across TWO micro-batches inside the watermark window are
+    emitted once; the distinct content set equals the batch dedup."""
+    import datetime as dt
+
+    from fhir_owl_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    b1 = [(1, "alpha text", t0), (2, "beta text", t0), (3, "alpha text", t0)]
+    b2 = [(4, "beta text", t0 + dt.timedelta(minutes=1)),
+          (5, "gamma text", t0 + dt.timedelta(minutes=1))]
+    inp = tmp_path / "in"
+    spark.createDataFrame(b1, schema).write.parquet(str(inp / "f1.parquet"))
+    spark.createDataFrame(b2, schema).write.parquet(str(inp / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*/")
+    )
+    out = streaming_exact_dedup(stream, watermark_delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["text"] for r in spark.sql("select * from dedup_stream").collect()]
+    assert sorted(got) == ["alpha text", "beta text", "gamma text"]
+
+    # batch-mode path deduplicates globally on the same key
+    batch = streaming_exact_dedup(spark.read.parquet(f"{inp}/*/"))
+    assert sorted(r["text"] for r in batch.collect()) == sorted(got)

@@ -832,3 +832,26 @@ class TestTemporalEdgeCases:
         right2 = spark.createDataFrame([("u", t0, 1.0)], ["user_id", "ts", "value"])
         with pytest.raises(ValueError, match="asof_-prefixed"):
             asof_join(bad2, right2, on="user_id")
+
+
+class TestTfidfTopTerms:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "apple banana apple"), (1, "banana cherry"), (2, "apple")],
+            ["doc_id", "text"],
+        )
+        rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+                for r in text.tfidf_top_terms(docs, k=2).collect()}
+        # df: apple 2, banana 2, cherry 1
+        assert rows[(0, 1)] == ("apple", 2, 2, 1.0)
+        assert rows[(0, 2)] == ("banana", 1, 2, 0.5)
+        assert rows[(1, 1)] == ("cherry", 1, 1, 1.0)
+        assert rows[(1, 2)] == ("banana", 1, 2, 0.5)
+        assert rows[(2, 1)] == ("apple", 1, 2, 0.5)
+        assert len(rows) == 5
+
+    def test_tie_breaks_by_term(self, spark):
+        docs = spark.createDataFrame([(0, "zebra alpha")], ["doc_id", "text"])
+        got = [r["term"] for r in
+               text.tfidf_top_terms(docs, k=2).orderBy("rank").collect()]
+        assert got == ["alpha", "zebra"]  # equal scores → term ascending
