@@ -229,6 +229,21 @@ def _body_existential(rest_el) -> tuple[str, str] | None:
     return None
 
 
+def _negated_named_of(class_el) -> str | None:
+    """If this anonymous owl:Class element is ¬V for a NAMED class V
+    (complementOf with rdf:resource — NonVegetarianPizza's body shape),
+    return V; else None."""
+    comp = None
+    for c in class_el:
+        if c.tag.rsplit("}", 1)[-1] == "complementOf":
+            comp = c
+        else:
+            return None
+    if comp is None:
+        return None
+    return comp.get(_RESOURCE)
+
+
 def _classify_defined_members(
     edges: list[tuple[str, str]],
     existential_uses: set[tuple[str, str, str | None]],
@@ -236,6 +251,7 @@ def _classify_defined_members(
     class_iris: set[str],
     universal_uses: set[tuple[str, str, tuple[str, ...]]] = frozenset(),
     disjoint_pairs: set[tuple[str, str]] = frozenset(),
+    negation_uses: set[tuple[str, str, str]] = frozenset(),
 ) -> list[tuple[str, str]]:
     """Told-slice defined-class MEMBERSHIP classification — the told
     slice of what the reference's reasoner (ELK/JFact, loaded at
@@ -254,7 +270,15 @@ def _classify_defined_members(
         ancestors, or a Nothing side) — the closure-axiom proof that
         e.g. Margherita ⊑ ∀hasTopping.(Mozzarella ∪ Tomato) can have no
         fish topping, landing it under VegetarianPizza ≡ Pizza ⊓
-        ¬∃hasTopping.Fish ⊓ ¬∃hasTopping.Meat exactly as JFact does.
+        ¬∃hasTopping.Fish ⊓ ¬∃hasTopping.Meat exactly as JFact does;
+      * negated named ¬V: X ⊓ V must be told-unsatisfiable — declared-
+        disjoint ancestor pair, OR one side's told existential ∃p.G
+        clashing with the other side's told negation ¬∃p'.F
+        (``negation_uses`` — the necessary direction of not_exists body
+        conjuncts) with p ⊑* p' and G ⊑* F. Lands American under
+        NonVegetarianPizza ≡ Pizza ⊓ ¬VegetarianPizza: American's told
+        ∃hasTopping.PeperoniSausage(⊑ Meat) contradicts VegetarianPizza's
+        necessary ¬∃hasTopping.MeatTopping.
 
     Run to fixpoint: an inferred X ⊑ D edge can satisfy another body's
     named conjunct (nested definitions). Sound but deliberately
@@ -275,6 +299,9 @@ def _classify_defined_members(
     univ_of: dict[str, set[tuple[str, tuple[str, ...]]]] = defaultdict(set)
     for c, p, fillers in universal_uses:
         univ_of[c].add((p, fillers))
+    neg_of: dict[str, set[tuple[str, str]]] = defaultdict(set)
+    for c, p, f in negation_uses:
+        neg_of[c].add((p, f))
     nothing = OWL_NS + "Nothing"
 
     def anc(x: str) -> set[str]:
@@ -329,12 +356,37 @@ def _classify_defined_members(
                                 for p_have, ds in own_univs
                             ):
                                 ok = False
-                        else:  # ("not_exists", prop, filler)
+                        elif kind == "not_exists":
                             p_req, f_req = rest
                             if not any(
                                 p_have in anc(p_req)
                                 and all(pair_unsat(dd, f_req) for dd in ds)
                                 for p_have, ds in own_univs
+                            ):
+                                ok = False
+                        else:  # ("not_named", V): prove X ⊓ V ⊑ ⊥
+                            v = rest[0]
+                            av = anc(v)
+                            v_exists = set().union(*(exist_of[y] for y in av))
+                            v_negs = set().union(*(neg_of[y] for y in av))
+                            x_negs = set().union(*(neg_of[y] for y in a))
+
+                            def _clash(negs, exists):
+                                return any(
+                                    p_n in anc(p_e) and f_n in anc(g_e)
+                                    for p_n, f_n in negs
+                                    for p_e, g_e in exists
+                                )
+
+                            disjoint = any(
+                                (min(p_, q_), max(p_, q_)) in disjoint_pairs
+                                for p_ in a
+                                for q_ in av
+                            )
+                            if not (
+                                disjoint
+                                or _clash(v_negs, own_exists)
+                                or _clash(x_negs, v_exists)
                             ):
                                 ok = False
                         if not ok:
@@ -552,6 +604,8 @@ def parse_owl_xml(
     existential_uses: set[tuple[str, str, str | None]] = set()
     # told universals (closure axioms): (class, property, union-disjuncts)
     universal_uses: set[tuple[str, str, tuple[str, ...]]] = set()
+    # told negations ¬∃p.F (necessary direction of not_exists conjuncts)
+    negation_uses: set[tuple[str, str, str]] = set()
     # defined-class bodies fully inside the told membership slice:
     # iri → list of conjunct lists (("named", N) | ("exists", p, F) |
     # ("only", p, (C…,)) | ("not_exists", p, F))
@@ -649,9 +703,18 @@ def parse_owl_xml(
                                                 conjuncts.append(None)
                                         elif m.tag == class_tag:
                                             ne = _negated_existential_of(m)
-                                            conjuncts.append(
-                                                ("not_exists", *ne) if ne else None
-                                            )
+                                            if ne:
+                                                # necessary direction: the
+                                                # described class told-has
+                                                # this negation (feeds the
+                                                # not_named clash proofs)
+                                                negation_uses.add((iri, *ne))
+                                                conjuncts.append(("not_exists", *ne))
+                                            else:
+                                                nn = _negated_named_of(m)
+                                                conjuncts.append(
+                                                    ("not_named", nn) if nn else None
+                                                )
                                         else:
                                             conjuncts.append(None)
                                     if (
@@ -751,6 +814,7 @@ def parse_owl_xml(
             class_iris,
             universal_uses,
             disjoint_pairs,
+            negation_uses,
         ):
             ont.edge(c, p)
             children.add(c)

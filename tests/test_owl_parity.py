@@ -22,6 +22,27 @@ PIZZA = "/root/reference/src/test/resources/pizza.owl"
 DUO = "/root/reference/src/test/resources/duo.owl"
 PIZZA_NS = "http://www.co-ode.org/ontologies/pizza/pizza.owl#"
 
+def isa_closure_fn(triples):
+    """Ancestor-closure lookup over the emitted DIRECT is-a triples
+    (membership inference re-routes direct parents through inferred
+    defined classes — reasoner-style assertions go on the closure)."""
+    parents: dict[str, set[str]] = {}
+    for s, p, o in triples:
+        if p == "is-a":
+            parents.setdefault(s, set()).add(o)
+
+    def closure(x):
+        out, todo = set(), [x]
+        while todo:
+            for q in parents.get(todo.pop(), ()):
+                if q not in out:
+                    out.add(q)
+                    todo.append(q)
+        return out
+
+    return closure
+
+
 def run(spark, parsed, cfg):
     from fhir_owl_spark.fixtures import ontology_dfs
 
@@ -81,9 +102,15 @@ class TestPizzaReal:
     # NAMED conjunct as a told parent — the reasoner emits the same edge
     # (e.g. CheeseyPizza ⊑ Pizza); previously these rooted at Thing
     def test_defined_class_told_parent(self, pizza_triples):
+        closure = isa_closure_fn(pizza_triples)
         for child in ("CheeseyPizza", "InterestingPizza", "MeatyPizza"):
-            assert (child, "is-a", "Pizza") in pizza_triples, child
+            # Pizza is an ancestor (direct for CheeseyPizza/Interesting;
+            # MeatyPizza routes through its inferred NonVegetarianPizza
+            # parent — the reasoner reports the same direct parent)
+            assert "Pizza" in closure(child), child
             assert (child, "is-a", "Thing") not in pizza_triples, child
+        assert ("CheeseyPizza", "is-a", "Pizza") in pizza_triples
+        assert ("MeatyPizza", "is-a", "NonVegetarianPizza") in pizza_triples
 
     # FhirOwlServiceTest.java:97-109 (direct parents over the real file)
     def test_class_chain(self, pizza_triples):
@@ -903,14 +930,25 @@ class TestDefinedClassMembership:
         # a meaty pizza must never classify as vegetarian
         assert "VegetarianPizza" not in closure("American")
 
+    def test_non_vegetarian_pizzas_via_negation_clash(self, pizza_triples):
+        """NonVegetarianPizza ≡ Pizza ⊓ ¬VegetarianPizza: membership is
+        proven by the told clash between X's ∃hasTopping.(⊑ Meat/Fish)
+        and VegetarianPizza's necessary ¬∃hasTopping.Meat/Fish — the 13
+        meaty/fishy named pizzas plus MeatyPizza, as JFact infers."""
+        closure = isa_closure_fn(pizza_triples)
+        for pizza in ("American", "FruttiDiMare", "SloppyGiuseppe",
+                      "MeatyPizza"):
+            assert "NonVegetarianPizza" in closure(pizza), pizza
+        # vegetarian pizzas and abstainers must NOT appear
+        for pizza in ("Margherita", "Soho", "UnclosedPizza"):
+            assert "NonVegetarianPizza" not in closure(pizza), pizza
+
     def test_slice_boundary_still_abstains(self, pizza_triples):
         """Bodies outside the told slice stay un-inferred (sound
-        abstention): NonVegetarianPizza needs ¬Named reasoning,
-        InterestingPizza needs ≥3 cardinality."""
-        for target in ("NonVegetarianPizza", "InterestingPizza"):
-            assert not any(
-                p == "is-a" and o == target for _, p, o in pizza_triples
-            ), target
+        abstention): InterestingPizza needs ≥3 cardinality counting."""
+        assert not any(
+            p == "is-a" and o == "InterestingPizza" for _, p, o in pizza_triples
+        )
 
     def test_opt_out_flag(self):
         parsed = parse_owl_xml(PIZZA, include_object_properties=True,
@@ -1148,12 +1186,18 @@ class TestNegativeSliceProperty:
                             f'<owl:someValuesFrom rdf:resource="{ns}C{rest[1]}"/>'
                             "</owl:Restriction>"
                         )
-                    else:  # not_exists
+                    elif kind == "not_exists":
                         members.append(
                             "<owl:Class><owl:complementOf><owl:Restriction>"
                             f'<owl:onProperty rdf:resource="{ns}p{rest[0]}"/>'
                             f'<owl:someValuesFrom rdf:resource="{ns}C{rest[1]}"/>'
                             "</owl:Restriction></owl:complementOf></owl:Class>"
+                        )
+                    else:  # not_named
+                        members.append(
+                            "<owl:Class>"
+                            f'<owl:complementOf rdf:resource="{ns}C{rest[0]}"/>'
+                            "</owl:Class>"
                         )
                 body.append(
                     "<owl:equivalentClass><owl:Class>"
@@ -1180,6 +1224,7 @@ class TestNegativeSliceProperty:
         have_u = defaultdict(set)
         for c, p, fs in univs:
             have_u[c].add((p, tuple(fs)))
+        have_n = defaultdict(set)  # told negations ¬∃p.F per class
         for d, conj in bodies.items():
             for kind, *rest in conj:
                 if kind == "named":
@@ -1189,6 +1234,8 @@ class TestNegativeSliceProperty:
                 elif kind == "exists":
                     # the body's ∃ conjunct is also a told fact about d
                     have_e[d].add((rest[0], rest[1]))
+                elif kind == "not_exists":
+                    have_n[d].add((rest[0], rest[1]))
         dj = {tuple(sorted(x)) for x in disjoints}
 
         def anc(i):
@@ -1230,12 +1277,30 @@ class TestNegativeSliceProperty:
                                         for dd in ds)
                                 for p, ds in us
                             )
-                        else:  # not_exists
+                        elif kind == "not_exists":
                             ok = any(
                                 p == rest[0]
                                 and all(pair_unsat(dd, rest[1]) for dd in ds)
                                 for p, ds in us
                             )
+                        else:  # not_named: prove x ⊓ V unsat
+                            v = rest[0]
+                            av = anc(v)
+                            ve = set().union(*(have_e[y] for y in av))
+                            vn = set().union(*(have_n[y] for y in av))
+                            xn = set().union(*(have_n[y] for y in a))
+                            clash = any(
+                                pn == pe and fn in anc(ge)
+                                for pn, fn in vn for pe, ge in es
+                            ) or any(
+                                pn == pe and fn in anc(ge)
+                                for pn, fn in xn for pe, ge in ve
+                            )
+                            disjoint = any(
+                                tuple(sorted((p_, q_))) in dj
+                                for p_ in a for q_ in av
+                            )
+                            ok = clash or disjoint
                         if not ok:
                             break
                     if ok:
@@ -1281,7 +1346,9 @@ class TestNegativeSliceProperty:
                 d = rng.randrange(n)
                 conj = []
                 for _ in range(rng.randint(1, 3)):
-                    kind = rng.choice(["named", "exists", "only", "not_exists"])
+                    kind = rng.choice(
+                        ["named", "exists", "only", "not_exists", "not_named"]
+                    )
                     if kind == "named":
                         others = [i for i in range(n) if i != d]
                         conj.append(("named", rng.choice(others)))
@@ -1292,9 +1359,12 @@ class TestNegativeSliceProperty:
                         conj.append(("only", rng.randrange(n_props),
                                      tuple(sorted(set(rng.sample(
                                          range(n), rng.randint(1, 2)))))))
-                    else:
+                    elif kind == "not_exists":
                         conj.append(("not_exists", rng.randrange(n_props),
                                      rng.randrange(n)))
+                    else:
+                        conj.append(("not_named",
+                                     rng.choice([i for i in range(n) if i != d])))
                 bodies[d] = conj
             xml = self._render(n, edges, disjoints, exists, univs, bodies)
             f = tmp_path / f"ng{seed}.owl"
