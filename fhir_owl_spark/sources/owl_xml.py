@@ -129,6 +129,42 @@ _BODY_REST_TAGS = {
 }
 
 
+def _body_min_cardinality(rest_el) -> tuple[str, int, str | None] | None:
+    """If this owl:Restriction is ≥n p (unqualified minCardinality, any
+    n ≥ 1) or ≥n p.C (minQualifiedCardinality n ≥ 2 with a NAMED
+    onClass — the n = 1 qualified form is _body_existential's job),
+    return (p, n, C|None); else None. Satisfying ≥n needs n told
+    existential fillers that are PAIRWISE told-disjoint (n provably
+    distinct successors)."""
+    prop = None
+    n_val = None
+    qualifier = None
+    qualified = False
+    for c in rest_el:
+        local = c.tag.rsplit("}", 1)[-1]
+        if local == "onProperty":
+            prop = c.get(_RESOURCE)
+        elif local in ("minCardinality", "minQualifiedCardinality"):
+            qualified = local == "minQualifiedCardinality"
+            try:
+                n_val = int((c.text or "").strip())
+            except ValueError:
+                return None
+        elif local == "onClass":
+            if not c.get(_RESOURCE):
+                return None
+            qualifier = c.get(_RESOURCE)
+        else:
+            return None
+    if prop is None or n_val is None or n_val < 1:
+        return None
+    if qualified and (qualifier is None or n_val < 2):
+        return None  # qualified needs the class; n=1 is the exists form
+    if not qualified and qualifier is not None:
+        return None
+    return (prop, n_val, qualifier)
+
+
 def _universal_of(rest_el) -> tuple[str, tuple[str, ...]] | None:
     """If this owl:Restriction is a pure universal ∀p.C with C a NAMED
     class or a union of named classes, return (p, disjuncts); else None.
@@ -293,7 +329,9 @@ def _classify_defined_members(
     for c, p in edges:
         adj[c].add(p)
     exist_of: dict[str, set[tuple[str, str]]] = defaultdict(set)
+    exist_any: dict[str, set[tuple[str, str | None]]] = defaultdict(set)
     for c, p, f in existential_uses:
+        exist_any[c].add((p, f))
         if f is not None:
             exist_of[c].add((p, f))
     univ_of: dict[str, set[tuple[str, tuple[str, ...]]]] = defaultdict(set)
@@ -364,6 +402,42 @@ def _classify_defined_members(
                                 for p_have, ds in own_univs
                             ):
                                 ok = False
+                        elif kind == "min_n":
+                            # ≥n p(.C): n told fillers, pairwise told-
+                            # disjoint (provably distinct successors),
+                            # each under C when qualified
+                            import itertools
+
+                            p_req, n_req, qual = rest
+                            if n_req == 1:
+                                pool_any = set().union(
+                                    *(exist_any[y] for y in a)
+                                )
+                                if not any(
+                                    p_req in anc(p_have)
+                                    and (
+                                        qual is None
+                                        or (f_have is not None and qual in anc(f_have))
+                                    )
+                                    for p_have, f_have in pool_any
+                                ):
+                                    ok = False
+                            else:
+                                fillers = {
+                                    f_have
+                                    for p_have, f_have in own_exists
+                                    if p_req in anc(p_have)
+                                    and (qual is None or qual in anc(f_have))
+                                }
+                                ok = any(
+                                    all(
+                                        pair_unsat(x1, x2)
+                                        for x1, x2 in itertools.combinations(sub, 2)
+                                    )
+                                    for sub in itertools.combinations(
+                                        sorted(fillers), n_req
+                                    )
+                                )
                         else:  # ("not_named", V): prove X ⊓ V ⊑ ⊥
                             v = rest[0]
                             av = anc(v)
@@ -693,12 +767,15 @@ def parse_owl_xml(
                                                     (iri, uv[0], uv[1])
                                                 )
                                             be = _body_existential(m)
+                                            mc = _body_min_cardinality(m)
                                             if be:
                                                 conjuncts.append(("exists", *be))
                                             elif uv:
                                                 conjuncts.append(
                                                     ("only", uv[0], uv[1])
                                                 )
+                                            elif mc:
+                                                conjuncts.append(("min_n", *mc))
                                             else:
                                                 conjuncts.append(None)
                                         elif m.tag == class_tag:

@@ -943,11 +943,23 @@ class TestDefinedClassMembership:
         for pizza in ("Margherita", "Soho", "UnclosedPizza"):
             assert "NonVegetarianPizza" not in closure(pizza), pizza
 
+    def test_interesting_pizza_min_cardinality(self, pizza_triples):
+        """InterestingPizza ≡ Pizza ⊓ ≥3 hasTopping: satisfied by three
+        told toppings whose categories are PAIRWISE DISJOINT (provably
+        distinct successors) — American's mozzarella/tomato/peperoni.
+        Margherita (2 toppings) and QuattroFormaggi (1) must abstain."""
+        closure = isa_closure_fn(pizza_triples)
+        for pizza in ("American", "Mushroom", "SloppyGiuseppe"):
+            assert "InterestingPizza" in closure(pizza), pizza
+        for pizza in ("Margherita", "QuattroFormaggi", "UnclosedPizza"):
+            assert "InterestingPizza" not in closure(pizza), pizza
+
     def test_slice_boundary_still_abstains(self, pizza_triples):
         """Bodies outside the told slice stay un-inferred (sound
-        abstention): InterestingPizza needs ≥3 cardinality counting."""
+        abstention): RealItalianPizza needs hasValue individual
+        reasoning (hasCountryOfOrigin value Italy)."""
         assert not any(
-            p == "is-a" and o == "InterestingPizza" for _, p, o in pizza_triples
+            p == "is-a" and o == "RealItalianPizza" for _, p, o in pizza_triples
         )
 
     def test_opt_out_flag(self):
@@ -1193,11 +1205,20 @@ class TestNegativeSliceProperty:
                             f'<owl:someValuesFrom rdf:resource="{ns}C{rest[1]}"/>'
                             "</owl:Restriction></owl:complementOf></owl:Class>"
                         )
-                    else:  # not_named
+                    elif kind == "not_named":
                         members.append(
                             "<owl:Class>"
                             f'<owl:complementOf rdf:resource="{ns}C{rest[0]}"/>'
                             "</owl:Class>"
+                        )
+                    else:  # min_n (unqualified)
+                        members.append(
+                            "<owl:Restriction>"
+                            f'<owl:onProperty rdf:resource="{ns}p{rest[0]}"/>'
+                            '<owl:minCardinality rdf:datatype='
+                            '"http://www.w3.org/2001/XMLSchema#nonNegativeInteger">'
+                            f"{rest[1]}</owl:minCardinality>"
+                            "</owl:Restriction>"
                         )
                 body.append(
                     "<owl:equivalentClass><owl:Class>"
@@ -1283,6 +1304,20 @@ class TestNegativeSliceProperty:
                                 and all(pair_unsat(dd, rest[1]) for dd in ds)
                                 for p, ds in us
                             )
+                        elif kind == "min_n":
+                            import itertools as _it
+
+                            p_req, n_req = rest
+                            fillers = {f for p, f in es if p == p_req}
+                            if n_req == 1:
+                                ok = bool(fillers)
+                            else:
+                                ok = any(
+                                    all(pair_unsat(x1, x2)
+                                        for x1, x2 in _it.combinations(sub, 2))
+                                    for sub in _it.combinations(
+                                        sorted(fillers), n_req)
+                                )
                         else:  # not_named: prove x ⊓ V unsat
                             v = rest[0]
                             av = anc(v)
@@ -1347,7 +1382,7 @@ class TestNegativeSliceProperty:
                 conj = []
                 for _ in range(rng.randint(1, 3)):
                     kind = rng.choice(
-                        ["named", "exists", "only", "not_exists", "not_named"]
+                        ["named", "exists", "only", "not_exists", "not_named", "min_n"]
                     )
                     if kind == "named":
                         others = [i for i in range(n) if i != d]
@@ -1362,9 +1397,12 @@ class TestNegativeSliceProperty:
                     elif kind == "not_exists":
                         conj.append(("not_exists", rng.randrange(n_props),
                                      rng.randrange(n)))
-                    else:
+                    elif kind == "not_named":
                         conj.append(("not_named",
                                      rng.choice([i for i in range(n) if i != d])))
+                    else:
+                        conj.append(("min_n", rng.randrange(n_props),
+                                     rng.randint(1, 3)))
                 bodies[d] = conj
             xml = self._render(n, edges, disjoints, exists, univs, bodies)
             f = tmp_path / f"ng{seed}.owl"
