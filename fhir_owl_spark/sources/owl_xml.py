@@ -165,6 +165,26 @@ def _body_min_cardinality(rest_el) -> tuple[str, int, str | None] | None:
     return (prop, n_val, qualifier)
 
 
+def _has_value_of(rest_el) -> tuple[str, str] | None:
+    """If this owl:Restriction is a pure ``p hasValue individual`` (named
+    individual), return (p, individual); else None. Satisfying the
+    conjunct needs a told hasValue of the SAME individual — no
+    owl:sameAs reasoning."""
+    prop = None
+    ind = None
+    for c in rest_el:
+        local = c.tag.rsplit("}", 1)[-1]
+        if local == "onProperty":
+            prop = c.get(_RESOURCE)
+        elif local == "hasValue":
+            if not c.get(_RESOURCE):
+                return None  # literal value — out of the told slice
+            ind = c.get(_RESOURCE)
+        else:
+            return None
+    return (prop, ind) if prop and ind else None
+
+
 def _universal_of(rest_el) -> tuple[str, tuple[str, ...]] | None:
     """If this owl:Restriction is a pure universal ∀p.C with C a NAMED
     class or a union of named classes, return (p, disjuncts); else None.
@@ -288,6 +308,7 @@ def _classify_defined_members(
     universal_uses: set[tuple[str, str, tuple[str, ...]]] = frozenset(),
     disjoint_pairs: set[tuple[str, str]] = frozenset(),
     negation_uses: set[tuple[str, str, str]] = frozenset(),
+    hasvalue_uses: set[tuple[str, str, str]] = frozenset(),
 ) -> list[tuple[str, str]]:
     """Told-slice defined-class MEMBERSHIP classification — the told
     slice of what the reference's reasoner (ELK/JFact, loaded at
@@ -340,6 +361,9 @@ def _classify_defined_members(
     neg_of: dict[str, set[tuple[str, str]]] = defaultdict(set)
     for c, p, f in negation_uses:
         neg_of[c].add((p, f))
+    hv_of: dict[str, set[tuple[str, str]]] = defaultdict(set)
+    for c, p, i in hasvalue_uses:
+        hv_of[c].add((p, i))
     nothing = OWL_NS + "Nothing"
 
     def anc(x: str) -> set[str]:
@@ -438,6 +462,16 @@ def _classify_defined_members(
                                         sorted(fillers), n_req
                                     )
                                 )
+                        elif kind == "has_value":
+                            # p hasValue i: a told hasValue of the SAME
+                            # individual on X or an ancestor, p' ⊑* p
+                            p_req, i_req = rest
+                            if not any(
+                                p_req in anc(p_have) and i_have == i_req
+                                for y in a
+                                for p_have, i_have in hv_of[y]
+                            ):
+                                ok = False
                         else:  # ("not_named", V): prove X ⊓ V ⊑ ⊥
                             v = rest[0]
                             av = anc(v)
@@ -680,6 +714,8 @@ def parse_owl_xml(
     universal_uses: set[tuple[str, str, tuple[str, ...]]] = set()
     # told negations ¬∃p.F (necessary direction of not_exists conjuncts)
     negation_uses: set[tuple[str, str, str]] = set()
+    # told hasValue facts: (class, property, named individual)
+    hasvalue_uses: set[tuple[str, str, str]] = set()
     # defined-class bodies fully inside the told membership slice:
     # iri → list of conjunct lists (("named", N) | ("exists", p, F) |
     # ("only", p, (C…,)) | ("not_exists", p, F))
@@ -740,6 +776,9 @@ def parse_owl_xml(
                             uv = _universal_of(gc)
                             if uv:
                                 universal_uses.add((iri, uv[0], uv[1]))
+                            hv = _has_value_of(gc)
+                            if hv:
+                                hasvalue_uses.add((iri, *hv))
                         elif gc.tag == class_tag:  # anonymous class body
                             for inter in gc:
                                 if inter.tag == intersection_tag:
@@ -766,6 +805,9 @@ def parse_owl_xml(
                                                 universal_uses.add(
                                                     (iri, uv[0], uv[1])
                                                 )
+                                            hv = _has_value_of(m)
+                                            if hv:
+                                                hasvalue_uses.add((iri, *hv))
                                             be = _body_existential(m)
                                             mc = _body_min_cardinality(m)
                                             if be:
@@ -776,6 +818,8 @@ def parse_owl_xml(
                                                 )
                                             elif mc:
                                                 conjuncts.append(("min_n", *mc))
+                                            elif hv:
+                                                conjuncts.append(("has_value", *hv))
                                             else:
                                                 conjuncts.append(None)
                                         elif m.tag == class_tag:
@@ -892,6 +936,7 @@ def parse_owl_xml(
             universal_uses,
             disjoint_pairs,
             negation_uses,
+            hasvalue_uses,
         ):
             ont.edge(c, p)
             children.add(c)

@@ -954,13 +954,17 @@ class TestDefinedClassMembership:
         for pizza in ("Margherita", "QuattroFormaggi", "UnclosedPizza"):
             assert "InterestingPizza" not in closure(pizza), pizza
 
-    def test_slice_boundary_still_abstains(self, pizza_triples):
-        """Bodies outside the told slice stay un-inferred (sound
-        abstention): RealItalianPizza needs hasValue individual
-        reasoning (hasCountryOfOrigin value Italy)."""
-        assert not any(
-            p == "is-a" and o == "RealItalianPizza" for _, p, o in pizza_triples
-        )
+    def test_real_italian_pizza_has_value(self, pizza_triples):
+        """RealItalianPizza ≡ Pizza ⊓ (hasCountryOfOrigin value Italy):
+        exactly the two pizzas that told-assert the Italy individual —
+        with this, EVERY defined class in pizza.owl classifies its full
+        reasoner membership set (no remaining abstention on this file)."""
+        closure = isa_closure_fn(pizza_triples)
+        for pizza in ("Napoletana", "Veneziana"):
+            assert "RealItalianPizza" in closure(pizza), pizza
+        for other in ("American", "Margherita", "MozzarellaTopping"):
+            # MozzarellaTopping also asserts Italy but is not a Pizza
+            assert "RealItalianPizza" not in closure(other), other
 
     def test_opt_out_flag(self):
         parsed = parse_owl_xml(PIZZA, include_object_properties=True,
