@@ -607,6 +607,16 @@ def q_vocab_top100(spark, sf_dir) -> DataFrame:
     return out.select("word", F.col("n").cast("long").alias("n"))
 
 
+def q_pack_docs(spark, sf_dir) -> DataFrame:
+    """Start-offset sequence packing (operators.text.pack_documents):
+    2048-token bins over doc_id order — all-integer window arithmetic,
+    full value oracle."""
+    from .operators.text import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents(docs, target_tokens=2048)
+
+
 def q_conv_near_dups(spark, sf_dir) -> DataFrame:
     """Cross-operator COMPOSITION: render each conversation to one
     document (conversations.render_conversations) then MinHash near-dup
@@ -1240,6 +1250,7 @@ QUERIES = {
     "vocab_top100": q_vocab_top100,
     "tfidf_terms": q_tfidf_terms,
     "conv_near_dups": q_conv_near_dups,
+    "pack_docs": q_pack_docs,
     "conv_sessions": q_conv_sessions,
     "quantize_embeddings": q_quantize_embeddings,
     "corpus_rollup": q_corpus_rollup,
@@ -1983,6 +1994,21 @@ WITH w AS (
 SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM w WHERE length(word) > 0
 GROUP BY word ORDER BY n DESC, word LIMIT 100
+""",
+        "pack_docs": r"""
+WITH t AS (
+  SELECT doc_id,
+         greatest(1, len(list_filter(string_split_regex(coalesce(text,''), '\s+'),
+                                     x -> x <> ''))) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(prefix / 2048.0) AS BIGINT) AS bin_idx
+FROM p
 """,
         "conv_near_dups": r"""
 WITH t AS (

@@ -451,3 +451,46 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch prep): assign documents to fixed
+# token-budget bins in a deterministic order.
+# ---------------------------------------------------------------------------
+
+
+def pack_documents(
+    df: DataFrame,
+    target_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic START-OFFSET packing: documents in ``id_col`` order
+    are conceptually concatenated; a document's bin is the
+    ``target_tokens`` window its first token falls in
+    (bin = floor(prefix_sum / target)). This is the streaming
+    concat-and-cut shape GPT-style dataloaders use, WITHOUT splitting a
+    document across bins — so a bin can exceed the budget by at most
+    one document tail (documented approximation; true greedy next-fit
+    is a stateful sequential scan with no prefix-sum closed form, which
+    is exactly why dataloaders concat-and-cut instead).
+
+    The ordered prefix sum is inherently global, so the window has ONE
+    partition — at 100 TB pack PER SHARD (source/date partition) by
+    applying this to each shard's frame, which is what a real packing
+    job does anyway for shuffle locality. All-integer arithmetic →
+    byte-identical across engines; the contract query carries a
+    complete DuckDB value oracle.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.greatest(
+        F.lit(1), whitespace_token_count(text_col)
+    )  # empty docs still occupy a slot
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.floor(prefix / target_tokens).cast("long").alias("bin_idx"),
+    )

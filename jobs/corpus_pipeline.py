@@ -27,6 +27,8 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
   render      flatten each conversation to one 'role: text' document
   sessionize  append inactivity-gap session indexes
   tool-stats  per-conversation tool-call analytics
+  pack        start-offset token-budget sequence packing (appends
+              n_tokens + bin_idx)
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -108,6 +110,10 @@ def parse_args(argv=None):
 
     ts = sub.add_parser("tool-stats", help="per-conversation tool analytics")
     common(ts)
+
+    pk = sub.add_parser("pack", help="token-budget sequence packing (bin ids)")
+    common(pk)
+    pk.add_argument("--target-tokens", type=int, default=2048)
 
     return p.parse_args(argv)
 
@@ -212,6 +218,15 @@ def run(args) -> dict:
         from fhir_owl_spark.operators.conversations import tool_usage
 
         out = tool_usage(docs)
+    elif args.cmd == "pack":
+        from fhir_owl_spark.operators.text import pack_documents
+
+        out = docs.join(
+            pack_documents(docs, target_tokens=args.target_tokens,
+                           text_col=args.text_col, id_col=args.id_col)
+            .select(args.id_col, "n_tokens", "bin_idx"),
+            args.id_col,
+        )
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 

@@ -855,3 +855,22 @@ class TestTfidfTopTerms:
         got = [r["term"] for r in
                text.tfidf_top_terms(docs, k=2).orderBy("rank").collect()]
         assert got == ["alpha", "zebra"]  # equal scores → term ascending
+
+
+class TestPackDocuments:
+    def test_start_offset_semantics(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e"), (2, "f g h i"), (3, "j"), (4, "")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: (r["n_tokens"], r["bin_idx"])
+                for r in text.pack_documents(docs, target_tokens=4).collect()}
+        # prefix starts: 0,3,5,9,10 → bins 0,0,1,2,2; empty doc counts 1
+        assert rows == {0: (3, 0), 1: (2, 0), 2: (4, 1), 3: (1, 2), 4: (1, 2)}
+
+    def test_partition_invariance(self, spark):
+        docs = spark.range(200).selectExpr(
+            "id AS doc_id", "repeat('w ', CAST(id % 7 + 1 AS INT)) AS text")
+        a = {tuple(r) for r in text.pack_documents(docs, 16).collect()}
+        b = {tuple(r) for r in text.pack_documents(docs.repartition(13), 16).collect()}
+        assert a == b
