@@ -420,10 +420,22 @@ def _classify_defined_members(
                                 ok = False
                         elif kind == "not_exists":
                             p_req, f_req = rest
-                            if not any(
-                                p_have in anc(p_req)
-                                and all(pair_unsat(dd, f_req) for dd in ds)
-                                for p_have, ds in own_univs
+                            # route 1: a told universal whose every
+                            # disjunct is disjoint with the filler;
+                            # route 2: a told negation ¬∃p'.F' with
+                            # p ⊑* p' and F ⊑* F' (no p'-successor in
+                            # F' ⇒ no p-successor in the narrower F)
+                            own_negs = set().union(*(neg_of[y] for y in a))
+                            if not (
+                                any(
+                                    p_have in anc(p_req)
+                                    and all(pair_unsat(dd, f_req) for dd in ds)
+                                    for p_have, ds in own_univs
+                                )
+                                or any(
+                                    p_have in anc(p_req) and f_have in anc(f_req)
+                                    for p_have, f_have in own_negs
+                                )
                             ):
                                 ok = False
                         elif kind == "min_n":

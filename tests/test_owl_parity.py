@@ -1250,6 +1250,9 @@ class TestNegativeSliceProperty:
         for c, p, fs in univs:
             have_u[c].add((p, tuple(fs)))
         have_n = defaultdict(set)  # told negations ¬∃p.F per class
+        have_any = defaultdict(set)  # told "some p-successor" (filler opt.)
+        for c, p, f in exists:
+            have_any[c].add((p, f))
         for d, conj in bodies.items():
             for kind, *rest in conj:
                 if kind == "named":
@@ -1259,8 +1262,12 @@ class TestNegativeSliceProperty:
                 elif kind == "exists":
                     # the body's ∃ conjunct is also a told fact about d
                     have_e[d].add((rest[0], rest[1]))
+                    have_any[d].add((rest[0], rest[1]))
                 elif kind == "not_exists":
                     have_n[d].add((rest[0], rest[1]))
+                elif kind == "min_n":
+                    # ≥n p told-implies "has some p-successor" (no filler)
+                    have_any[d].add((rest[0], None))
         dj = {tuple(sorted(x)) for x in disjoints}
 
         def anc(i):
@@ -1303,10 +1310,14 @@ class TestNegativeSliceProperty:
                                 for p, ds in us
                             )
                         elif kind == "not_exists":
+                            xn_own = set().union(*(have_n[y] for y in a))
                             ok = any(
                                 p == rest[0]
                                 and all(pair_unsat(dd, rest[1]) for dd in ds)
                                 for p, ds in us
+                            ) or any(
+                                p == rest[0] and f in anc(rest[1])
+                                for p, f in xn_own
                             )
                         elif kind == "min_n":
                             import itertools as _it
@@ -1314,7 +1325,8 @@ class TestNegativeSliceProperty:
                             p_req, n_req = rest
                             fillers = {f for p, f in es if p == p_req}
                             if n_req == 1:
-                                ok = bool(fillers)
+                                pool = set().union(*(have_any[y] for y in a))
+                                ok = any(p == p_req for p, _f in pool)
                             else:
                                 ok = any(
                                     all(pair_unsat(x1, x2)
@@ -1432,3 +1444,49 @@ class TestNegativeSliceProperty:
             )
 
         check()
+
+
+def test_negation_subsumption_route(tmp_path):
+    """¬∃p.G is satisfied by an INHERITED told negation ¬∃p.F with
+    G ⊑ F (no successor in the broader F ⇒ none in the narrower G):
+    X ⊑ D1(≡ A ⊓ ¬∃p.F) makes X inherit the negation, landing X under
+    D2 ≡ A ⊓ ¬∃p.G without any universal axiom."""
+    ns = "http://ex/nr#"
+    f = tmp_path / "nr.owl"
+    f.write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/nr"/>'
+        f'<owl:Class rdf:about="{ns}A"><rdfs:label>A</rdfs:label></owl:Class>'
+        f'<owl:Class rdf:about="{ns}F"><rdfs:label>F</rdfs:label></owl:Class>'
+        f'<owl:Class rdf:about="{ns}G"><rdfs:label>G</rdfs:label>'
+        f'<rdfs:subClassOf rdf:resource="{ns}F"/></owl:Class>'
+        f'<owl:Class rdf:about="{ns}D1"><rdfs:label>D1</rdfs:label>'
+        "<owl:equivalentClass><owl:Class>"
+        '<owl:intersectionOf rdf:parseType="Collection">'
+        f'<rdf:Description rdf:about="{ns}A"/>'
+        "<owl:Class><owl:complementOf><owl:Restriction>"
+        f'<owl:onProperty rdf:resource="{ns}p"/>'
+        f'<owl:someValuesFrom rdf:resource="{ns}F"/>'
+        "</owl:Restriction></owl:complementOf></owl:Class>"
+        "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+        f'<owl:Class rdf:about="{ns}D2"><rdfs:label>D2</rdfs:label>'
+        "<owl:equivalentClass><owl:Class>"
+        '<owl:intersectionOf rdf:parseType="Collection">'
+        f'<rdf:Description rdf:about="{ns}A"/>'
+        "<owl:Class><owl:complementOf><owl:Restriction>"
+        f'<owl:onProperty rdf:resource="{ns}p"/>'
+        f'<owl:someValuesFrom rdf:resource="{ns}G"/>'
+        "</owl:Restriction></owl:complementOf></owl:Class>"
+        "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+        f'<owl:Class rdf:about="{ns}X"><rdfs:label>X</rdfs:label>'
+        f'<rdfs:subClassOf rdf:resource="{ns}D1"/></owl:Class>'
+        "</rdf:RDF>"
+    )
+    parsed = parse_owl_xml(str(f))
+    edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+             for e in parsed.tables.edges}
+    assert ("X", "D2") in edges        # via inherited ¬∃p.F, G ⊑ F
+    assert ("D1", "D2") in edges       # D1 itself satisfies D2's body
+    assert ("D2", "D1") not in edges   # ¬∃p.G does NOT imply ¬∃p.F
