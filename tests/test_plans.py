@@ -248,3 +248,39 @@ def test_time_rollup_single_shuffle(spark, transcripts_parquet):
     tree = plan_of(out).split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "partial_count" in plan_of(out)  # map-side combine
+
+
+def test_tfidf_plan_no_cartesian_no_python(spark):
+    """tfidf_top_terms: hash aggregates + a term-keyed hash join + one
+    window — never a nested-loop/cartesian join, never a Python stage."""
+    from fhir_owl_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} common text") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = plan_of(tfidf_top_terms(docs, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+        assert py_node not in plan
+    assert "Window" in plan
+
+
+def test_pack_documents_single_global_window(spark):
+    """pack_documents: the ordered prefix sum is ONE global window (the
+    documented per-shard pattern at scale) — a single Exchange
+    SinglePartition, no join, no Python."""
+    from fhir_owl_spark.operators.text import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], ["doc_id", "text"]
+    )
+    import re
+
+    plan = plan_of(pack_documents(docs, 16))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SinglePartition" in plan
+    assert "Join" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
