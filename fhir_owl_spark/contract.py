@@ -607,6 +607,17 @@ def q_vocab_top100(spark, sf_dir) -> DataFrame:
     return out.select("word", F.col("n").cast("long").alias("n"))
 
 
+def q_line_dedup(spark, sf_dir) -> DataFrame:
+    """C4-style segment dedup (operators.dedup.line_dedup) run at WORD
+    granularity on this corpus (documents carry no newlines): every word
+    occurring in ≥ 400 of the 500 documents — ultra-common boilerplate
+    vocabulary — is removed, texts rejoined in order."""
+    from .operators.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return line_dedup(docs.select("doc_id", "text"), min_docs=400, sep=" ")
+
+
 def q_pack_docs(spark, sf_dir) -> DataFrame:
     """Start-offset sequence packing (operators.text.pack_documents):
     2048-token bins over doc_id order — all-integer window arithmetic,
@@ -1251,6 +1262,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "conv_near_dups": q_conv_near_dups,
     "pack_docs": q_pack_docs,
+    "line_dedup": q_line_dedup,
     "conv_sessions": q_conv_sessions,
     "quantize_embeddings": q_quantize_embeddings,
     "corpus_rollup": q_corpus_rollup,
@@ -1994,6 +2006,23 @@ WITH w AS (
 SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM w WHERE length(word) > 0
 GROUP BY word ORDER BY n DESC, word LIMIT 100
+""",
+        "line_dedup": r"""
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS ord FROM base),
+segs AS (
+  SELECT doc_id, ws[ord] AS seg, ord FROM idx),
+freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg),
+kept AS (
+  SELECT s.doc_id, s.seg, s.ord FROM segs s JOIN freq f USING (seg)
+  WHERE f.ndocs < 400)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(k.seg, ' ' ORDER BY k.ord)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+FROM documents d
 """,
         "pack_docs": r"""
 WITH t AS (

@@ -711,3 +711,63 @@ def contamination_flags(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line deduplication: drop every line occurring (as an exact
+# match) in at least `min_docs` distinct documents — the boilerplate
+# removal pass (nav bars, cookie banners, license headers) the C4/
+# RefinedWeb pipelines run before near-dup.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, text) with every ``sep``-separated segment that appears in
+    ≥ ``min_docs`` DISTINCT documents removed; remaining segments are
+    rejoined in their original order (a document may come back empty —
+    length filters run downstream).
+
+    Scale shape: segments explode map-side with their position; the
+    frequency table is keyed by the segment's xxhash64 (the raw text
+    never becomes a shuffle key) and aggregated with count_distinct on
+    the doc id — segment-cardinality rows, corpus-bounded; the verdict
+    joins back on the hash (AQE handles boilerplate skew: a segment in
+    millions of docs is ONE row on the build side); reassembly is one
+    groupBy on the doc id with an array_sort over (pos, segment)
+    structs, deterministic under any partitioning.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "_pos", "_seg"
+        ),
+    ).withColumn("_h", F.xxhash64("_seg"))
+    freq = segs.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_ndocs")
+    )
+    kept = segs.join(freq, "_h").filter(F.col("_ndocs") < min_docs)
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", "_seg"))).alias("_rows")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                sep, F.transform(F.col("_rows"), lambda r: r._seg)
+            ).alias(text_col),
+        )
+    )
+    # documents whose every segment was boilerplate come back EMPTY, not
+    # silently dropped
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

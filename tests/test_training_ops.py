@@ -874,3 +874,40 @@ class TestPackDocuments:
         a = {tuple(r) for r in text.pack_documents(docs, 16).collect()}
         b = {tuple(r) for r in text.pack_documents(docs.repartition(13), 16).collect()}
         assert a == b
+
+
+class TestLineDedup:
+    def test_boilerplate_lines_removed(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "unique a\ncookie banner\nunique b"),
+             (1, "cookie banner\nother text"),
+             (2, "cookie banner"),
+             (3, "all mine\nonly here")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r["text"]
+                for r in dedup.line_dedup(docs, min_docs=2).collect()}
+        assert rows == {
+            0: "unique a\nunique b",
+            1: "other text",
+            2: "",                      # fully-boilerplate doc kept, emptied
+            3: "all mine\nonly here",
+        }
+
+    def test_within_doc_repeats_do_not_trigger(self, spark):
+        """min_docs counts DISTINCT documents: a line repeated many times
+        inside ONE document survives."""
+        docs = spark.createDataFrame(
+            [(0, "x\nx\nx\ny"), (1, "z")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r["text"]
+                for r in dedup.line_dedup(docs, min_docs=2).collect()}
+        assert rows[0] == "x\nx\nx\ny"
+
+    def test_order_preserved_and_partition_invariant(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"first{i}\ncommon\nlast{i}") for i in range(20)],
+            ["doc_id", "text"])
+        a = {tuple(r) for r in dedup.line_dedup(docs, min_docs=3).collect()}
+        b = {tuple(r) for r in dedup.line_dedup(docs.repartition(7), min_docs=3).collect()}
+        assert a == b
+        assert all(t == f"first{i}\nlast{i}" for i, t in a)
