@@ -29,6 +29,7 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
   tool-stats  per-conversation tool-call analytics
   pack        start-offset token-budget sequence packing (appends
               n_tokens + bin_idx)
+  line-dedup  C4-style boilerplate-line removal (lines in >= N docs)
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -114,6 +115,12 @@ def parse_args(argv=None):
     pk = sub.add_parser("pack", help="token-budget sequence packing (bin ids)")
     common(pk)
     pk.add_argument("--target-tokens", type=int, default=2048)
+
+    ld = sub.add_parser("line-dedup",
+                        help="drop lines occurring in >= N distinct docs")
+    common(ld)
+    ld.add_argument("--min-docs", type=int, default=2)
+    ld.add_argument("--sep", default="\n")
 
     return p.parse_args(argv)
 
@@ -227,6 +234,12 @@ def run(args) -> dict:
             .select(args.id_col, "n_tokens", "bin_idx"),
             args.id_col,
         )
+    elif args.cmd == "line-dedup":
+        from fhir_owl_spark.operators.dedup import line_dedup
+
+        out = line_dedup(docs, min_docs=args.min_docs,
+                         text_col=args.text_col, id_col=args.id_col,
+                         sep=args.sep)
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 
