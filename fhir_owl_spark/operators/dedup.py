@@ -169,8 +169,23 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     sig_len: int | None = None,
     max_bucket_size: int | None = 256,
+    eager_probe: bool = True,
+    tag_star: bool = False,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_hash) buckets.
+
+    ``tag_star=True`` adds a boolean ``_is_star`` column: True iff the
+    pair exists ONLY as a star edge of an oversized bucket (a pair also
+    found in any exhaustive small bucket is False — it was a genuine
+    all-pairs candidate somewhere).
+
+    NOTE — construction cost: with the DEFAULT arguments this function
+    runs up to two small Spark jobs at plan-BUILD time (a one-row
+    ``sig_len`` probe unless ``sig_len`` is passed, and a bucket-size
+    probe unless ``eager_probe=False``); callers that build plans they
+    may never execute should pass ``sig_len`` + ``eager_probe=False``,
+    which makes construction job-free at the cost of always carrying the
+    star-connect machinery (output is identical either way).
 
     Only rows sharing a full band collide → candidate pair (id_a < id_b).
     The shuffle key is the band hash (uniform for distinct documents).
@@ -181,10 +196,16 @@ def lsh_candidate_pairs(
     C(C−1)/2 rows of OUTPUT — AQE can split the join but cannot shrink
     the result. Buckets larger than ``max_bucket_size`` therefore
     star-connect instead: each member pairs only with the bucket's
-    minimum id (O(C) edges). Connectivity — and thus the connected
-    components dup_clusters/dedup_keep_one build — is preserved exactly
+    minimum id (O(C) edges). CANDIDATE connectivity is preserved exactly
     (every member still reaches the same representative); only the
-    exhaustive pair REPORT inside oversized buckets is truncated.
+    exhaustive pair REPORT inside oversized buckets is truncated. That
+    claim is scoped to candidate pairs PRE-verification: a downstream
+    Jaccard filter sees only the star edges, so a member whose edge to
+    the representative fails the threshold would lose bucket
+    connectivity even when member–member pairs would have passed —
+    ``minhash_dedup_pairs`` compensates with a re-star recovery round
+    over failed star edges (``tag_star=True`` emits the ``_is_star``
+    column it needs).
     The number of truncated buckets is published as the observation
     metric ``n_truncated_buckets`` on the returned frame's
     ``_lsh_observation`` attribute (readable after any action, costs no
@@ -249,7 +270,7 @@ def lsh_candidate_pairs(
         .select(F.col(id_col), "band_idx", band_hash.alias("band_hash"))
     )
     static_metrics = None
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and eager_probe:
         # one cheap probe action (map + two-level agg over cached
         # signatures, no window/join) decides the plan: when NO bucket
         # exceeds the cap — the overwhelmingly common case — the lean
@@ -278,6 +299,8 @@ def lsh_candidate_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
+        if tag_star:  # no oversized buckets → nothing is star-only
+            out = out.withColumn("_is_star", F.lit(False))
         if static_metrics is not None:
             out._lsh_observation = _StaticLshMetrics(static_metrics)  # type: ignore[attr-defined]
         return out
@@ -325,7 +348,17 @@ def lsh_candidate_pairs(
     star_pairs = big.filter(F.col(id_col) != F.col("_bmin")).select(
         F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b")
     )
-    out = small_pairs.union(star_pairs).distinct()
+    if tag_star:
+        # bool_and: star-only iff EVERY occurrence of the pair was a star
+        # edge — same single shuffle as the distinct it replaces
+        out = (
+            small_pairs.withColumn("_is_star", F.lit(False))
+            .union(star_pairs.withColumn("_is_star", F.lit(True)))
+            .groupBy("id_a", "id_b")
+            .agg(F.bool_and("_is_star").alias("_is_star"))
+        )
+    else:
+        out = small_pairs.union(star_pairs).distinct()
     out._lsh_observation = obs  # type: ignore[attr-defined]
     return out
 
@@ -353,33 +386,85 @@ def minhash_dedup_pairs(
     buckets over max_bucket_size star-connect (see lsh_candidate_pairs)
     so degenerate duplicate clusters cost O(C) candidate pairs, not
     O(C²).
+
+    Re-star recovery (star buckets only): a star edge that FAILS the
+    Jaccard threshold means the bucket's minimum id was not actually
+    similar to that member (band buckets are unverified collisions) —
+    dropping the edge outright would disconnect members whose
+    member–member similarity is real. One recovery round therefore
+    re-stars the failed members of each representative onto their own
+    minimum id and verifies those edges too, so a two-cluster bucket
+    (e.g. one false-collision outlier as the minimum) keeps its true
+    cluster connected. Buckets conflating 3+ distinct clusters can
+    still lose edges — a static plan cannot recurse; the recovery round
+    is built only when the oversized-bucket machinery engaged, so the
+    common no-degenerate-bucket plan stays lean.
     """
+    from pyspark.sql import Observation
+
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(
-        sigs, id_col, n_bands, sig_len=n_hashes, max_bucket_size=max_bucket_size
+        sigs, id_col, n_bands, sig_len=n_hashes,
+        max_bucket_size=max_bucket_size, tag_star=True,
     )
     sets = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles_col(text_col, shingle_k)).alias("_sset"),
     )
-    pairs = (
-        cands.join(sets.withColumnsRenamed({id_col: "id_a", "_sset": "_sa"}), "id_a")
-        .join(sets.withColumnsRenamed({id_col: "id_b", "_sset": "_sb"}), "id_b")
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = F.size(F.array_union("_sa", "_sb")).cast("double")
-    pairs = pairs.withColumn(
-        "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    )
-    out = pairs.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    obs = getattr(cands, "_lsh_observation", None)
+    out = _verify_pairs(
+        cands, sets, threshold,
+        re_star=isinstance(obs, Observation),
     )
     # propagate the truncation observation so pipeline callers can log
     # n_truncated_buckets after their action (zero extra jobs)
-    obs = getattr(cands, "_lsh_observation", None)
     if obs is not None:
         out._lsh_observation = obs  # type: ignore[attr-defined]
     return out
+
+
+def _verify_pairs(
+    cands: DataFrame, sets: DataFrame, threshold: float, re_star: bool
+) -> DataFrame:
+    """Exact-Jaccard verification of tagged candidate pairs, with one
+    re-star recovery round over failed star edges when ``re_star``
+    (see minhash_dedup_pairs). ``cands``: (id_a, id_b, _is_star);
+    ``sets``: (id, _sset) distinct-shingle arrays."""
+
+    def _jaccard(pairs: DataFrame) -> DataFrame:
+        inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        union = F.size(F.array_union("_sa", "_sb")).cast("double")
+        return pairs.withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+
+    id_col = sets.columns[0]
+    sets_a = sets.withColumnsRenamed({id_col: "id_a", "_sset": "_sa"})
+    sets_b = sets.withColumnsRenamed({id_col: "id_b", "_sset": "_sb"})
+    pairs = _jaccard(cands.join(sets_a, "id_a").join(sets_b, "id_b"))
+    passed = pairs.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    if not re_star:
+        return passed
+    failed_star = pairs.filter(
+        (F.col("jaccard") < threshold) & F.col("_is_star")
+    ).select("id_a", "id_b")
+    # new representative per old representative: min of its failed members
+    rep = failed_star.groupBy("id_a").agg(F.min("id_b").alias("_rep"))
+    re_pairs = (
+        failed_star.join(rep, "id_a")
+        .filter(F.col("id_b") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), "id_b")
+    )
+    re_passed = (
+        _jaccard(re_pairs.join(sets_a, "id_a").join(sets_b, "id_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # a recovered pair can coincide with an already-passed candidate
+    # (identical jaccard — same expression over the same sets)
+    return passed.union(re_passed).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -731,7 +816,9 @@ def line_dedup(
     """(id, text) with every ``sep``-separated segment that appears in
     ≥ ``min_docs`` DISTINCT documents removed; remaining segments are
     rejoined in their original order (a document may come back empty —
-    length filters run downstream).
+    length filters run downstream). ``sep`` is a LITERAL separator on
+    both the split and the rejoin (the split pattern is Pattern.quote-d,
+    so ``sep='.'`` or ``'|'`` splits on the character, not the regex).
 
     Scale shape: segments explode map-side with their position; the
     frequency table is keyed by the segment's xxhash64 (the raw text
@@ -742,9 +829,13 @@ def line_dedup(
     groupBy on the doc id with an array_sort over (pos, segment)
     structs, deterministic under any partitioning.
     """
+    # F.split takes a Java REGEX but concat_ws rejoins with the LITERAL —
+    # Pattern.quote the separator so both sides agree (ADVICE r4: sep='.'
+    # or '|' previously split on the regex and corrupted rebuilt docs)
+    quoted_sep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     segs = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(quoted_sep), -1)).alias(
             "_pos", "_seg"
         ),
     ).withColumn("_h", F.xxhash64("_seg"))

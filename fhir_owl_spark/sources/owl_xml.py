@@ -1100,7 +1100,12 @@ def http_fetcher(
     SSRF guard: IRIs resolving to loopback / link-local / private /
     reserved addresses are rejected unless ``allow_private_hosts=True``
     (imports are fetched recursively, so a hostile document could
-    otherwise probe internal hosts).
+    otherwise probe internal hosts). The guard is enforced at CONNECT
+    time on EVERY hop via IP-pinned connections — redirects are
+    re-validated (and non-http(s) redirect targets rejected) by a custom
+    redirect handler, and the TCP connect goes to the address that was
+    vetted, closing both the redirect bypass and the DNS-rebinding
+    TOCTOU between resolve and fetch.
 
     Size guard: the response is STREAMED to the cache file and the fetch
     aborts once ``max_bytes`` is exceeded — a hostile or misconfigured
@@ -1114,6 +1119,7 @@ def http_fetcher(
     on unresolvable imports.
     """
     import hashlib
+    import http.client
     import ipaddress
     import os
     import socket
@@ -1130,11 +1136,19 @@ def http_fetcher(
         ctx = ssl._create_unverified_context()  # noqa: S323 — reference parity, opt-in
     seen: dict[str, str] = {}
 
-    def _check_host(host: str) -> None:
-        if allow_private_hosts:
-            return
+    def _resolve_validated(host: str) -> str:
+        """Resolve ``host`` ONCE, reject non-public addresses, and return
+        the vetted IP so the connection can be pinned to it.
+
+        Pinning closes the DNS-rebinding TOCTOU (a second lookup at
+        connect time could return a different, internal address) and —
+        because the pinning connection classes below run this for EVERY
+        hop urllib opens — also covers HTTP redirects: a public ontology
+        host 302-ing to http://169.254.169.254/ is rejected at the
+        redirected hop's connect, not just at the initial IRI.
+        """
         try:
-            infos = socket.getaddrinfo(host, None)
+            infos = socket.getaddrinfo(host, None, type=socket.SOCK_STREAM)
         except OSError as exc:
             raise ValueError(f"cannot resolve owl:imports host {host!r}") from exc
         for info in infos:
@@ -1150,6 +1164,53 @@ def http_fetcher(
                     f"owl:imports host {host!r} resolves to non-public address "
                     f"{addr} — pass allow_private_hosts=True to permit"
                 )
+        return infos[0][4][0]
+
+    class _PinnedHTTPConnection(http.client.HTTPConnection):
+        def connect(self):
+            ip = self.host if allow_private_hosts else _resolve_validated(self.host)
+            self.sock = socket.create_connection(
+                (ip, self.port), self.timeout, self.source_address
+            )
+
+    class _PinnedHTTPSConnection(http.client.HTTPSConnection):
+        def connect(self):
+            ip = self.host if allow_private_hosts else _resolve_validated(self.host)
+            sock = socket.create_connection(
+                (ip, self.port), self.timeout, self.source_address
+            )
+            # SNI / certificate verification still use the HOSTNAME, only
+            # the TCP connect is pinned to the vetted IP.
+            self.sock = self._context.wrap_socket(sock, server_hostname=self.host)
+
+    class _PinningHTTPHandler(urllib.request.HTTPHandler):
+        def http_open(self, req):
+            return self.do_open(_PinnedHTTPConnection, req)
+
+    class _PinningHTTPSHandler(urllib.request.HTTPSHandler):
+        def https_open(self, req):
+            return self.do_open(_PinnedHTTPSConnection, req, context=self._context)
+
+    class _ValidatingRedirectHandler(urllib.request.HTTPRedirectHandler):
+        """Re-run the scheme + host policy on every redirect hop (capped at
+        urllib's default max_redirections) — a hostile host cannot 302 an
+        https fetch into file:// or an internal address."""
+
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            parts = urllib.parse.urlsplit(urllib.parse.urljoin(req.full_url, newurl))
+            if parts.scheme not in ("http", "https"):
+                raise ValueError(
+                    f"owl:imports redirect to unsupported scheme {parts.scheme!r}: {newurl}"
+                )
+            if not allow_private_hosts:
+                _resolve_validated(parts.hostname or "")
+            return super().redirect_request(req, fp, code, msg, headers, newurl)
+
+    opener = urllib.request.build_opener(
+        _PinningHTTPHandler(),
+        _PinningHTTPSHandler(context=ctx),
+        _ValidatingRedirectHandler(),
+    )
 
     def fetch(iri: str) -> str:
         if iri in seen:
@@ -1159,12 +1220,11 @@ def http_fetcher(
         parts = urllib.parse.urlsplit(iri)
         if parts.scheme not in ("http", "https"):
             raise ValueError(f"unsupported owl:imports scheme {parts.scheme!r}: {iri}")
-        _check_host(parts.hostname or "")
+        if not allow_private_hosts:
+            _resolve_validated(parts.hostname or "")
         dest = f"{cache}/{hashlib.sha256(iri.encode()).hexdigest()[:24]}.owl"
         got = 0
-        with urllib.request.urlopen(iri, timeout=timeout, context=ctx) as r, open(
-            dest, "wb"
-        ) as f:
+        with opener.open(iri, timeout=timeout) as r, open(dest, "wb") as f:
             while True:
                 chunk = r.read(1 << 20)
                 if not chunk:

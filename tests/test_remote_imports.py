@@ -241,6 +241,102 @@ def test_fetcher_rejects_private_hosts_by_default(http_served, tmp_path):
         http_fetcher()(iri)
 
 
+@pytest.fixture()
+def redirecting_served(tmp_path):
+    """Serve tmp_path over HTTP, with /redir/<target> answering 302 to the
+    percent-decoded <target> — lets tests exercise the redirect guard."""
+    import urllib.parse as up
+
+    class Handler(_CountingHandler):
+        hits = {}
+
+        def do_GET(self):
+            if self.path.startswith("/redir/"):
+                type(self).hits[self.path] = type(self).hits.get(self.path, 0) + 1
+                target = up.unquote(self.path[len("/redir/"):])
+                self.send_response(302)
+                self.send_header("Location", target)
+                self.end_headers()
+                return
+            super().do_GET()  # _CountingHandler counts non-redirect paths
+
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), lambda *a, **k: Handler(*a, directory=str(tmp_path), **k)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", Handler
+    srv.shutdown()
+
+
+def test_redirect_followed_within_policy(tmp_path, redirecting_served):
+    """An http→http redirect to an allowed host is followed (the fetcher
+    must not break ordinary ontology-host redirects, e.g. purl.org)."""
+    import urllib.parse as up
+
+    base, handler = redirecting_served
+    iri = f"{base}/a.owl"
+    (tmp_path / "a.owl").write_text(_imported_doc(iri))
+    fetch = http_fetcher(cache_dir=str(tmp_path / "c"), allow_private_hosts=True)
+    p = fetch(f"{base}/redir/{up.quote(iri, safe='')}")
+    assert open(p).read() == _imported_doc(iri)
+    assert handler.hits["/a.owl"] == 1
+
+
+def test_redirect_to_non_http_scheme_rejected(tmp_path, redirecting_served):
+    """A hostile host 302-ing off http(s) must be refused at the hop
+    (ADVICE r4: the initial-IRI scheme check alone was bypassable via
+    redirects). stdlib urllib already blocks file:// redirects itself but
+    ALLOWS ftp:// — the fetcher's own hop check closes that."""
+    import urllib.error
+    import urllib.parse as up
+
+    base, _ = redirecting_served
+    fetch = http_fetcher(cache_dir=str(tmp_path / "c"), allow_private_hosts=True)
+    with pytest.raises(ValueError, match="redirect to unsupported scheme"):
+        fetch(f"{base}/redir/{up.quote('ftp://example.com/a.owl', safe='')}")
+    with pytest.raises(urllib.error.HTTPError):  # stdlib's own file:// block
+        fetch(f"{base}/redir/{up.quote('file:///etc/passwd', safe='')}")
+
+
+def test_redirect_to_private_host_rejected(tmp_path, redirecting_served, monkeypatch):
+    """End-to-end SSRF redirect guard: a host that passes the public-IP
+    check but 302s to a link-local (metadata-service) address is rejected
+    at the redirected hop. DNS is faked so 'pub.test' LOOKS public while
+    the TCP connect (pinned to the vetted IP) is steered back to the local
+    test server — also proving the connect uses the vetted address, i.e.
+    the DNS-rebinding TOCTOU is closed."""
+    import socket as socket_mod
+    import urllib.parse as up
+
+    base, _ = redirecting_served
+    port = int(base.rsplit(":", 1)[1])
+    real_getaddrinfo = socket_mod.getaddrinfo
+    real_create_connection = socket_mod.create_connection
+
+    def fake_getaddrinfo(host, *a, **kw):
+        if host == "pub.test":
+            return [(socket_mod.AF_INET, socket_mod.SOCK_STREAM, 6, "",
+                     ("203.0.113.7", 0))]
+        if host == "evil.test":
+            return [(socket_mod.AF_INET, socket_mod.SOCK_STREAM, 6, "",
+                     ("169.254.169.254", 0))]
+        return real_getaddrinfo(host, *a, **kw)
+
+    def fake_create_connection(addr, *a, **kw):
+        if addr[0] == "203.0.113.7":
+            return real_create_connection(("127.0.0.1", addr[1]), *a, **kw)
+        return real_create_connection(addr, *a, **kw)
+
+    monkeypatch.setattr(socket_mod, "getaddrinfo", fake_getaddrinfo)
+    monkeypatch.setattr(socket_mod, "create_connection", fake_create_connection)
+
+    fetch = http_fetcher(cache_dir=str(tmp_path / "c"))  # guard ON
+    evil = f"http://evil.test/latest/meta-data"
+    with pytest.raises(ValueError, match="non-public address"):
+        fetch(f"http://pub.test:{port}/redir/{up.quote(evil, safe='')}")
+
+
 def test_fetcher_size_cap_streams_and_aborts(http_served, tmp_path):
     """A response larger than max_bytes aborts the fetch (streamed to
     disk — never buffered whole in driver memory) and leaves no partial

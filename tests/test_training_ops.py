@@ -394,6 +394,70 @@ class TestDegenerateClusters:
         assert a == b
 
 
+class TestReStarRecovery:
+    """ADVICE r4: a star edge failing verification must not disconnect
+    members whose member–member similarity is real — one re-star round
+    recovers the failed members' own cluster."""
+
+    def test_outlier_representative_recovers_true_cluster(self, spark):
+        # bucket-shaped candidate set: representative 0 ("X" content) got
+        # star-edged to 3 "Y" members by an unverified band collision
+        text_x = "alpha beta gamma delta epsilon zeta"
+        text_y = "one two three four five six seven"
+        docs = spark.createDataFrame(
+            [(0, text_x), (1, text_x), (2, text_y), (3, text_y), (4, text_y)],
+            ["doc_id", "text"],
+        )
+        sets = docs.select(
+            "doc_id",
+            F.array_distinct(dedup.word_shingles_col("text", 3)).alias("_sset"),
+        )
+        cands = spark.createDataFrame(
+            [(0, 1, True), (0, 2, True), (0, 3, True), (0, 4, True)],
+            ["id_a", "id_b", "_is_star"],
+        )
+        got = {(r["id_a"], r["id_b"])
+               for r in dedup._verify_pairs(cands, sets, 0.8, re_star=True).collect()}
+        # (0,1) passes directly; (0,2..4) fail but re-star onto min(2,3,4)=2
+        assert got == {(0, 1), (2, 3), (2, 4)}
+        # without recovery the Y cluster is silently disconnected
+        flat = {(r["id_a"], r["id_b"])
+                for r in dedup._verify_pairs(cands, sets, 0.8, re_star=False).collect()}
+        assert flat == {(0, 1)}
+
+    def test_tag_star_marks_star_only_pairs(self, spark):
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, boiler) for i in range(300)]
+        rows.append((1000, "completely different text on adaptive query execution"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sigs = dedup.minhash_signatures(df)
+        cands = dedup.lsh_candidate_pairs(sigs, sig_len=64, max_bucket_size=64,
+                                          tag_star=True)
+        rows_ = cands.collect()
+        assert all(r["_is_star"] for r in rows_)  # all from the giant bucket
+        assert len(rows_) == 299
+        sigs.unpersist()
+        # no oversized bucket → tag present, all False
+        small = df.filter(F.col("doc_id") < 5)
+        sigs2 = dedup.minhash_signatures(small)
+        cands2 = dedup.lsh_candidate_pairs(sigs2, sig_len=64, tag_star=True)
+        assert all(not r["_is_star"] for r in cands2.collect())
+        sigs2.unpersist()
+
+    def test_minhash_dedup_end_to_end_unchanged_on_clean_corpus(self, spark):
+        """With no oversized buckets the output is byte-identical to the
+        pre-recovery implementation (lean path, no re-star branch)."""
+        docs = spark.createDataFrame(
+            [(0, "spark sql adaptive query execution engine rocks"),
+             (1, "spark sql adaptive query execution engine rocks"),
+             (2, "totally unrelated content about owl ontologies here")],
+            ["doc_id", "text"],
+        )
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()}
+        assert got == {(0, 1)}
+
+
 class TestDupClusters:
     def test_components(self, spark):
         # components: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
@@ -902,6 +966,24 @@ class TestLineDedup:
         rows = {r["doc_id"]: r["text"]
                 for r in dedup.line_dedup(docs, min_docs=2).collect()}
         assert rows[0] == "x\nx\nx\ny"
+
+    def test_separator_is_literal_not_regex(self, spark):
+        """ADVICE r4: sep is Pattern.quote-d — '.' must split on the dot
+        character, not match-any; rebuilt docs must round-trip."""
+        docs = spark.createDataFrame(
+            [(0, "keep me.BOILER.also keep"), (1, "BOILER.fresh"), (2, "BOILER")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r["text"]
+                for r in dedup.line_dedup(docs, min_docs=2, sep=".").collect()}
+        assert rows == {0: "keep me.also keep", 1: "fresh", 2: ""}
+        # no-boilerplate corpus round-trips byte-identically through
+        # split+rejoin even with regex-metacharacter separators
+        docs2 = spark.createDataFrame(
+            [(0, "a|b|c"), (1, "d|e")], ["doc_id", "text"])
+        rows2 = {r["doc_id"]: r["text"]
+                 for r in dedup.line_dedup(docs2, min_docs=2, sep="|").collect()}
+        assert rows2 == {0: "a|b|c", 1: "d|e"}
 
     def test_order_preserved_and_partition_invariant(self, spark):
         docs = spark.createDataFrame(
