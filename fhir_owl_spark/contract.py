@@ -628,6 +628,18 @@ def q_pack_docs(spark, sf_dir) -> DataFrame:
     return pack_documents(docs, target_tokens=2048)
 
 
+def q_pack_docs_sharded(spark, sf_dir) -> DataFrame:
+    """PER-SHARD start-offset packing (the 100-TB form): prefix sums run
+    inside each ``source`` shard under Window.partitionBy — a hash
+    Exchange on the shard key, no single-partition sort anywhere in the
+    plan (asserted in tests/test_plans.py). Same all-integer arithmetic,
+    full value oracle with a matching PARTITION BY window."""
+    from .operators.text import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents(docs, target_tokens=2048, shard_cols=("source",))
+
+
 def q_conv_near_dups(spark, sf_dir) -> DataFrame:
     """Cross-operator COMPOSITION: render each conversation to one
     document (conversations.render_conversations) then MinHash near-dup
@@ -1233,6 +1245,7 @@ QUERIES = {
     "conv_render": q_conv_render,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
+    "pack_docs_sharded": q_pack_docs_sharded,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2041,6 +2054,21 @@ p AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
   FROM t)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(prefix / 2048.0) AS BIGINT) AS bin_idx
+FROM p
+""",
+        "pack_docs_sharded": r"""
+WITH t AS (
+  SELECT source, doc_id,
+         greatest(1, len(list_filter(string_split_regex(coalesce(text,''), '\s+'),
+                                     x -> x <> ''))) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor(prefix / 2048.0) AS BIGINT) AS bin_idx
 FROM p
 """,

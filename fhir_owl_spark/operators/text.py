@@ -8,6 +8,8 @@ SQL-expressible definition so DuckDB can act as the row-level oracle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
@@ -464,6 +466,7 @@ def pack_documents(
     target_tokens: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shard_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Deterministic START-OFFSET packing: documents in ``id_col`` order
     are conceptually concatenated; a document's bin is the
@@ -475,21 +478,29 @@ def pack_documents(
     is a stateful sequential scan with no prefix-sum closed form, which
     is exactly why dataloaders concat-and-cut instead).
 
-    The ordered prefix sum is inherently global, so the window has ONE
-    partition — at 100 TB pack PER SHARD (source/date partition) by
-    applying this to each shard's frame, which is what a real packing
-    job does anyway for shuffle locality. All-integer arithmetic →
-    byte-identical across engines; the contract query carries a
-    complete DuckDB value oracle.
+    Scale shape — pass ``shard_cols`` at any real scale: the prefix sum
+    then runs per shard (``Window.partitionBy(*shard_cols)``), bins are
+    numbered independently within each (shard, bin_idx) — a hash
+    Exchange on the shard key, shards packed in parallel, which is what
+    a real packing job does anyway for shuffle locality (source/date
+    shards). With ``shard_cols=()`` (the oracle-parity default) the
+    ordered prefix sum is inherently global and the window has ONE
+    partition — correct, but a single-task sort: small/medium frames
+    only. All-integer arithmetic → byte-identical across engines; both
+    forms carry complete DuckDB value oracles in the contract.
     """
     from pyspark.sql.window import Window
 
     toks = F.greatest(
         F.lit(1), whitespace_token_count(text_col)
     )  # empty docs still occupy a slot
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    base = (
+        Window.partitionBy(*shard_cols) if shard_cols else Window
+    )
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(toks).over(w), F.lit(0))
     return df.select(
+        *[F.col(c) for c in shard_cols],
         F.col(id_col),
         toks.alias("n_tokens"),
         F.floor(prefix / target_tokens).cast("long").alias("bin_idx"),

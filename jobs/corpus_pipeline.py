@@ -115,6 +115,10 @@ def parse_args(argv=None):
     pk = sub.add_parser("pack", help="token-budget sequence packing (bin ids)")
     common(pk)
     pk.add_argument("--target-tokens", type=int, default=2048)
+    pk.add_argument("--shard-cols", default="",
+                    help="comma-separated shard columns: prefix sums run per "
+                         "shard (REQUIRED at any real scale — the global "
+                         "form is a single-partition sort)")
 
     ld = sub.add_parser("line-dedup",
                         help="drop lines occurring in >= N distinct docs")
@@ -228,9 +232,11 @@ def run(args) -> dict:
     elif args.cmd == "pack":
         from fhir_owl_spark.operators.text import pack_documents
 
+        shards = tuple(c for c in args.shard_cols.split(",") if c)
         out = docs.join(
             pack_documents(docs, target_tokens=args.target_tokens,
-                           text_col=args.text_col, id_col=args.id_col)
+                           text_col=args.text_col, id_col=args.id_col,
+                           shard_cols=shards)
             .select(args.id_col, "n_tokens", "bin_idx"),
             args.id_col,
         )

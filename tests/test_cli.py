@@ -8,6 +8,8 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fhir_owl_spark import fixtures as fx
 
 import jobs.build_graph as job
@@ -181,3 +183,18 @@ def test_corpus_pipeline_subcommands(spark, tmp_path, capsys):
     s = run(["chunk", "--input", src, "--output", str(tmp_path / "c"),
              "--max-tokens", "4", "--overlap", "1"])
     assert s["rows_out"] > 4  # long docs fan out to multiple windows
+
+    # pack with per-shard prefix sums (the at-scale form)
+    sharded_src = str(tmp_path / "docs_sharded")
+    docs.withColumn("source", (F.col("doc_id") % 2).cast("string")).write.parquet(
+        sharded_src
+    )
+    s = run(["pack", "--input", sharded_src, "--output", str(tmp_path / "p"),
+             "--target-tokens", "8", "--shard-cols", "source"])
+    assert s["rows_out"] == 4
+    packed = spark.read.parquet(str(tmp_path / "p"))
+    assert {"n_tokens", "bin_idx"} <= set(packed.columns)
+    # bins restart per shard: each shard's min bin is 0
+    mins = {r["source"]: r["m"] for r in
+            packed.groupBy("source").agg(F.min("bin_idx").alias("m")).collect()}
+    assert set(mins.values()) == {0}

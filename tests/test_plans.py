@@ -284,3 +284,21 @@ def test_pack_documents_single_global_window(spark):
     assert "Join" not in plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
+
+
+def test_pack_documents_sharded_no_single_partition(spark):
+    """pack_documents(shard_cols=...): the 100-TB form — the prefix-sum
+    window hash-partitions on the shard key; NO single-partition Exchange
+    anywhere in the plan (the r4 scale-killer shape, removed)."""
+    from fhir_owl_spark.operators.text import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}", "a b c") for i in range(50)],
+        ["doc_id", "source", "text"],
+    )
+    plan = plan_of(pack_documents(docs, 16, shard_cols=("source",)))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+    assert "Join" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan

@@ -939,6 +939,34 @@ class TestPackDocuments:
         b = {tuple(r) for r in text.pack_documents(docs.repartition(13), 16).collect()}
         assert a == b
 
+    def test_sharded_equals_per_shard_global(self, spark):
+        """shard_cols semantics: packing WITH shard_cols must equal running
+        the global form on each shard's frame independently."""
+        docs = spark.range(300).selectExpr(
+            "id AS doc_id",
+            "concat('s', CAST(id % 3 AS STRING)) AS source",
+            "repeat('w ', CAST(id % 11 + 1 AS INT)) AS text")
+        sharded = {(r["source"], r["doc_id"]): (r["n_tokens"], r["bin_idx"])
+                   for r in text.pack_documents(
+                       docs, 32, shard_cols=("source",)).collect()}
+        expected = {}
+        for s in ("s0", "s1", "s2"):
+            one = docs.filter(F.col("source") == s)
+            for r in text.pack_documents(one, 32).collect():
+                expected[(s, r["doc_id"])] = (r["n_tokens"], r["bin_idx"])
+        assert sharded == expected
+
+    def test_sharded_partition_invariance(self, spark):
+        docs = spark.range(200).selectExpr(
+            "id AS doc_id", "concat('s', CAST(id % 4 AS STRING)) AS source",
+            "repeat('w ', CAST(id % 7 + 1 AS INT)) AS text")
+        a = {tuple(r) for r in
+             text.pack_documents(docs, 16, shard_cols=("source",)).collect()}
+        b = {tuple(r) for r in
+             text.pack_documents(docs.repartition(13), 16,
+                                 shard_cols=("source",)).collect()}
+        assert a == b
+
 
 class TestLineDedup:
     def test_boilerplate_lines_removed(self, spark):
