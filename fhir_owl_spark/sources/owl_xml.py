@@ -594,7 +594,8 @@ class UnsupportedOwlFormatError(ValueError):
     loadOntologyFromOntologyDocument auto-detects RDF/XML, OWL/XML,
     functional syntax, Turtle, Manchester and OBO —
     FhirOwlService.java:201; this engine reads RDF/XML natively, Turtle
-    via sources.turtle.parse_turtle, and tabular input in production)."""
+    via sources.turtle.parse_turtle, OBO via sources.obo.parse_obo, and
+    tabular input in production — parse_ontology_document dispatches)."""
 
     def __init__(self, fmt: str, path: str, hint: str = ""):
         self.format = fmt

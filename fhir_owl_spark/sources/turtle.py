@@ -405,14 +405,25 @@ def parse_turtle(
 
 def parse_ontology_document(path: str, **kwargs) -> ParsedOntology:
     """Format-dispatching loader: RDF/XML → parse_owl_xml, Turtle →
-    parse_turtle, anything else → UnsupportedOwlFormatError naming the
-    detected serialization (the reference auto-detects all of them via
-    the OWL API; this engine's honest subset is RDF/XML + Turtle +
-    tabular)."""
+    parse_turtle, OBO → parse_obo, functional syntax →
+    parse_functional; Manchester / OWL-XML →
+    UnsupportedOwlFormatError naming the detected serialization (the
+    reference auto-detects all of them via the OWL API; this engine's
+    honest subset is RDF/XML + Turtle + OBO + FS + tabular)."""
     from .owl_xml import parse_owl_xml, sniff_owl_format
 
     fmt = sniff_owl_format(path)
     if fmt == "turtle":
         kwargs.pop("classify_defined", None)
         return parse_turtle(path, **kwargs)
+    if fmt == "obo":
+        from .obo import parse_obo
+
+        kwargs.pop("classify_defined", None)
+        return parse_obo(path, **kwargs)
+    if fmt == "functional":
+        from .functional import parse_functional
+
+        kwargs.pop("classify_defined", None)
+        return parse_functional(path, **kwargs)
     return parse_owl_xml(path, **kwargs)

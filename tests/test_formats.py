@@ -155,9 +155,20 @@ class TestTurtleReader:
         )
         assert parse_ontology_document(str(x)).ontology_iri == "http://ex/x"
         o = tmp_path / "d.obo"
-        o.write_text("format-version: 1.2\n[Term]\nid: GO:1\n")
-        with pytest.raises(UnsupportedOwlFormatError, match="obo"):
-            parse_ontology_document(str(o))
+        o.write_text("format-version: 1.2\nontology: go\n[Term]\nid: GO:0000001\nname: g\n")
+        p_obo = parse_ontology_document(str(o))
+        assert p_obo.ontology_iri == "http://purl.obolibrary.org/obo/go.owl"
+        assert any(c["iri"].endswith("GO_0000001") for c in p_obo.tables.concepts)
+        fs = tmp_path / "d.ofn"
+        fs.write_text("Prefix(:=<http://x#>)\nOntology(<http://x>\n"
+                      "Declaration(Class(:A))\n)\n")
+        p_fs = parse_ontology_document(str(fs))
+        assert p_fs.ontology_iri == "http://x"
+        assert any(c["iri"] == "http://x#A" for c in p_fs.tables.concepts)
+        man = tmp_path / "d.omn"
+        man.write_text("Prefix: : <http://x#>\nClass: <http://x#A>\n")
+        with pytest.raises(UnsupportedOwlFormatError, match="manchester"):
+            parse_ontology_document(str(man))
 
     def test_same_ontology_both_serializations_agree(self, tmp_path, parsed):
         """The RDF/XML rendering of the same axioms must produce the same
