@@ -309,6 +309,7 @@ def _classify_defined_members(
     disjoint_pairs: set[tuple[str, str]] = frozenset(),
     negation_uses: set[tuple[str, str, str]] = frozenset(),
     hasvalue_uses: set[tuple[str, str, str]] = frozenset(),
+    inverse_pairs: set[tuple[str, str]] = frozenset(),
 ) -> list[tuple[str, str]]:
     """Told-slice defined-class MEMBERSHIP classification — the told
     slice of what the reference's reasoner (ELK/JFact, loaded at
@@ -349,6 +350,46 @@ def _classify_defined_members(
     adj: dict[str, set[str]] = defaultdict(set)
     for c, p in edges:
         adj[c].add(p)
+
+    # told inverseOf slice (round-5 item #6): owl:inverseOf is symmetric
+    # (InverseOf(p,q) ⟺ q = p⁻), so (a) multiple told inverses of one
+    # property are mutually equivalent (mutual ⊑ edges), and (b) the told
+    # property hierarchy propagates through inverse pairs —
+    # p ⊑* q ∧ p⁻, q⁻ told ⇒ p⁻ ⊑ q⁻. Saturated to fixpoint BEFORE
+    # membership classification (class-edge inferences never add property
+    # edges, so one pre-pass suffices). Sound: every added edge is
+    # entailed by the asserted axioms alone.
+    if inverse_pairs:
+        inv_of: dict[str, set[str]] = defaultdict(set)
+        for a, b in inverse_pairs:
+            inv_of[a].add(b)
+            inv_of[b].add(a)
+        for p, invs in inv_of.items():
+            si = sorted(invs)
+            for i, a in enumerate(si):
+                for b in si[i + 1:]:
+                    adj[a].add(b)
+                    adj[b].add(a)
+        changed_inv = True
+        while changed_inv:
+            changed_inv = False
+            for p, invs in list(inv_of.items()):
+                reach: set[str] = set()
+                todo = [p]
+                seen = {p}
+                while todo:
+                    for q in adj[todo.pop()]:
+                        if q not in seen:
+                            seen.add(q)
+                            reach.add(q)
+                            todo.append(q)
+                for q in reach:
+                    for q_inv in inv_of.get(q, ()):
+                        for p_inv in invs:
+                            if q_inv not in adj[p_inv] and q_inv != p_inv:
+                                adj[p_inv].add(q_inv)
+                                changed_inv = True
+
     exist_of: dict[str, set[tuple[str, str]]] = defaultdict(set)
     exist_any: dict[str, set[tuple[str, str | None]]] = defaultdict(set)
     for c, p, f in existential_uses:
@@ -933,6 +974,30 @@ def parse_owl_xml(
             if c.tag == domain_tag and c.get(_RESOURCE):
                 domains.setdefault(about, c.get(_RESOURCE))
 
+    # owl:inverseOf sweep (told slice, round-5 item #6): symmetric pairs
+    # feeding the property-hierarchy saturation inside membership
+    # classification (p ⊑* q propagates to the told inverses). NAMED
+    # inverses only — anonymous inverse expressions are outside the slice.
+    # The rdfs:subPropertyOf sweep alongside it makes the property
+    # hierarchy visible to the classifier in CLASSES-ONLY parses too
+    # (like the rdfs:domain sweep for unsat) — the reference's EL path
+    # skips property CONCEPTS but its reasoner still walks the property
+    # hierarchy when matching existential bodies.
+    inverse_tag = f"{{{OWL_NS}}}inverseOf"
+    subprop_tag = f"{{{RDFS_NS}}}subPropertyOf"
+    inverse_pairs: set[tuple[str, str]] = set()
+    prop_sub_edges: set[tuple[str, str]] = set()
+    for el in root.iter():
+        about = el.get(_ABOUT)
+        if about is None:
+            continue
+        for c in el:
+            if c.tag == inverse_tag and c.get(_RESOURCE):
+                pair = (about, c.get(_RESOURCE))
+                inverse_pairs.add((min(pair), max(pair)))
+            elif c.tag == subprop_tag and c.get(_RESOURCE):
+                prop_sub_edges.add((about, c.get(_RESOURCE)))
+
     class_iris = {i for i, k in kind_of.items() if k == class_tag}
 
     # EL-slice defined-class membership (reasoner parity, What's-missing
@@ -942,7 +1007,8 @@ def parse_owl_xml(
     # Uses asserted edges only — domain-inferred edges stay unsat-only.
     if classify_defined and defined_bodies:
         for c, p in _classify_defined_members(
-            [(e["child_iri"], e["parent_iri"]) for e in ont.edges],
+            [(e["child_iri"], e["parent_iri"]) for e in ont.edges]
+            + sorted(prop_sub_edges),
             existential_uses,
             defined_bodies,
             class_iris,
@@ -950,6 +1016,7 @@ def parse_owl_xml(
             disjoint_pairs,
             negation_uses,
             hasvalue_uses,
+            inverse_pairs,
         ):
             ont.edge(c, p)
             children.add(c)

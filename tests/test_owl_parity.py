@@ -1490,3 +1490,318 @@ def test_negation_subsumption_route(tmp_path):
     assert ("X", "D2") in edges        # via inherited ¬∃p.F, G ⊑ F
     assert ("D1", "D2") in edges       # D1 itself satisfies D2's body
     assert ("D2", "D1") not in edges   # ¬∃p.G does NOT imply ¬∃p.F
+
+
+class TestInverseOfSlice:
+    """Told owl:inverseOf pairing (round-5 item #6): the told property
+    hierarchy propagates through inverse pairs — p ⊑* q with told
+    inverses p⁻, q⁻ entails p⁻ ⊑* q⁻ — and multiple told inverses of one
+    property are mutually equivalent. Sound additions only; the pizza/duo
+    membership suites above are the no-change regression gate."""
+
+    NS = "http://ex/inv#"
+
+    def _doc(self, with_inverses: bool) -> str:
+        ns = self.NS
+        inv_p = (f'<owl:inverseOf rdf:resource="{ns}pi"/>' if with_inverses else "")
+        inv_q = (f'<owl:inverseOf rdf:resource="{ns}qi"/>' if with_inverses else "")
+        return (
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/inv"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}p">'
+            f'<rdfs:subPropertyOf rdf:resource="{ns}q"/>{inv_p}'
+            "</owl:ObjectProperty>"
+            f'<owl:ObjectProperty rdf:about="{ns}q">{inv_q}</owl:ObjectProperty>'
+            f'<owl:ObjectProperty rdf:about="{ns}pi"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}qi"/>'
+            f'<owl:Class rdf:about="{ns}A"><rdfs:label>A</rdfs:label></owl:Class>'
+            f'<owl:Class rdf:about="{ns}B"><rdfs:label>B</rdfs:label></owl:Class>'
+            f'<owl:Class rdf:about="{ns}D"><rdfs:label>D</rdfs:label>'
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:intersectionOf rdf:parseType="Collection">'
+            f'<rdf:Description rdf:about="{ns}A"/>'
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}qi"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}B"/>'
+            "</owl:Restriction>"
+            "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+            f'<owl:Class rdf:about="{ns}X"><rdfs:label>X</rdfs:label>'
+            f'<rdfs:subClassOf rdf:resource="{ns}A"/>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}pi"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}B"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            "</rdf:RDF>"
+        )
+
+    def test_membership_through_inverse_propagated_hierarchy(self, tmp_path):
+        """X ⊑ A ⊓ ∃pi.B classifies under D ≡ A ⊓ ∃qi.B ONLY because
+        p ⊑ q + inverseOf(p,pi) + inverseOf(q,qi) entail pi ⊑ qi."""
+        f = tmp_path / "inv.owl"
+        f.write_text(self._doc(with_inverses=True))
+        parsed = parse_owl_xml(str(f))
+        edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+                 for e in parsed.tables.edges}
+        assert ("X", "D") in edges
+        # the inverse-derived pi ⊑ qi property edge is classifier-internal,
+        # never emitted as a told parent row
+        assert ("pi", "qi") not in edges
+
+    def test_no_inverses_no_membership(self, tmp_path):
+        """Control: identical ontology without the inverseOf declarations
+        must NOT classify X under D (pi and qi are unrelated told
+        properties) — proves the new edge comes from the slice, soundly."""
+        f = tmp_path / "noinv.owl"
+        f.write_text(self._doc(with_inverses=False))
+        parsed = parse_owl_xml(str(f))
+        edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+                 for e in parsed.tables.edges}
+        assert ("X", "D") not in edges
+
+    def test_multiple_inverses_mutually_equivalent(self, tmp_path):
+        """inverseOf(p, a) + inverseOf(p, b) ⇒ a ≡ b: a told ∃b.F
+        satisfies a body's ∃a.F conjunct."""
+        ns = self.NS
+        f = tmp_path / "multi.owl"
+        f.write_text(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/inv"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}p">'
+            f'<owl:inverseOf rdf:resource="{ns}a"/>'
+            f'<owl:inverseOf rdf:resource="{ns}b"/>'
+            "</owl:ObjectProperty>"
+            f'<owl:ObjectProperty rdf:about="{ns}a"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}b"/>'
+            f'<owl:Class rdf:about="{ns}F"><rdfs:label>F</rdfs:label></owl:Class>'
+            f'<owl:Class rdf:about="{ns}D"><rdfs:label>D</rdfs:label>'
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:intersectionOf rdf:parseType="Collection">'
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}a"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}F"/>'
+            "</owl:Restriction>"
+            "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+            f'<owl:Class rdf:about="{ns}X"><rdfs:label>X</rdfs:label>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}b"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}F"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            "</rdf:RDF>"
+        )
+        parsed = parse_owl_xml(str(f))
+        edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+                 for e in parsed.tables.edges}
+        assert ("X", "D") in edges
+
+
+class TestInverseSliceProperty:
+    """Property-based check of the inverse-saturated membership
+    classifier on RANDOM ontologies vs an independent fixpoint model
+    extended with the inverse rule (round-5 item #6's done-criterion)."""
+
+    NS = "http://ex/ip#"
+
+    def _render(self, n, edges, prop_edges, inverses, exists, bodies) -> str:
+        ns = self.NS
+        parts = [
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+            '<owl:Ontology rdf:about="http://ex/ip"/>',
+        ]
+        all_props = sorted({p for p, _ in prop_edges}
+                           | {q for _, q in prop_edges}
+                           | set(inverses) | {v for v in inverses.values()}
+                           | {p for _, p, _ in exists}
+                           | {p for b in bodies.values() for p, _ in b[1]})
+        for pr in all_props:
+            body = []
+            for c, p in prop_edges:
+                if c == pr:
+                    body.append(f'<rdfs:subPropertyOf rdf:resource="{ns}{p}"/>')
+            if pr in inverses:
+                body.append(f'<owl:inverseOf rdf:resource="{ns}{inverses[pr]}"/>')
+            parts.append(
+                f'<owl:ObjectProperty rdf:about="{ns}{pr}">'
+                + "".join(body) + "</owl:ObjectProperty>"
+            )
+        for i in range(n):
+            body = [f"<rdfs:label>c{i}</rdfs:label>"]
+            for c, p in edges:
+                if c == i:
+                    body.append(f'<rdfs:subClassOf rdf:resource="{ns}C{p}"/>')
+            for c, prop, filler in exists:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf><owl:Restriction>"
+                        f'<owl:onProperty rdf:resource="{ns}{prop}"/>'
+                        f'<owl:someValuesFrom rdf:resource="{ns}C{filler}"/>'
+                        "</owl:Restriction></rdfs:subClassOf>"
+                    )
+            if i in bodies:
+                named, ex = bodies[i]
+                members = [
+                    f'<rdf:Description rdf:about="{ns}C{m}"/>' for m in named
+                ] + [
+                    "<owl:Restriction>"
+                    f'<owl:onProperty rdf:resource="{ns}{p}"/>'
+                    f'<owl:someValuesFrom rdf:resource="{ns}C{f}"/>'
+                    "</owl:Restriction>"
+                    for p, f in ex
+                ]
+                body.append(
+                    "<owl:equivalentClass><owl:Class>"
+                    '<owl:intersectionOf rdf:parseType="Collection">'
+                    + "".join(members)
+                    + "</owl:intersectionOf></owl:Class></owl:equivalentClass>"
+                )
+            parts.append(
+                f'<owl:Class rdf:about="{ns}C{i}">' + "".join(body) + "</owl:Class>"
+            )
+        parts.append("</rdf:RDF>")
+        return "".join(parts)
+
+    @staticmethod
+    def _model(n, edges, prop_edges, inverses, exists, bodies):
+        """Independent fixpoint: saturate the property graph with the
+        inverse rule (p ⊑* q ∧ inv(p), inv(q) told ⇒ inv(p) ⊑ inv(q)),
+        then run the membership fixpoint with property-hierarchy-aware
+        existential matching."""
+        from collections import defaultdict
+
+        panc_edges = defaultdict(set)
+        for c, p in prop_edges:
+            panc_edges[c].add(p)
+        inv = dict(inverses)
+        inv.update({v: k for k, v in inverses.items()})
+
+        def preach(p):
+            out, todo = {p}, [p]
+            while todo:
+                for q in panc_edges[todo.pop()]:
+                    if q not in out:
+                        out.add(q)
+                        todo.append(q)
+            return out
+
+        changed = True
+        while changed:
+            changed = False
+            for p in list(inv):
+                for q in preach(p):
+                    if q in inv and inv[q] not in preach(inv[p]):
+                        panc_edges[inv[p]].add(inv[q])
+                        changed = True
+
+        parents = defaultdict(set)
+        for c, p in edges:
+            parents[c].add(p)
+        have = defaultdict(set)
+        for c, p, f in exists:
+            have[c].add((p, f))
+        for d, (named, ex) in bodies.items():
+            parents[d].update(named)
+            have[d].update(ex)
+
+        def anc(i):
+            out, todo = {i}, [i]
+            while todo:
+                for p in parents[todo.pop()]:
+                    if p not in out:
+                        out.add(p)
+                        todo.append(p)
+            return out
+
+        told_anc = {x: anc(x) for x in range(n)}
+        changed = True
+        while changed:
+            changed = False
+            for d, (named, ex) in bodies.items():
+                for x in range(n):
+                    a = anc(x)
+                    if x == d or d in a:
+                        continue
+                    mine = set().union(*(have[y] for y in a))
+                    ok = all(m in a for m in named) and all(
+                        any(p_req in preach(p_have) and f_req in anc(f_have)
+                            for p_have, f_have in mine)
+                        for p_req, f_req in ex
+                    )
+                    if ok:
+                        parents[x].add(d)
+                        changed = True
+        return {
+            (x, d)
+            for x in range(n)
+            for d in bodies
+            if d != x and d in anc(x) and d not in told_anc[x]
+        }
+
+    def test_property_random_graphs(self, tmp_path):
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ns = self.NS
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 10**9))
+        def check(seed):
+            rng = _random.Random(seed)
+            n = rng.randint(4, 8)
+            edges = [
+                (i, rng.randrange(i)) for i in range(1, n) if rng.random() < 0.5
+            ]
+            n_base = rng.randint(2, 3)
+            base = [f"p{i}" for i in range(n_base)]
+            prop_edges = [
+                (base[i], base[rng.randrange(i)])
+                for i in range(1, n_base) if rng.random() < 0.7
+            ]
+            # at most one told inverse per base property
+            inverses = {
+                b: f"i{k}" for k, b in enumerate(base) if rng.random() < 0.7
+            }
+            pool = base + list(inverses.values())
+            exists = [
+                (rng.randrange(n), rng.choice(pool), rng.randrange(n))
+                for _ in range(rng.randint(0, 4))
+            ]
+            bodies = {}
+            for _ in range(rng.randint(1, 3)):
+                d = rng.randrange(n)
+                named = rng.sample([i for i in range(n) if i != d],
+                                   rng.randint(0, 1))
+                ex = [
+                    (rng.choice(pool), rng.randrange(n))
+                    for _ in range(rng.randint(0, 2))
+                ]
+                if named or ex:
+                    bodies[d] = (named, ex)
+            xml = self._render(n, edges, prop_edges, inverses, exists, bodies)
+            f = tmp_path / f"ip{seed}.owl"
+            f.write_text(xml)
+            parsed = parse_owl_xml(str(f), include_object_properties=False)
+            got = {
+                (e["child_iri"], e["parent_iri"])
+                for e in parsed.tables.edges
+            }
+            want_base = {(f"{ns}C{c}", f"{ns}C{p}") for c, p in edges}
+            for d, (named, _) in bodies.items():
+                want_base |= {(f"{ns}C{d}", f"{ns}C{m}") for m in named}
+            want_inferred = {
+                (f"{ns}C{x}", f"{ns}C{d}")
+                for x, d in self._model(n, edges, prop_edges, inverses,
+                                        exists, bodies)
+            }
+            assert got == want_base | want_inferred, (
+                xml, sorted(got - want_base - want_inferred),
+                sorted((want_base | want_inferred) - got),
+            )
+
+        check()
