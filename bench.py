@@ -242,6 +242,32 @@ def main() -> None:
         t0 = time.perf_counter()
         n_pairs = dedup.minhash_dedup_pairs(docs10, threshold=0.8).count()
         upscale["minhash_dedup_10x"] = round(time.perf_counter() - t0, 3)
+
+        # composed corpus-prep chain at 10× docs (round-5 item #7): C4-style
+        # line dedup → tf-idf top terms AND per-shard sequence packing over
+        # the cleaned text — the three newest operators exercised together
+        # at scale. Shard = doc_id mod 16 (source/date-partition stand-in);
+        # the pack window hash-partitions on it (NO single-partition sort —
+        # the r4 scale-killer shape, removed this round).
+        from fhir_owl_spark.operators.text import pack_documents, tfidf_top_terms
+
+        d10 = docs10.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(16)).cast("string")
+        )
+        # min_docs=40k: the synthetic corpus has a 42-word vocabulary with
+        # median word doc-frequency ≈38.5k of 50k — the threshold drops
+        # only the ultra-common (boilerplate-analog) words so downstream
+        # tfidf/pack still see real text
+        t0 = time.perf_counter()
+        cleaned = dedup.line_dedup(
+            d10.select("doc_id", "text"), min_docs=40_000, sep=" "
+        ).join(d10.select("doc_id", "shard"), "doc_id")
+        n_tfidf = tfidf_top_terms(cleaned, k=5).count()
+        n_packed = pack_documents(
+            cleaned, target_tokens=2048, shard_cols=("shard",)
+        ).count()
+        upscale["corpus_compose_10x"] = round(time.perf_counter() - t0, 3)
+        upscale["corpus_compose_rows"] = {"tfidf": n_tfidf, "packed": n_packed}
         upscale.update(
             {
                 "turns_6m": n_up,

@@ -630,13 +630,14 @@ def _infer_unsatisfiable(
 
 
 class UnsupportedOwlFormatError(ValueError):
-    """Raised when an ontology document is a recognized OWL serialization
-    this parser does not read (the reference's
-    loadOntologyFromOntologyDocument auto-detects RDF/XML, OWL/XML,
-    functional syntax, Turtle, Manchester and OBO —
-    FhirOwlService.java:201; this engine reads RDF/XML natively, Turtle
-    via sources.turtle.parse_turtle, OBO via sources.obo.parse_obo, and
-    tabular input in production — parse_ontology_document dispatches)."""
+    """Raised when an ontology document cannot be routed to a reader.
+    Since round 5 every serialization the reference's
+    loadOntologyFromOntologyDocument auto-detects (RDF/XML, OWL/XML,
+    functional syntax, Turtle, Manchester, OBO —
+    FhirOwlService.java:201) has a reader dispatched by
+    parse_ontology_document; this error now fires only for documents
+    whose format cannot be detected at all, or when a specific parser is
+    handed a document in a different serialization."""
 
     def __init__(self, fmt: str, path: str, hint: str = ""):
         self.format = fmt

@@ -404,12 +404,12 @@ def parse_turtle(
 
 
 def parse_ontology_document(path: str, **kwargs) -> ParsedOntology:
-    """Format-dispatching loader: RDF/XML → parse_owl_xml, Turtle →
-    parse_turtle, OBO → parse_obo, functional syntax →
-    parse_functional; Manchester / OWL-XML →
-    UnsupportedOwlFormatError naming the detected serialization (the
-    reference auto-detects all of them via the OWL API; this engine's
-    honest subset is RDF/XML + Turtle + OBO + FS + tabular)."""
+    """Format-dispatching loader covering EVERY serialization the
+    reference's OWL API auto-detects (FhirOwlService.java:196-201):
+    RDF/XML → parse_owl_xml, Turtle → parse_turtle, OBO → parse_obo,
+    functional syntax → parse_functional, OWL/XML → parse_owlxml,
+    Manchester → parse_manchester; unrecognizable documents raise the
+    typed UnsupportedOwlFormatError."""
     from .owl_xml import parse_owl_xml, sniff_owl_format
 
     fmt = sniff_owl_format(path)
@@ -426,4 +426,14 @@ def parse_ontology_document(path: str, **kwargs) -> ParsedOntology:
 
         kwargs.pop("classify_defined", None)
         return parse_functional(path, **kwargs)
+    if fmt == "owlxml":
+        from .owlxml_fmt import parse_owlxml
+
+        kwargs.pop("classify_defined", None)
+        return parse_owlxml(path, **kwargs)
+    if fmt == "manchester":
+        from .manchester import parse_manchester
+
+        kwargs.pop("classify_defined", None)
+        return parse_manchester(path, **kwargs)
     return parse_owl_xml(path, **kwargs)

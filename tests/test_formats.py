@@ -166,9 +166,11 @@ class TestTurtleReader:
         assert p_fs.ontology_iri == "http://x"
         assert any(c["iri"] == "http://x#A" for c in p_fs.tables.concepts)
         man = tmp_path / "d.omn"
-        man.write_text("Prefix: : <http://x#>\nClass: <http://x#A>\n")
-        with pytest.raises(UnsupportedOwlFormatError, match="manchester"):
-            parse_ontology_document(str(man))
+        man.write_text("Prefix: : <http://x#>\nOntology: <http://x>\n"
+                       "Class: <http://x#A>\n")
+        p_man = parse_ontology_document(str(man))
+        assert p_man.ontology_iri == "http://x"
+        assert any(c["iri"] == "http://x#A" for c in p_man.tables.concepts)
 
     def test_same_ontology_both_serializations_agree(self, tmp_path, parsed):
         """The RDF/XML rendering of the same axioms must produce the same
