@@ -256,8 +256,12 @@ def run(args) -> dict:
     if args.cmd == "dedup" and lsh_obs is not None:
         # observation metrics materialized by the write action above —
         # reading them costs no extra job; a non-zero count means some
-        # degenerate duplicate cluster was star-connected (candidate pair
-        # REPORT truncated; keep-one decisions unaffected)
+        # degenerate duplicate cluster was star-connected: the candidate
+        # pair REPORT is truncated, and verification runs a re-star
+        # recovery round so members of a star bucket whose edge to an
+        # outlier representative fails keep their true cluster (buckets
+        # conflating 3+ distinct clusters can still lose edges — see
+        # minhash_dedup_pairs' docstring)
         metrics = lsh_obs.get
         status["lsh_truncated_buckets"] = int(metrics["n_truncated_buckets"] or 0)
         status["lsh_max_bucket_size"] = int(metrics["max_bucket_size"] or 0)
