@@ -640,6 +640,17 @@ def q_pack_docs_sharded(spark, sf_dir) -> DataFrame:
     return pack_documents(docs, target_tokens=2048, shard_cols=("source",))
 
 
+def q_pack_docs_split(spark, sf_dir) -> DataFrame:
+    """TRUE concat-and-cut packing (operators.text.pack_documents_split):
+    documents split across exact 2048-token bin boundaries, one row per
+    (doc, bin) overlap with the within-doc token span — the actual
+    GPT-dataloader shape; all-integer, full generate_series oracle."""
+    from .operators.text import pack_documents_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents_split(docs, target_tokens=2048)
+
+
 def q_conv_near_dups(spark, sf_dir) -> DataFrame:
     """Cross-operator COMPOSITION: render each conversation to one
     document (conversations.render_conversations) then MinHash near-dup
@@ -1246,6 +1257,7 @@ QUERIES = {
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
     "pack_docs_sharded": q_pack_docs_sharded,
+    "pack_docs_split": q_pack_docs_split,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2071,6 +2083,29 @@ p AS (
 SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor(prefix / 2048.0) AS BIGINT) AS bin_idx
 FROM p
+""",
+        "pack_docs_split": r"""
+WITH t AS (
+  SELECT doc_id,
+         greatest(1, len(list_filter(string_split_regex(coalesce(text,''), '\s+'),
+                                     x -> x <> ''))) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t),
+b AS (
+  SELECT doc_id, n_tokens, prefix,
+         unnest(generate_series(CAST(floor(prefix / 2048.0) AS BIGINT),
+                                CAST(floor((prefix + n_tokens - 1) / 2048.0) AS BIGINT)))
+           AS bin_idx
+  FROM p)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin_idx AS BIGINT) AS bin_idx,
+       CAST(greatest(bin_idx * 2048, prefix) - prefix AS BIGINT) AS tok_start,
+       CAST(least((bin_idx + 1) * 2048, prefix + n_tokens) - prefix AS BIGINT) AS tok_end
+FROM b
 """,
         "conv_near_dups": r"""
 WITH t AS (

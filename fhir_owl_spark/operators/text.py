@@ -505,3 +505,63 @@ def pack_documents(
         toks.alias("n_tokens"),
         F.floor(prefix / target_tokens).cast("long").alias("bin_idx"),
     )
+
+
+def pack_documents_split(
+    df: DataFrame,
+    target_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_cols: Sequence[str] = (),
+) -> DataFrame:
+    """TRUE concat-and-cut packing: documents in ``id_col`` order are
+    concatenated into one token stream and cut into EXACT
+    ``target_tokens`` bins, SPLITTING documents across bin boundaries —
+    the actual GPT-dataloader shape (``pack_documents`` is the
+    no-splitting approximation). Output: one row per (document, bin)
+    overlap with the within-document token span ``[tok_start, tok_end)``
+    that lands in the bin, so every bin except the stream's last holds
+    exactly ``target_tokens`` tokens and every document's spans
+    partition ``[0, n_tokens)``.
+
+    All-integer Column arithmetic: the span explode is
+    ``posexplode(sequence(first_bin, last_bin))`` — at most
+    ``n_tokens/target + 2`` rows per document, map-side after the same
+    prefix-sum window as ``pack_documents`` (per-shard with
+    ``shard_cols``, single-partition otherwise — pass shard_cols at any
+    real scale). Full DuckDB value oracle via generate_series.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.greatest(F.lit(1), whitespace_token_count(text_col))
+    base = Window.partitionBy(*shard_cols) if shard_cols else Window
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    staged = df.select(
+        *[F.col(c) for c in shard_cols],
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        prefix.alias("_prefix"),
+    )
+    t = F.lit(target_tokens)
+    first_bin = F.floor(F.col("_prefix") / t)
+    last_bin = F.floor((F.col("_prefix") + F.col("n_tokens") - 1) / t)
+    exploded = staged.select(
+        *[F.col(c) for c in shard_cols],
+        id_col,
+        "n_tokens",
+        "_prefix",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin_idx"),
+    )
+    g_start = F.greatest(F.col("bin_idx") * t, F.col("_prefix"))
+    g_end = F.least(
+        (F.col("bin_idx") + 1) * t, F.col("_prefix") + F.col("n_tokens")
+    )
+    return exploded.select(
+        *[F.col(c) for c in shard_cols],
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("bin_idx").cast("long").alias("bin_idx"),
+        (g_start - F.col("_prefix")).cast("long").alias("tok_start"),
+        (g_end - F.col("_prefix")).cast("long").alias("tok_end"),
+    )

@@ -302,3 +302,22 @@ def test_pack_documents_sharded_no_single_partition(spark):
     assert "Join" not in plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
+
+
+def test_pack_documents_split_sharded_plan(spark):
+    """pack_documents_split(shard_cols=...): same per-shard prefix-sum
+    window, then a map-side Generate (bin-span explode) — no
+    single-partition Exchange, no join, no Python."""
+    from fhir_owl_spark.operators.text import pack_documents_split
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}", "a b c d e") for i in range(50)],
+        ["doc_id", "source", "text"],
+    )
+    plan = plan_of(pack_documents_split(docs, 4, shard_cols=("source",)))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+    assert "Generate" in plan  # the explode is map-side, after the window
+    assert "Join" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan

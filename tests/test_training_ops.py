@@ -956,6 +956,55 @@ class TestPackDocuments:
                 expected[(s, r["doc_id"])] = (r["n_tokens"], r["bin_idx"])
         assert sharded == expected
 
+    def test_split_packing_invariants(self, spark):
+        """pack_documents_split: spans partition each document exactly,
+        every bin except the stream's last holds exactly target tokens,
+        and a doc longer than a bin spans multiple bins."""
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e"), (2, "f g h i j k l"), (3, ""),],
+            ["doc_id", "text"],
+        )
+        rows = text.pack_documents_split(docs, target_tokens=4).collect()
+        # tokens: 3,2,7,1 → stream 13 tokens → bins 0..3
+        spans = {}
+        for r in rows:
+            spans.setdefault(r["doc_id"], []).append(
+                (r["bin_idx"], r["tok_start"], r["tok_end"]))
+        # per-doc spans partition [0, n_tokens)
+        for d, ss in spans.items():
+            ss.sort()
+            assert ss[0][1] == 0
+            for (b1, s1, e1), (b2, s2, e2) in zip(ss, ss[1:]):
+                assert e1 == s2 and b2 == b1 + 1
+        n_tok = {r["doc_id"]: r["n_tokens"] for r in rows}
+        assert {d: max(e for _, _, e in ss) for d, ss in spans.items()} == n_tok
+        # bin fullness: all bins except the last hold exactly 4 tokens
+        per_bin = {}
+        for r in rows:
+            per_bin[r["bin_idx"]] = per_bin.get(r["bin_idx"], 0) + (
+                r["tok_end"] - r["tok_start"])
+        last = max(per_bin)
+        assert all(v == 4 for b, v in per_bin.items() if b != last)
+        assert sum(per_bin.values()) == 13
+        # doc 2 (7 tokens) spans ≥ 2 bins
+        assert len(spans[2]) >= 2
+
+    def test_split_packing_sharded_equals_per_shard(self, spark):
+        docs = spark.range(120).selectExpr(
+            "id AS doc_id", "concat('s', CAST(id % 2 AS STRING)) AS source",
+            "repeat('w ', CAST(id % 9 + 1 AS INT)) AS text")
+        sharded = {(r["source"], r["doc_id"], r["bin_idx"]):
+                   (r["tok_start"], r["tok_end"])
+                   for r in text.pack_documents_split(
+                       docs, 16, shard_cols=("source",)).collect()}
+        expected = {}
+        for s in ("s0", "s1"):
+            one = docs.filter(F.col("source") == s)
+            for r in text.pack_documents_split(one, 16).collect():
+                expected[(s, r["doc_id"], r["bin_idx"])] = (
+                    r["tok_start"], r["tok_end"])
+        assert sharded == expected
+
     def test_sharded_partition_invariance(self, spark):
         docs = spark.range(200).selectExpr(
             "id AS doc_id", "concat('s', CAST(id % 4 AS STRING)) AS source",
