@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import re
 
-from ..fixtures import Ontology
-from ..schemas import OWL_THING, OWL_TOP_DATA_PROPERTY, OWL_TOP_OBJECT_PROPERTY
 from .owl_xml import (
     OWL_NS,
     RDFS_LABEL,
@@ -46,6 +44,34 @@ _SECTION_KEYWORDS = ("Annotations", "SubClassOf", "SubPropertyOf",
                      "Characteristics", "InverseOf", "Types", "Facts")
 _EXPR_WORDS = {"some", "only", "and", "or", "not", "value", "min", "max",
                "exactly", "self", "that", "inverse"}
+
+
+_ANN_LITERAL = re.compile(
+    r'"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^\S+)?'
+    r"|(?<![\w:])(?:true|false|[+-]?\d+(?:\.\d+)?)(?![\w:])"
+)
+
+
+def _strip_axiom_annotations(blob: str) -> str:
+    """Drop a leading ``Annotations: …`` list from an axiom section body,
+    returning only the expression that follows. Manchester puts the
+    annotation list and the axiom's expression in the SAME
+    comma-structured body (``SubClassOf: Annotations: p "v" Food``), so
+    the previous keyword-only strip left the annotation content in place
+    and every annotated superclass edge was silently dropped (r5
+    self-review finding). The annotation list always ends with its last
+    literal value; everything after that is the expression. An
+    IRI-valued final annotation is indistinguishable from the expression
+    without a full grammar, so that (rare) form yields "" — the axiom is
+    skipped SOUNDLY rather than mis-parsed."""
+    m = re.match(r"\s*Annotations:(.*)$", blob, re.S)
+    if not m:
+        return blob
+    rest = m.group(1)
+    last = None
+    for mm in _ANN_LITERAL.finditer(rest):
+        last = mm
+    return rest[last.end():] if last is not None else ""
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -218,79 +244,37 @@ def parse_manchester(
             if sec == "Annotations":
                 handle_annotations(subject, blob)
             elif sec in ("SubClassOf", "SubPropertyOf"):
-                for item in _split_top_level(blob.replace("\n", " ")):
-                    # strip per-item Annotations prefix if present
-                    item = re.sub(r"^Annotations:.*?\b", "", item).strip()
+                for item in _split_top_level(
+                    _strip_axiom_annotations(blob.replace("\n", " "))
+                ):
                     parent = resolve(item)
                     if parent:
                         sub_edges.append((subject, parent))
             elif sec == "EquivalentTo":
-                for item in _split_top_level(blob.replace("\n", " ")):
+                for item in _split_top_level(
+                    _strip_axiom_annotations(blob.replace("\n", " "))
+                ):
                     other = resolve(item)
                     if other:
                         equiv_edges.append((subject, other))
             # DisjointWith/Domain/Range/Characteristics — skipped subset
 
-    wanted = {owl_class}
-    if include_object_properties:
-        wanted.add(owl_objprop)
-    if include_data_properties:
-        wanted.add(owl_dataprop)
+    from ._reader_common import finalize_parsed_ontology
 
-    ont = Ontology()
-    children: set[str] = set()
-    for c, p in sub_edges:
-        if kind_of.get(c) in wanted:
-            ont.edge(c, p)
-            children.add(c)
-    for a, b in equiv_edges:
-        if kind_of.get(a) in wanted or kind_of.get(b) in wanted:
-            ont.edge(a, b)
-            ont.edge(b, a)
-            children.add(a)
-            children.add(b)
-    for s, val, prop in synonyms:
-        if kind_of.get(s) in wanted:
-            ont.synonym(s, val, prop=prop)
-
-    unsat = set(unsatisfiable_iris or ())
-    n_object_props = 0
-    n_data_props = 0
-    for iri in subj_order:
-        kind = kind_of[iri]
-        if kind not in wanted:
-            continue
-        labels = labels_of.get(iri, [])
-        ont.concept(
-            iri,
-            ontology_id,
-            label=min(labels) if labels else None,
-            deprecated=deprecated_of.get(iri, False),
-            imported=False,
-            unsatisfiable=iri in unsat,
-        )
-        if kind == owl_objprop:
-            n_object_props += 1
-            if iri not in children:
-                ont.edge(iri, OWL_TOP_OBJECT_PROPERTY)
-        elif kind == owl_dataprop:
-            n_data_props += 1
-            if iri not in children:
-                ont.edge(iri, OWL_TOP_DATA_PROPERTY)
-
-    has_imports = bool(imports)
-    if OWL_THING not in kind_of:
-        ont.concept(OWL_THING, ontology_id, imported=has_imports)
-    if include_object_properties and n_object_props:
-        ont.concept(OWL_TOP_OBJECT_PROPERTY, ontology_id, imported=has_imports)
-    if include_data_properties and n_data_props:
-        ont.concept(OWL_TOP_DATA_PROPERTY, ontology_id, imported=has_imports)
-
-    return ParsedOntology(
+    return finalize_parsed_ontology(
+        kind_of=kind_of,
+        subj_order=subj_order,
+        sub_edges=sub_edges,
+        equiv_groups=[[a, b] for a, b in equiv_edges],
+        synonyms=synonyms,
+        labels_of=labels_of,
+        deprecated_of=deprecated_of,
+        include_object_properties=include_object_properties,
+        include_data_properties=include_data_properties,
+        unsatisfiable_iris=unsatisfiable_iris,
+        ontology_id=ontology_id,
         ontology_iri=ontology_iri,
         version_iri=version_iri,
-        has_imports=has_imports,
-        tables=ont,
-        annotations=annotations,
         imports=imports,
+        annotations=annotations,
     )

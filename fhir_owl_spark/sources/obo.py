@@ -155,7 +155,14 @@ def parse_obo(
     ontology_iri = f"{OBO_NS}{ont_name}.owl" if "ontology" in hdr else None
     version_iri = None
     if "data-version" in hdr and "ontology" in hdr:
-        version_iri = f"{OBO_NS}{hdr['data-version']}/{ont_name}.owl"
+        # obo2owl: <OBO_NS>/<idspace>/<data-version>/<idspace>.owl — a
+        # data-version already carrying the idspace prefix ('hp/releases/…')
+        # is used as-is, a bare 'releases/…' gets the idspace inserted
+        # (r5 self-review: the bare form previously omitted the segment)
+        dv = hdr["data-version"]
+        if not dv.startswith(f"{ont_name}/"):
+            dv = f"{ont_name}/{dv}"
+        version_iri = f"{OBO_NS}{dv}/{ont_name}.owl"
 
     ont = Ontology()
     unsat = set(unsatisfiable_iris or ())
@@ -182,7 +189,10 @@ def parse_obo(
         if is_typedef:
             typedef_iris.append(iri)
         for v in tag_map.get("is_a", []):
-            parent = obo_id_to_iri(v.split()[0], ont_name)
+            parts = v.split()
+            if not parts:  # 'is_a:' with only a ! comment — skip, don't crash
+                continue
+            parent = obo_id_to_iri(parts[0], ont_name)
             ont.edge(iri, parent)
             children.add(iri)
         for v in tag_map.get("synonym", []):

@@ -642,8 +642,10 @@ class UnsupportedOwlFormatError(ValueError):
     def __init__(self, fmt: str, path: str, hint: str = ""):
         self.format = fmt
         super().__init__(
-            f"unsupported OWL serialization {fmt!r} in {path}: supply "
-            "RDF/XML or tabular input" + (f" ({hint})" if hint else "")
+            f"cannot parse {path} as OWL serialization {fmt!r}: supply "
+            "RDF/XML, Turtle, OBO, functional syntax, OWL/XML, Manchester "
+            "(parse_ontology_document auto-detects all six) or tabular "
+            "input" + (f" ({hint})" if hint else "")
         )
 
 

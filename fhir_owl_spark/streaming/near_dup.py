@@ -65,6 +65,15 @@ def _est_jaccard(sig_a, sig_b):
 
 
 def _band(sigs: DataFrame, n_bands: int, sig_len: int, id_col: str) -> DataFrame:
+    # same guard as dedup.lsh_candidate_pairs: with sig_len < n_bands every
+    # band would hash an empty slice and ALL documents would collide into
+    # one bucket per band (r5 self-review: the silent-degradation path)
+    if sig_len < n_bands:
+        raise ValueError(
+            f"signature length {sig_len} < n_bands={n_bands}: every band "
+            "would hash an empty slice and all documents would collide into "
+            "one bucket"
+        )
     rows_per_band = sig_len // n_bands
     return sigs.select(
         F.col(id_col),
@@ -176,12 +185,23 @@ def start_near_dup_stream(
             F.least("rep_id", F.col(id_col)).alias("id_a"),
             F.greatest("rep_id", F.col(id_col)).alias("id_b"),
         ).filter(F.col("id_a") != F.col("id_b"))
-        # within-batch candidates: star to the batch-bucket minimum
-        bmin = bands.groupBy("band_idx", "band_hash").agg(
+        # within-batch candidates: star to the batch-bucket minimum — but
+        # ONLY for buckets the store has never seen. For a stored bucket
+        # the global representative is the store's rep (ids are
+        # arrival-ordered), and the batch twin considers exactly that
+        # edge, already covered by `cross`; adding the within-batch star
+        # there would verify pairs the twin never considers and break the
+        # stream ≡ batch contract (r5 self-review finding)
+        new_buckets = bands.join(
+            store.select("band_idx", "band_hash").distinct(),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
+        bmin = new_buckets.groupBy("band_idx", "band_hash").agg(
             F.min(id_col).alias("_bmin")
         )
         within = (
-            bands.join(bmin, ["band_idx", "band_hash"])
+            new_buckets.join(bmin, ["band_idx", "band_hash"])
             .filter(F.col("_bmin") < F.col(id_col))
             .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
         )

@@ -88,7 +88,8 @@ class TestDetect:
             with pytest.raises(UnsupportedOwlFormatError, match=fmt) as ei:
                 parse_owl_xml(str(f))
             assert ei.value.format == fmt
-            assert "RDF/XML or tabular" in str(ei.value)
+            # the message steers users to the six-format dispatcher
+            assert "parse_ontology_document" in str(ei.value)
 
     def test_unknown_garbage_raises_typed_not_xml_error(self, tmp_path):
         f = tmp_path / "garbage.owl"

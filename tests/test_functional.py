@@ -154,3 +154,25 @@ class TestFsEngineParity:
 
     def test_min_label_display(self, triples):
         assert ("CheeseTopping", "has-display", "Cheese Topping") in triples
+
+
+def test_annotated_axioms_keep_their_edges(tmp_path):
+    """r5 self-review: SubClassOf/EquivalentClasses carrying axiom
+    ANNOTATIONS must still contribute their edges (OWL-API exports of
+    OBO-derived ontologies annotate most SubClassOf axioms)."""
+    f = tmp_path / "ann.ofn"
+    f.write_text(
+        "Prefix(:=<http://a#>)\n"
+        "Prefix(oio:=<http://www.geneontology.org/formats/oboInOwl#>)\n"
+        "Ontology(<http://a>\n"
+        "Declaration(Class(:A))\nDeclaration(Class(:B))\n"
+        "Declaration(Class(:C))\nDeclaration(Class(:D))\n"
+        'SubClassOf(Annotation(oio:source "xyz") :A :B)\n'
+        'EquivalentClasses(Annotation(oio:source "w") :C :D)\n'
+        ")\n"
+    )
+    parsed = parse_functional(str(f))
+    edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+             for e in parsed.tables.edges}
+    assert ("A", "B") in edges
+    assert ("C", "D") in edges and ("D", "C") in edges

@@ -156,3 +156,30 @@ class TestManchesterEngineParity:
 
     def test_min_label_display(self, triples):
         assert ("CheeseTopping", "has-display", "Cheese Topping") in triples
+
+
+def test_annotated_axiom_fillers_keep_their_edges(tmp_path):
+    """r5 self-review: a SubClassOf/EquivalentTo section carrying an
+    inline Annotations list must still yield the named-filler edges
+    (Protégé writes per-axiom annotations this way)."""
+    f = tmp_path / "ann.omn"
+    f.write_text(
+        "Prefix: : <http://a#>\n"
+        "Prefix: rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+        "Ontology: <http://a>\n\n"
+        "Class: B\n"
+        "Class: D\n"
+        "Class: A\n"
+        '    SubClassOf: Annotations: rdfs:comment "why" B\n'
+        "Class: C\n"
+        '    EquivalentTo: Annotations: rdfs:comment "because" D\n'
+        "Class: E\n"
+        '    SubClassOf: Annotations: rdfs:comment "x", rdfs:comment "y" B, D\n'
+    )
+    parsed = parse_manchester(str(f))
+    edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+             for e in parsed.tables.edges}
+    assert ("A", "B") in edges
+    assert ("C", "D") in edges and ("D", "C") in edges
+    # multi-annotation list followed by a comma list of fillers
+    assert ("E", "B") in edges and ("E", "D") in edges

@@ -206,3 +206,30 @@ def test_closure_mixes_obo_and_rdfxml(tmp_path):
     assert by["http://purl.obolibrary.org/obo/IMP_0000001"]["imported"] is True
     assert by["http://purl.obolibrary.org/obo/IMP_0000001"]["label"] == "imported obo label"
     assert by["http://ex/root#R"]["imported"] is False
+
+
+def test_malformed_is_a_skipped_not_crash(tmp_path):
+    """r5 self-review: 'is_a:' whose value is empty (or only a ! comment)
+    is skipped instead of aborting the whole parse with IndexError."""
+    f = tmp_path / "bad.obo"
+    f.write_text(
+        "format-version: 1.2\nontology: x\n\n"
+        "[Term]\nid: X:1\nname: one\nis_a: ! fixme\n\n"
+        "[Term]\nid: X:2\nname: two\nis_a: X:1\n"
+    )
+    parsed = parse_obo(str(f))
+    edges = {(e["child_iri"], e["parent_iri"]) for e in parsed.tables.edges}
+    assert (NS + "X_2", NS + "X_1") in edges
+    assert not any(c == NS + "X_1" for c, _ in edges)
+
+
+def test_version_iri_inserts_idspace(tmp_path):
+    """obo2owl version IRI: a bare 'releases/…' data-version gets the
+    idspace path segment inserted (r5 self-review)."""
+    f = tmp_path / "go.obo"
+    f.write_text(
+        "format-version: 1.2\nontology: go\ndata-version: releases/2021-09-01\n\n"
+        "[Term]\nid: GO:1\nname: g\n"
+    )
+    parsed = parse_obo(str(f))
+    assert parsed.version_iri == NS + "go/releases/2021-09-01/go.owl"

@@ -351,3 +351,49 @@ def test_streaming_near_dup_checkpoint_restart(spark, tmp_path):
     store = spark.read.parquet(latest)
     per_bucket = store.groupBy("band_idx", "band_hash").count()
     assert per_bucket.filter("count > 1").count() == 0
+
+
+def test_streaming_near_dup_equivalence_graded_similarity(spark, tmp_path):
+    """Stress the stream ≡ batch contract with GRADED similarity: families
+    whose members collide in some LSH bands while est-Jaccard straddles
+    the threshold — the shape that exposed the r5 within-batch-star
+    equivalence hole (a stored bucket's batch members must NOT star to
+    the batch minimum; the twin only ever considers the global rep)."""
+    from fhir_owl_spark.streaming.near_dup import (
+        near_dup_first_seen,
+        start_near_dup_stream,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    rows = []
+    for i in range(36):
+        fam, var = divmod(i, 6)
+        # family text: rotate + perturb `var` words → graded similarity
+        w = words[fam:] + words[:fam]
+        w = [f"v{var}_{j}" if j < var else t for j, t in enumerate(w)]
+        rows.append((i, " ".join(w)))
+    schema = "doc_id long, text string"
+    inp = tmp_path / "in"
+    for i in range(3):
+        spark.createDataFrame(rows[i * 12:(i + 1) * 12], schema).coalesce(
+            1).write.parquet(str(inp / f"f{i}.parquet"))
+
+    for threshold in (0.4, 0.7):
+        out = tmp_path / f"out{threshold}"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inp}/*/")
+        )
+        q = start_near_dup_stream(
+            spark, stream, str(out), str(tmp_path / f"store{threshold}"),
+            str(tmp_path / f"ckpt{threshold}"), threshold=threshold,
+        )
+        q.awaitTermination(240)
+        got = {tuple(r) for r in
+               spark.read.parquet(str(out)).drop("batch").collect()}
+        want = {tuple(r) for r in near_dup_first_seen(
+            spark.createDataFrame(rows, schema), threshold=threshold).collect()}
+        assert got == want, (threshold, got ^ want)
