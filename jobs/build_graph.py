@@ -37,8 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--synonyms", help="parquet dir: ontology_synonyms")
     p.add_argument("--fixture", choices=["pizza", "duo", "qops"],
                    help="use a built-in fixture ontology instead of --concepts/...")
-    p.add_argument("--owl", help="parse an OWL RDF/XML file as the ontology "
-                                 "(driver-side, fixture scale; sources/owl_xml)")
+    p.add_argument("--owl", help="parse an OWL ontology document as the "
+                                 "ontology — format auto-detected like the "
+                                 "reference (RDF/XML, Turtle, OBO, functional "
+                                 "syntax, OWL/XML, Manchester); driver-side, "
+                                 "fixture scale (sources/)")
     p.add_argument("--owl-no-object-properties", action="store_true",
                    help="elk-style: classes only (FhirOwlService.java:543 guard)")
     p.add_argument("--reasoner", choices=["elk", "jfact"], default=None,
@@ -229,7 +232,6 @@ def main(argv=None) -> int:
             RDFS_LABEL,
             load_owl_closure,
             parse_iri_mappings_file,
-            parse_owl_xml,
         )
 
         if args.reasoner is not None:
@@ -262,7 +264,11 @@ def main(argv=None) -> int:
         if mappings or args.fetch_remote_imports:
             parsed = load_owl_closure(args.owl, mappings, **kw)
         else:
-            parsed = parse_owl_xml(args.owl, **kw)
+            # format-dispatching: the root document may be ANY of the six
+            # serializations the reference's OWL API auto-detects
+            from fhir_owl_spark.sources.turtle import parse_ontology_document
+
+            parsed = parse_ontology_document(args.owl, **kw)
         concepts, edges, synonyms = fx.ontology_dfs(spark, parsed.tables)
         cfg = build_config(args)
         # remap only the UNTOUCHED defaults to the rdfs:label IRI — an

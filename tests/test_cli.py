@@ -198,3 +198,32 @@ def test_corpus_pipeline_subcommands(spark, tmp_path, capsys):
     mins = {r["source"]: r["m"] for r in
             packed.groupBy("source").agg(F.min("bin_idx").alias("m")).collect()}
     assert set(mins.values()) == {0}
+
+
+def test_cli_owl_accepts_all_serializations(spark, tmp_path, capsys):
+    """--owl auto-detects the root document's serialization like the
+    reference (round 5: previously the no-mappings path hardwired the
+    RDF/XML parser, so a .obo root errored)."""
+    obo = tmp_path / "mini.obo"
+    obo.write_text(
+        "format-version: 1.2\nontology: mini\n\n"
+        "[Term]\nid: MI:0000001\nname: root concept\n\n"
+        "[Term]\nid: MI:0000002\nname: child concept\nis_a: MI:0000001\n"
+    )
+    from fhir_owl_spark.schemas import TRANSCRIPTS
+
+    tpath = str(tmp_path / "t")
+    spark.createDataFrame([], TRANSCRIPTS).write.parquet(tpath)
+    out_dir = str(tmp_path / "g")
+    rc, summary = run_main(
+        ["--owl", str(obo), "--transcripts", tpath,
+         "--output", out_dir, "--chunks", "1"], capsys)
+    assert rc == 0
+    assert summary["triples"] > 0
+
+    from fhir_owl_spark.plans.lineage import read_triples
+
+    rows = {(r["subj"], r["pred"], r["obj"])
+            for r in read_triples(spark, out_dir).collect()}
+    assert ("MI_0000002", "is-a", "MI_0000001") in rows
+    assert ("MI_0000002", "has-display", "child concept") in rows
