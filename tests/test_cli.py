@@ -227,3 +227,59 @@ def test_cli_owl_accepts_all_serializations(spark, tmp_path, capsys):
             for r in read_triples(spark, out_dir).collect()}
     assert ("MI_0000002", "is-a", "MI_0000001") in rows
     assert ("MI_0000002", "has-display", "child concept") in rows
+
+
+def test_stream_pipeline_cli(spark, transcripts_path, tmp_path, capsys):
+    """jobs/stream_pipeline.py: each subcommand drains a static directory
+    with AvailableNow and produces the batch-equivalent output."""
+    import jobs.stream_pipeline as sp
+
+    def run(argv):
+        rc = sp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    # mentions: stream triples == batch extract_mentions on the same input
+    run(["mentions", "--input", transcripts_path,
+         "--output", str(tmp_path / "m"), "--checkpoint", str(tmp_path / "mc"),
+         "--fixture", "pizza"])
+    from fhir_owl_spark.operators.dictionary import build_concept_dictionary
+    from fhir_owl_spark.operators.mentions import extract_mentions
+
+    ont, cfg = fx.pizza_fixture()
+    concepts, _, synonyms = fx.ontology_dfs(spark, ont)
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    want = {(r["code"], r["conv_id"]) for r in extract_mentions(
+        spark.read.parquet(transcripts_path), dictionary, cfg).collect()}
+    got = {(r["subj"], r["obj"]) for r in
+           spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert got == want and got
+
+    # sessionize: session indices match the batch operator
+    run(["sessionize", "--input", transcripts_path,
+         "--output", str(tmp_path / "s"), "--checkpoint", str(tmp_path / "sc"),
+         "--gap", "30 minutes"])
+    from fhir_owl_spark.operators.conversations import sessionize
+
+    want_s = {(r["conv_id"], r["turn_idx"]): r["session_idx"] for r in
+              sessionize(spark.read.parquet(transcripts_path),
+                         gap="30 minutes").collect()}
+    got_s = {(r["conv_id"], r["turn_idx"]): r["session_idx"] for r in
+             spark.read.parquet(str(tmp_path / "s")).collect()}
+    assert got_s == want_s
+
+    # near-dup: flags equal the batch twin
+    docs = spark.createDataFrame(
+        [(0, "same text here"), (1, "same text here"), (2, "different words")],
+        "doc_id long, text string")
+    dsrc = str(tmp_path / "docs")
+    docs.write.parquet(dsrc)
+    run(["near-dup", "--input", dsrc, "--output", str(tmp_path / "nd"),
+         "--checkpoint", str(tmp_path / "ndc"), "--store", str(tmp_path / "nds")])
+    from fhir_owl_spark.streaming.near_dup import near_dup_first_seen
+
+    want_n = {tuple(r) for r in near_dup_first_seen(docs).collect()}
+    got_n = {tuple(r) for r in
+             spark.read.parquet(str(tmp_path / "nd")).drop("batch").collect()}
+    assert got_n == want_n == {(1, 0, 1.0)}
