@@ -1021,6 +1021,26 @@ def q_semantic_dedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_semantic_dedup_lsh(spark, sf_dir) -> DataFrame:
+    """The PRODUCTION path of semantic_dedup: banded hyperplane-LSH pair
+    generation (no quadratic anywhere) composed into the same
+    components→keep-one resolution. Shares q_semantic_dedup's exact
+    recursive-CTE oracle — at this threshold/banding candidate recall is
+    ~1 on the fixture (same argument as embedding_near_dup_lsh, which
+    the driver has validated against the exact oracle since round 3); a
+    recall miss would be a real regression signal, not flake."""
+    from .operators.dedup import dedup_keep_one
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.5, method="lsh")
+    out = dedup_keep_one(emb.select("vec_id"), pairs, id_col="vec_id")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+    )
+
+
 def q_scalar_funcs(spark, sf_dir) -> DataFrame:
     """Scalar-function family on one table: C1 literal replace, C2 IRI
     shortform, C4 date-regex → YYYYMMDD, C5 multi-format date parse."""
@@ -1280,6 +1300,7 @@ QUERIES = {
     "pack_docs_sharded": q_pack_docs_sharded,
     "pack_docs_split": q_pack_docs_split,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -1947,6 +1968,21 @@ FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.5
 """,
         "semantic_dedup": """
+WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.5),
+und AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT s AS id, s AS r FROM und
+          UNION
+          SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+       v.vec_id = coalesce(c.cluster_id, v.vec_id) AS keep
+FROM v LEFT JOIN comp c ON v.vec_id = c.id
+""",
+        "semantic_dedup_lsh": """
 WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM v a JOIN v b ON a.vec_id < b.vec_id
