@@ -1982,21 +1982,6 @@ SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
        v.vec_id = coalesce(c.cluster_id, v.vec_id) AS keep
 FROM v LEFT JOIN comp c ON v.vec_id = c.id
 """,
-        "semantic_dedup_lsh": """
-WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.e, b.e) >= 0.5),
-und AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-reach AS (SELECT s AS id, s AS r FROM und
-          UNION
-          SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id),
-comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
-       CAST(coalesce(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
-       v.vec_id = coalesce(c.cluster_id, v.vec_id) AS keep
-FROM v LEFT JOIN comp c ON v.vec_id = c.id
-""",
         "chunk_docs": r"""
 WITH w AS (
   SELECT doc_id,
@@ -2385,6 +2370,10 @@ SELECT CAST(vec_id AS VARCHAR) AS query_id,
 FROM embeddings WHERE vec_id < 5
 """,
     }
+    # the LSH production path validates against the SAME exact oracle
+    # (candidate recall ~1 at this threshold/banding — see
+    # q_semantic_dedup_lsh); one definition, no divergence risk
+    oracles["semantic_dedup_lsh"] = oracles["semantic_dedup"]
     return oracles
 
 

@@ -197,11 +197,19 @@ def parse_functional(
                 imports.append(iri)
             return
         if head == "Annotation":
-            # ontology-level: Annotation(prop "literal")
-            if len(args) >= 2 and isinstance(args[-1], tuple) and args[-1][0] == "lit":
-                prop = resolve(args[0])
+            # ontology-level: Annotation([Annotation(…)…] prop "literal")
+            operands = [
+                a for a in args
+                if not (isinstance(a, list) and a and a[0] == "Annotation")
+            ]
+            if (
+                len(operands) >= 2
+                and isinstance(operands[-1], tuple)
+                and operands[-1][0] == "lit"
+            ):
+                prop = resolve(operands[0])
                 if prop:
-                    annotations.append((prop, args[-1][1]))
+                    annotations.append((prop, operands[-1][1]))
             return
         if head == "Declaration":
             if args and isinstance(args[0], list):
@@ -239,6 +247,14 @@ def parse_functional(
                 equiv_groups.append(named)
             return
         if head == "AnnotationAssertion":
+            # drop axiom annotations FIRST — OWL-API exports annotate
+            # nearly every synonym assertion with hasDbXref, and the
+            # positional check below otherwise sees the Annotation node
+            # as the property (r5 self-review round 2)
+            args = [
+                a for a in args
+                if not (isinstance(a, list) and a and a[0] == "Annotation")
+            ]
             if len(args) >= 3 and isinstance(args[2], tuple) and args[2][0] == "lit":
                 prop, subj, val = resolve(args[0]), resolve(args[1]), args[2][1]
                 if not prop or not subj:

@@ -52,26 +52,42 @@ _ANN_LITERAL = re.compile(
 )
 
 
-def _strip_axiom_annotations(blob: str) -> str:
-    """Drop a leading ``Annotations: …`` list from an axiom section body,
-    returning only the expression that follows. Manchester puts the
+def _axiom_fillers(blob: str) -> list[str]:
+    """Walk an axiom section body and return its filler expressions with
+    any per-filler ``Annotations: …`` lists removed. Manchester puts the
     annotation list and the axiom's expression in the SAME
-    comma-structured body (``SubClassOf: Annotations: p "v" Food``), so
-    the previous keyword-only strip left the annotation content in place
-    and every annotated superclass edge was silently dropped (r5
-    self-review finding). The annotation list always ends with its last
-    literal value; everything after that is the expression. An
-    IRI-valued final annotation is indistinguishable from the expression
-    without a full grammar, so that (rare) form yields "" — the axiom is
-    skipped SOUNDLY rather than mis-parsed."""
-    m = re.match(r"\s*Annotations:(.*)$", blob, re.S)
-    if not m:
-        return blob
-    rest = m.group(1)
-    last = None
-    for mm in _ANN_LITERAL.finditer(rest):
-        last = mm
-    return rest[last.end():] if last is not None else ""
+    comma-structured body, the annotations themselves are ALSO
+    comma-separated, and EVERY filler may carry its own leading list
+    (``SubClassOf: Annotations: p "v" B, Annotations: q "w" C``) — so
+    this is a sequential scan over the comma items, not a prefix strip
+    (r5 self-review round 2: the prefix form kept only the LAST
+    annotated filler). State machine: ``Annotations:`` enters annotation
+    mode; inside it, an item whose literal is followed by trailing text
+    ends the list — the trailing text is the filler. An item with no
+    literal while in annotation mode (e.g. a rare IRI-valued annotation)
+    is skipped and the mode kept: its filler is abstained from SOUNDLY
+    rather than mis-parsed."""
+    fillers: list[str] = []
+    in_ann = False
+    for item in _split_top_level(blob):
+        item = item.strip()
+        if item.startswith("Annotations:"):
+            in_ann = True
+            item = item[len("Annotations:"):].strip()
+        if not in_ann:
+            if item:
+                fillers.append(item)
+            continue
+        last = None
+        for mm in _ANN_LITERAL.finditer(item):
+            last = mm
+        if last is None:
+            continue  # annotation list continues (or abstain)
+        tail = item[last.end():].strip()
+        if tail:
+            fillers.append(tail)
+            in_ann = False
+    return fillers
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -164,10 +180,35 @@ def parse_manchester(
         body_start = text.index("\n", pos) + 1 if "\n" in text[pos:end] else end
         frames.append((kind, subject.strip(), text[body_start:end]))
 
-    section_re = re.compile(
-        rf"^\s+({'|'.join(_SECTION_KEYWORDS)}):\s*(.*(?:\n(?!\s*(?:{'|'.join(_SECTION_KEYWORDS)}):)[ \t]+\S.*)*)",
-        re.M,
+    section_kw_re = re.compile(
+        rf"^([ \t]+)({'|'.join(_SECTION_KEYWORDS)}):\s*(.*)$"
     )
+
+    def split_sections(body: str) -> list[tuple[str, str]]:
+        """Indentation-aware section split: a keyword line is a section
+        HEADER only at the frame's base section indent; deeper-indented
+        keyword lines (Protégé's nested per-axiom ``Annotations:``
+        blocks inside SubClassOf/EquivalentTo) stay INSIDE the section
+        content so _axiom_fillers can pair them with their fillers (r5
+        self-review round 2: the flat regex cut the section at the
+        nested line and lost the filler)."""
+        lines = body.splitlines()
+        cand = []
+        for i, ln in enumerate(lines):
+            m = section_kw_re.match(ln)
+            if m:
+                cand.append((i, len(m.group(1).expandtabs()),
+                             m.group(2), m.group(3)))
+        if not cand:
+            return []
+        base = min(indent for _, indent, _, _ in cand)
+        headers = [c for c in cand if c[1] == base]
+        out = []
+        for j, (i, _, kw, rest) in enumerate(headers):
+            end = headers[j + 1][0] if j + 1 < len(headers) else len(lines)
+            content = "\n".join([rest] + lines[i + 1:end])
+            out.append((kw, content))
+        return out
 
     owl_class = OWL_NS + "Class"
     owl_objprop = OWL_NS + "ObjectProperty"
@@ -239,21 +280,16 @@ def parse_manchester(
         if subject not in kind_of:
             kind_of[subject] = kind_map[kind]
             subj_order.append(subject)
-        for m in section_re.finditer(body):
-            sec, blob = m.group(1), m.group(2)
+        for sec, blob in split_sections(body):
             if sec == "Annotations":
                 handle_annotations(subject, blob)
             elif sec in ("SubClassOf", "SubPropertyOf"):
-                for item in _split_top_level(
-                    _strip_axiom_annotations(blob.replace("\n", " "))
-                ):
+                for item in _axiom_fillers(blob.replace("\n", " ")):
                     parent = resolve(item)
                     if parent:
                         sub_edges.append((subject, parent))
             elif sec == "EquivalentTo":
-                for item in _split_top_level(
-                    _strip_axiom_annotations(blob.replace("\n", " "))
-                ):
+                for item in _axiom_fillers(blob.replace("\n", " ")):
                     other = resolve(item)
                     if other:
                         equiv_edges.append((subject, other))

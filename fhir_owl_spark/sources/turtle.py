@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import re
 
-from ..fixtures import Ontology
-from ..schemas import OWL_THING, OWL_TOP_DATA_PROPERTY, OWL_TOP_OBJECT_PROPERTY
 from .owl_xml import (
     OWL_NS,
     RDF_NS,
@@ -334,72 +332,29 @@ def parse_turtle(
             if p == RDFS_LABEL:
                 labels_of.setdefault(s, []).append(oval)
 
-    wanted = {owl_class}
-    if include_object_properties:
-        wanted.add(owl_objprop)
-    if include_data_properties:
-        wanted.add(owl_dataprop)
+    # shared finalization (round-5 review: turtle was the 4th copy).
+    # NOTE one deliberate widening vs the pre-helper turtle behavior: a
+    # named equivalence whose SUBJECT is undeclared but whose OBJECT is a
+    # declared class now still emits the mutual edges (equivalence is
+    # symmetric; matches the FS/OWL-XML/Manchester readers).
+    from ._reader_common import finalize_parsed_ontology
 
-    ont = Ontology()
-    children: set[str] = set()
-    for c, p in sub_edges:
-        if kind_of.get(c) in wanted:
-            ont.edge(c, p)
-            children.add(c)
-    for a, b in equiv_edges:
-        if kind_of.get(a) in wanted:
-            # named equivalence ⟺ mutual subsumption (same as XML reader)
-            ont.edge(a, b)
-            ont.edge(b, a)
-            children.add(a)
-            children.add(b)
-    for s, val, prop in synonyms:
-        if kind_of.get(s) in wanted:
-            ont.synonym(s, val, prop=prop)
-
-    unsat = set(unsatisfiable_iris or ())
-    n_object_props = 0
-    n_data_props = 0
-    for iri in subj_order:
-        kind = kind_of[iri]
-        if kind not in wanted:
-            continue
-        labels = labels_of.get(iri, [])
-        ont.concept(
-            iri,
-            ontology_id,
-            label=min(labels) if labels else None,
-            deprecated=deprecated_of.get(iri, False),
-            imported=False,
-            unsatisfiable=iri in unsat,
-        )
-        if kind == owl_objprop:
-            n_object_props += 1
-            if iri not in children:
-                ont.edge(iri, OWL_TOP_OBJECT_PROPERTY)
-        elif kind == owl_dataprop:
-            n_data_props += 1
-            if iri not in children:
-                ont.edge(iri, OWL_TOP_DATA_PROPERTY)
-    # same top-entity completion contract as the XML reader
-    # (FhirOwlService.java:519, :543-569): Thing always, the property
-    # tops only when at least one property of that kind was processed;
-    # with imports present the tops live outside the main signature
-    has_imports = bool(imports)
-    if OWL_THING not in kind_of:
-        ont.concept(OWL_THING, ontology_id, imported=has_imports)
-    if include_object_properties and n_object_props:
-        ont.concept(OWL_TOP_OBJECT_PROPERTY, ontology_id, imported=has_imports)
-    if include_data_properties and n_data_props:
-        ont.concept(OWL_TOP_DATA_PROPERTY, ontology_id, imported=has_imports)
-
-    return ParsedOntology(
+    return finalize_parsed_ontology(
+        kind_of=kind_of,
+        subj_order=subj_order,
+        sub_edges=sub_edges,
+        equiv_groups=[[a, b] for a, b in equiv_edges],
+        synonyms=synonyms,
+        labels_of=labels_of,
+        deprecated_of=deprecated_of,
+        include_object_properties=include_object_properties,
+        include_data_properties=include_data_properties,
+        unsatisfiable_iris=unsatisfiable_iris,
+        ontology_id=ontology_id,
         ontology_iri=ontology_iri,
         version_iri=version_iri,
-        has_imports=bool(imports),
-        tables=ont,
-        annotations=annotations,
         imports=imports,
+        annotations=annotations,
     )
 
 

@@ -65,6 +65,8 @@ def parse_args(argv=None):
     dd.add_argument("--watermark", default="10 minutes")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--ts-col", default="ts")
+    dd.add_argument("--schema", default=None,
+                    help="input DDL schema (required for an empty landing dir)")
 
     nd = sub.add_parser("near-dup", help="incremental LSH near-dup")
     common(nd)
@@ -75,8 +77,29 @@ def parse_args(argv=None):
     nd.add_argument("--n-bands", type=int, default=16)
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--schema", default=None,
+                    help="input DDL schema (required for an empty landing dir)")
 
     return p.parse_args(argv)
+
+
+def _doc_schema(spark, args):
+    """Stream schema for the document subcommands: --schema DDL wins;
+    otherwise infer from existing files. A live deployment against a
+    still-empty landing directory MUST pass --schema — failing loudly
+    here beats the opaque AnalysisException a batch inference throws."""
+    if args.schema:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromDDL(args.schema)
+    try:
+        return spark.read.parquet(args.input).schema
+    except Exception as exc:
+        raise SystemExit(
+            f"cannot infer schema from {args.input} ({exc}); pass "
+            "--schema 'doc_id long, text string, …' for an empty/"
+            "not-yet-populated landing directory"
+        ) from exc
 
 
 def main(argv=None) -> int:
@@ -105,9 +128,19 @@ def main(argv=None) -> int:
             stream_mention_triples,
         )
 
+        if bool(args.concepts) != bool(args.synonyms):
+            raise SystemExit(
+                "--concepts and --synonyms must be given TOGETHER (a lone "
+                "flag would silently fall back to the fixture ontology)"
+            )
         if args.concepts and args.synonyms:
             concepts = spark.read.parquet(args.concepts)
             synonyms = spark.read.parquet(args.synonyms)
+            # dictionary config: default label/synonym properties (see
+            # --help) — for custom --display-prop/--synonym-props style
+            # configs, run the batch CLI (jobs/build_graph.py), which
+            # exposes the full option surface; the streaming CLI keeps
+            # the dictionary surface minimal by design
             _, cfg = fx.query_ops_fixture()
         else:
             ont, cfg = {
@@ -128,8 +161,7 @@ def main(argv=None) -> int:
     elif args.cmd == "dedup":
         from fhir_owl_spark.streaming.dedup import streaming_exact_dedup
 
-        schema = spark.read.parquet(args.input).schema  # infer once, batch-side
-        stream = spark.readStream.schema(schema).parquet(args.input)
+        stream = spark.readStream.schema(_doc_schema(spark, args)).parquet(args.input)
         q = writer(
             streaming_exact_dedup(
                 stream, text_col=args.text_col, ts_col=args.ts_col,
@@ -139,8 +171,7 @@ def main(argv=None) -> int:
     else:  # near-dup
         from fhir_owl_spark.streaming.near_dup import start_near_dup_stream
 
-        schema = spark.read.parquet(args.input).schema
-        stream = spark.readStream.schema(schema).parquet(args.input)
+        stream = spark.readStream.schema(_doc_schema(spark, args)).parquet(args.input)
         if args.continuous:
             raise SystemExit("near-dup runs foreachBatch with AvailableNow; "
                              "rerun the job to drain new data")
@@ -151,7 +182,18 @@ def main(argv=None) -> int:
             threshold=args.threshold,
         )
 
-    q.awaitTermination() if args.continuous else q.awaitTermination(3600)
+    if args.continuous:
+        q.awaitTermination()
+    elif not q.awaitTermination(3600):
+        # a drain that outlives the timeout must NOT look like success:
+        # process exit would kill the query mid-drain and leave partial
+        # output behind a zero exit code (r5 self-review round 2)
+        q.stop()
+        raise SystemExit(
+            f"{args.cmd}: drain did not finish within 3600s — partial "
+            f"output in {args.output}; rerun with the same --checkpoint "
+            "to resume exactly where it stopped"
+        )
     status = {"cmd": args.cmd, "output": args.output,
               "checkpoint": args.checkpoint}
     print(json.dumps(status))

@@ -176,3 +176,32 @@ def test_annotated_axioms_keep_their_edges(tmp_path):
              for e in parsed.tables.edges}
     assert ("A", "B") in edges
     assert ("C", "D") in edges and ("D", "C") in edges
+
+
+def test_annotated_annotation_assertions_keep_content(tmp_path):
+    """r5 self-review round 2: AnnotationAssertion carrying its own axiom
+    annotations (OWL-API writes hasDbXref on nearly every OBO-derived
+    synonym assertion) must still yield the label/synonym/deprecated."""
+    f = tmp_path / "aa.ofn"
+    f.write_text(
+        "Prefix(:=<http://a#>)\n"
+        "Prefix(owl:=<http://www.w3.org/2002/07/owl#>)\n"
+        "Prefix(rdfs:=<http://www.w3.org/2000/01/rdf-schema#>)\n"
+        "Prefix(oio:=<http://www.geneontology.org/formats/oboInOwl#>)\n"
+        "Prefix(xsd:=<http://www.w3.org/2001/XMLSchema#>)\n"
+        "Ontology(<http://a>\n"
+        "Declaration(Class(:A))\nDeclaration(Class(:Old))\n"
+        'AnnotationAssertion(Annotation(oio:hasDbXref "PMID:1") rdfs:label :A "the label")\n'
+        'AnnotationAssertion(Annotation(oio:hasDbXref "PMID:2") oio:hasExactSynonym :A "syn")\n'
+        'AnnotationAssertion(Annotation(oio:src "x") owl:deprecated :Old "true"^^xsd:boolean)\n'
+        'Annotation(Annotation(oio:src "y") rdfs:label "onto label")\n'
+        ")\n"
+    )
+    parsed = parse_functional(str(f))
+    by = {c["iri"].split("#")[-1]: c for c in parsed.tables.concepts}
+    assert by["A"]["label"] == "the label"
+    assert by["Old"]["deprecated"] is True
+    syns = {(s["iri"].split("#")[-1], s["synonym"]) for s in parsed.tables.synonyms}
+    assert ("A", "syn") in syns
+    assert ("http://www.w3.org/2000/01/rdf-schema#label",
+            "onto label") in parsed.annotations

@@ -183,3 +183,35 @@ def test_annotated_axiom_fillers_keep_their_edges(tmp_path):
     assert ("C", "D") in edges and ("D", "C") in edges
     # multi-annotation list followed by a comma list of fillers
     assert ("E", "B") in edges and ("E", "D") in edges
+
+
+def test_multiple_annotated_fillers_each_keep_edges(tmp_path):
+    """r5 self-review round 2: EVERY filler in a comma list may carry its
+    own Annotations prefix — all edges must survive, in both the inline
+    and the Protégé nested multi-line layouts."""
+    f = tmp_path / "ann2.omn"
+    f.write_text(
+        "Prefix: : <http://a#>\n"
+        "Prefix: rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+        "Ontology: <http://a>\n\n"
+        "Class: B\nClass: C\nClass: D\nClass: E\n"
+        "Class: A\n"
+        '    SubClassOf: Annotations: rdfs:comment "x" B, '
+        'Annotations: rdfs:comment "y" C\n'
+        "Class: F\n"
+        "    Annotations: rdfs:label \"f label\"\n"
+        "    SubClassOf: \n"
+        "        Annotations: \n"
+        '            rdfs:comment "p1"\n'
+        "        D,\n"
+        "        Annotations: \n"
+        '            rdfs:comment "p2"\n'
+        "        E\n"
+    )
+    parsed = parse_manchester(str(f))
+    edges = {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+             for e in parsed.tables.edges}
+    assert ("A", "B") in edges and ("A", "C") in edges  # inline layout
+    assert ("F", "D") in edges and ("F", "E") in edges  # Protégé layout
+    by = {c["iri"].split("#")[-1]: c for c in parsed.tables.concepts}
+    assert by["F"]["label"] == "f label"  # entity annotations unaffected
