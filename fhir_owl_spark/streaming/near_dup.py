@@ -261,6 +261,17 @@ def start_near_dup_stream(
         new_store.write.mode("overwrite").parquet(
             os.path.join(store_path, f"v{batch_id}")
         )
+        # retention: a retry of batch N re-reads v{N-1}, and a retry of
+        # N+1 re-reads v{N} — anything older is dead. Keeping exactly two
+        # versions bounds the store to 2× bucket-cardinality on disk
+        # (Iceberg snapshot expiry in production); deleting AFTER the new
+        # version commits keeps every crash window recoverable.
+        import shutil
+
+        for p in glob.glob(os.path.join(store_path, "v*")):
+            name = os.path.basename(p)[1:]
+            if name.isdigit() and int(name) < batch_id - 1:
+                shutil.rmtree(p, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -397,3 +397,35 @@ def test_streaming_near_dup_equivalence_graded_similarity(spark, tmp_path):
         want = {tuple(r) for r in near_dup_first_seen(
             spark.createDataFrame(rows, schema), threshold=threshold).collect()}
         assert got == want, (threshold, got ^ want)
+
+
+def test_streaming_near_dup_store_retention(spark, tmp_path):
+    """The versioned store keeps at most TWO versions (current + the one
+    a batch retry would re-read) — disk stays bounded over a long
+    stream; results unchanged vs the batch twin."""
+    import glob as _glob
+
+    from fhir_owl_spark.streaming.near_dup import (
+        near_dup_first_seen,
+        start_near_dup_stream,
+    )
+
+    schema = "doc_id long, text string"
+    rows = [(i, "the recurring boiler sentence appears again" if i % 3 == 0
+             else f"unique number {i} text content") for i in range(24)]
+    inp = tmp_path / "in"
+    for k in range(4):  # four micro-batches
+        spark.createDataFrame(rows[k * 6:(k + 1) * 6], schema).coalesce(
+            1).write.parquet(str(inp / f"f{k}.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inp}/*/"))
+    q = start_near_dup_stream(spark, stream, str(tmp_path / "o"),
+                              str(tmp_path / "s"), str(tmp_path / "c"))
+    q.awaitTermination(240)
+    versions = sorted(_glob.glob(str(tmp_path / "s" / "v*")))
+    assert len(versions) <= 2
+    got = {tuple(r) for r in
+           spark.read.parquet(str(tmp_path / "o")).drop("batch").collect()}
+    want = {tuple(r) for r in near_dup_first_seen(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert got == want
