@@ -30,9 +30,14 @@ its output to ``out/batch={batch_id}`` with overwrite — reprocessing a
 batch after a crash reads the same store version (latest < batch_id) and
 deterministically overwrites the same outputs, so a checkpoint restart
 yields byte-identical results. At 100 TB the versioned-directory store
-becomes an Iceberg/Delta table with snapshot isolation and periodic
-compaction; the per-batch logic is unchanged (one join + two grouped
-aggregations, all on the band-hash key).
+becomes an Iceberg/Delta table with snapshot isolation, and the
+full-store rewrite below becomes a keyed MERGE INTO touching only the
+buckets the batch actually hit (bounded by batch_docs × n_bands rows —
+the sandbox parquet layout has no upsert, so it rewrites; measured at
+50k docs / 155k store rows the rewrite is ~1-2 s per micro-batch and is
+the dominant per-batch cost, which is exactly what the MERGE removes).
+The candidate/verify logic is unchanged either way (one join + two
+grouped aggregations, all on the band-hash key).
 
 Equivalence contract: with doc ids nondecreasing in arrival order (an
 ingest monotonic id — the natural case), the evolving bucket
