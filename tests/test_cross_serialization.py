@@ -241,3 +241,40 @@ def test_all_serializations_agree(seed):
     for ext, got in results.items():
         assert got == base, (seed, ext,
                              [a ^ b for a, b in zip(got, base)])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10**9))
+def test_dispatcher_never_crashes_unexpectedly(seed):
+    """Fuzz: mutated/truncated/garbage documents must either parse or
+    raise a CONTROLLED error (UnsupportedOwlFormatError / ValueError /
+    XML ParseError) — never IndexError/KeyError/AttributeError (the r5
+    OBO empty-is_a crash class)."""
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    from fhir_owl_spark.sources.owl_xml import UnsupportedOwlFormatError
+
+    rng = random.Random(seed)
+    spec = _gen(seed)
+    ext, render = rng.choice(list(RENDERERS.items()))
+    doc = render(*spec)
+    mode = rng.randrange(4)
+    if mode == 0:  # truncate mid-document
+        doc = doc[: rng.randrange(1, max(2, len(doc)))]
+    elif mode == 1:  # splice random printable garbage into the middle
+        pos = rng.randrange(len(doc))
+        junk = "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(1, 40)))
+        doc = doc[:pos] + junk + doc[pos:]
+    elif mode == 2:  # pure garbage
+        doc = "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 300)))
+    # mode 3: leave valid
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/f.{ext}"
+        with open(path, "w") as fh:
+            fh.write(doc)
+        try:
+            parsed = parse_ontology_document(path)
+            assert parsed.tables is not None
+        except (UnsupportedOwlFormatError, ValueError, ET.ParseError):
+            pass  # controlled failure modes
