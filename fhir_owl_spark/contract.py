@@ -513,6 +513,22 @@ def q_stratified_sample_docs(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_mixture_sample_docs(spark, sf_dir) -> DataFrame:
+    """Target-mixture down-sampling (operators.sampling.mixture_sample):
+    keep the largest corpus matching weights 0.5/0.3/0.2 over three
+    sources without upsampling — T = min(n_s/w_s), rate_s = w_s·T/n_s.
+    Binary64 threshold arithmetic matches DuckDB bit-for-bit; md5-60bit
+    hash so the oracle recomputes the identical sample."""
+    from .operators.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source", "doc_id",
+        hash_fn=dedup.md5_60bit,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_redact_pii(spark, sf_dir) -> DataFrame:
     """PII redaction: inject deterministic synthetic PII (email/IP/CC/SSN/
     phone) into each document, then redact — the oracle injects and
@@ -1301,6 +1317,7 @@ QUERIES = {
     "pack_docs_split": q_pack_docs_split,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
+    "mixture_sample_docs": q_mixture_sample_docs,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2055,6 +2072,17 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
       % 1000000
       < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "mixture_sample_docs": """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT min(n.n / w.wt) AS cap FROM n JOIN w USING (source)),
+thr AS (SELECT w.source,
+               CAST(floor(w.wt * t.cap / n.n * 1000000) AS BIGINT) AS th
+        FROM w JOIN n USING (source), t)
+SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
+      % 1000000 < thr.th
 """,
         "conv_sessions": """
 WITH t AS (

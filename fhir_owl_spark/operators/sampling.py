@@ -67,3 +67,56 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(int(rate * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(hash_bucket(F.col(key_col), salt, hash_fn) < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    salt: str = "v1",
+    hash_fn=F.xxhash64,
+    on_missing: str = "error",
+) -> DataFrame:
+    """Down-sample to a TARGET MIXTURE (the DoReMi/Pile-style data-mixing
+    op): given per-stratum target weights, keep the largest corpus whose
+    composition matches them WITHOUT upsampling — T = min over weighted
+    strata of n_s / w_s, rate_s = w_s·T / n_s (the binding stratum keeps
+    everything, the rest down-sample proportionally). Strata not in
+    ``weights`` are dropped.
+
+    One stratum-cardinality aggregation (collected — domain counts, never
+    corpus-scale) computes the counts; the filter itself is the same
+    hash-identity Column as stratified_sample: deterministic under any
+    partitioning, no shuffle on the corpus, pushable into the scan.
+    Thresholds use plain binary64 ``(w·T/n)·1e6`` so the DuckDB oracle
+    recomputes them bit-identically.
+
+    ``on_missing='error'`` (default) fails loudly when a weighted stratum
+    has no rows (its target is unachievable); ``'skip'`` renormalizes
+    over the present strata implicitly by excluding it from T.
+    """
+    for stratum, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {stratum!r} must be >= 0, got {w}")
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = [s for s, w in weights.items() if w > 0 and not counts.get(s)]
+    if missing and on_missing == "error":
+        raise ValueError(
+            f"weighted strata with no rows: {sorted(missing)} — their target "
+            "mixture is unachievable; pass on_missing='skip' to renormalize"
+        )
+    present = {s: w for s, w in weights.items() if w > 0 and counts.get(s)}
+    if not present:
+        return df.filter(F.lit(False))
+    cap = min(counts[s] / w for s, w in present.items())
+    thr = F.lit(0)
+    for s in sorted(present):
+        thr = F.when(
+            F.col(stratum_col) == s,
+            F.lit(int(present[s] * cap / counts[s] * _BUCKETS)),
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), salt, hash_fn) < thr)

@@ -1070,3 +1070,50 @@ class TestLineDedup:
         b = {tuple(r) for r in dedup.line_dedup(docs.repartition(7), min_docs=3).collect()}
         assert a == b
         assert all(t == f"first{i}\nlast{i}" for i, t in a)
+
+
+class TestMixtureSample:
+    """Target-mixture down-sampling: composition tracks the weights, the
+    binding stratum keeps everything, no upsampling, deterministic under
+    partitioning, loud on unachievable targets."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = []
+        for s, n in (("a", 1000), ("b", 4000), ("c", 2000), ("d", 500)):
+            rows += [(f"{s}{i}", s) for i in range(n)]
+        return spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def test_composition_and_binding_stratum(self, corpus):
+        from fhir_owl_spark.operators.sampling import mixture_sample
+
+        out = mixture_sample(corpus, {"a": 0.5, "b": 0.3, "c": 0.2},
+                             "source", "doc_id")
+        got = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # cap = min(1000/.5, 4000/.3, 2000/.2) = 2000 → a keeps ALL 1000
+        assert got["a"] == 1000
+        # composition tracks weights within hash-sampling tolerance
+        total = sum(got.values())
+        assert abs(got["b"] / total - 0.3) < 0.03
+        assert abs(got["c"] / total - 0.2) < 0.03
+        assert "d" not in got  # unweighted stratum dropped
+
+    def test_partition_invariance(self, corpus):
+        from fhir_owl_spark.operators.sampling import mixture_sample
+
+        w = {"a": 0.4, "b": 0.6}
+        a = {r["doc_id"] for r in mixture_sample(corpus, w, "source", "doc_id").collect()}
+        b = {r["doc_id"] for r in mixture_sample(
+            corpus.repartition(13), w, "source", "doc_id").collect()}
+        assert a == b
+
+    def test_missing_stratum_errors_or_skips(self, corpus):
+        from fhir_owl_spark.operators.sampling import mixture_sample
+
+        with pytest.raises(ValueError, match="unachievable"):
+            mixture_sample(corpus, {"a": 0.5, "nope": 0.5}, "source", "doc_id")
+        out = mixture_sample(corpus, {"a": 0.5, "nope": 0.5}, "source",
+                             "doc_id", on_missing="skip")
+        # renormalized over present strata: everything in 'a' kept
+        assert out.count() == 1000
