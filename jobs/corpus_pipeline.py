@@ -16,6 +16,8 @@ Subcommands (each reads a parquet documents table with at least
   redact      PII redaction (emails, IPs, card/SSN/phone shapes)
   sample      deterministic hash-identity sampling (global rate or
               per-stratum rates like lang=en:1.0,de:0.25)
+  mix         target-mixture down-sampling: largest corpus matching the
+              weights without upsampling (web:0.6,books:0.3,...)
   chunk       token-window chunking (max tokens + overlap)
   stats       corpus composition report (per source×lang + ROLLUP levels)
   prep        the composed plan: normalize → quality/repetition filter →
@@ -85,6 +87,14 @@ def parse_args(argv=None):
     s.add_argument("--rates", default=None,
                    help="per-stratum rates, e.g. en:1.0,de:0.25")
     s.add_argument("--salt", default="v1")
+
+    mx = sub.add_parser("mix", help="target-mixture down-sampling (no upsampling)")
+    common(mx)
+    mx.add_argument("--weights", required=True,
+                    help="target weights, e.g. web:0.6,books:0.3,code:0.1")
+    mx.add_argument("--stratum-col", required=True)
+    mx.add_argument("--salt", default="v1")
+    mx.add_argument("--on-missing", choices=["error", "skip"], default="error")
 
     c = sub.add_parser("chunk", help="token-window chunking")
     common(c)
@@ -194,6 +204,17 @@ def run(args) -> dict:
             out = sampling.sample_rows(docs, args.rate, args.id_col, salt=args.salt)
         else:
             raise SystemExit("sample needs --rate or --rates")
+    elif args.cmd == "mix":
+        from fhir_owl_spark.operators import sampling
+
+        weights = {
+            k: float(v)
+            for k, v in (kv.split(":") for kv in args.weights.split(","))
+        }
+        out = sampling.mixture_sample(
+            docs, weights, args.stratum_col, args.id_col,
+            salt=args.salt, on_missing=args.on_missing,
+        )
     elif args.cmd == "chunk":
         from fhir_owl_spark.operators import text
 

@@ -283,3 +283,22 @@ def test_stream_pipeline_cli(spark, transcripts_path, tmp_path, capsys):
     got_n = {tuple(r) for r in
              spark.read.parquet(str(tmp_path / "nd")).drop("batch").collect()}
     assert got_n == want_n == {(1, 0, 1.0)}
+
+
+def test_corpus_mix_subcommand(spark, tmp_path, capsys):
+    """mix: target-mixture down-sampling through the CLI."""
+    import jobs.corpus_pipeline as cp
+
+    rows = [(f"a{i}", "a") for i in range(100)] + [(f"b{i}", "b") for i in range(400)]
+    src = str(tmp_path / "d")
+    spark.createDataFrame(rows, ["doc_id", "source"]).withColumn(
+        "text", F.lit("x")).write.parquet(src)
+    rc = cp.main(["mix", "--input", src, "--output", str(tmp_path / "m"),
+                  "--weights", "a:0.5,b:0.5", "--stratum-col", "source"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "m"))
+    comp = {r["source"]: r["n"] for r in
+            got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert comp["a"] == 100          # binding stratum keeps all
+    assert 75 <= comp["b"] <= 125    # ~100 at rate 0.25 of 400
