@@ -2078,7 +2078,9 @@ WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
 n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 t AS (SELECT min(n.n / w.wt) AS cap FROM n JOIN w USING (source)),
 thr AS (SELECT w.source,
-               CAST(floor(w.wt * t.cap / n.n * 1000000) AS BIGINT) AS th
+               CASE WHEN n.n / w.wt = t.cap THEN 1000000
+                    ELSE CAST(floor(w.wt * t.cap / n.n * 1000000) AS BIGINT)
+               END AS th
         FROM w JOIN n USING (source), t)
 SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)

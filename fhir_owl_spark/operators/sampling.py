@@ -96,9 +96,17 @@ def mixture_sample(
     has no rows (its target is unachievable); ``'skip'`` renormalizes
     over the present strata implicitly by excluding it from T.
     """
+    import math
+
+    if on_missing not in ("error", "skip"):  # a typo must not mean 'skip'
+        raise ValueError(f"on_missing must be 'error' or 'skip', got {on_missing!r}")
     for stratum, w in weights.items():
-        if w < 0:
-            raise ValueError(f"weight for {stratum!r} must be >= 0, got {w}")
+        # `not (w >= 0)` also rejects NaN (NaN<0 and NaN>0 are BOTH false —
+        # a NaN weight would otherwise silently drop the stratum)
+        if not (w >= 0) or not math.isfinite(w):
+            raise ValueError(
+                f"weight for {stratum!r} must be a finite number >= 0, got {w}"
+            )
     counts = {
         r[stratum_col]: r["n"]
         for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -115,8 +123,13 @@ def mixture_sample(
     cap = min(counts[s] / w for s, w in present.items())
     thr = F.lit(0)
     for s in sorted(present):
-        thr = F.when(
-            F.col(stratum_col) == s,
-            F.lit(int(present[s] * cap / counts[s] * _BUCKETS)),
-        ).otherwise(thr)
+        # binding strata (n/w == cap) keep EVERYTHING by definition, but
+        # binary64 gives w·(n/w)/n = 0.999… for many (w, n) — clamp to the
+        # full bucket range so the documented no-upsampling/keep-all
+        # invariant holds exactly (the oracle mirrors this CASE)
+        if counts[s] / present[s] == cap:
+            threshold = _BUCKETS
+        else:
+            threshold = int(present[s] * cap / counts[s] * _BUCKETS)
+        thr = F.when(F.col(stratum_col) == s, F.lit(threshold)).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), salt, hash_fn) < thr)

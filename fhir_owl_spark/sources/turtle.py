@@ -160,31 +160,38 @@ def _parse_triples(text: str):
             idx += 1
         return idx
 
+    def tok_at(idx: int) -> _Tok:
+        # truncated documents must fail with the TYPED syntax error, not
+        # IndexError (r5 fuzz: '@prefix' at EOF)
+        if idx >= n:
+            raise TurtleSyntaxError("unexpected end of document")
+        return toks[idx]
+
     while i < n:
         t = toks[i]
         # directives
         if t.kind == "langtag" and t.value in ("@prefix", "@base"):
             if t.value == "@prefix":
-                pname = toks[i + 1].value  # 'pfx:' (may be just ':')
-                prefixes[pname[:-1] if pname.endswith(":") else pname] = toks[
+                pname = tok_at(i + 1).value  # 'pfx:' (may be just ':')
+                prefixes[pname[:-1] if pname.endswith(":") else pname] = tok_at(
                     i + 2
-                ].value
+                ).value
                 i += 3
             else:
-                base[0] = toks[i + 1].value
+                base[0] = tok_at(i + 1).value
                 i += 2
             if i < n and toks[i].kind == ".":
                 i += 1
             continue
         if t.kind == "pname" and t.value.upper() in ("PREFIX", "BASE"):
             if t.value.upper() == "PREFIX":
-                pname = toks[i + 1].value
-                prefixes[pname[:-1] if pname.endswith(":") else pname] = toks[
+                pname = tok_at(i + 1).value
+                prefixes[pname[:-1] if pname.endswith(":") else pname] = tok_at(
                     i + 2
-                ].value
+                ).value
                 i += 3
             else:
-                base[0] = toks[i + 1].value
+                base[0] = tok_at(i + 1).value
                 i += 2
             continue
         # subject

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -271,8 +272,6 @@ def start_near_dup_stream(
         # versions bounds the store to 2× bucket-cardinality on disk
         # (Iceberg snapshot expiry in production); deleting AFTER the new
         # version commits keeps every crash window recoverable.
-        import shutil
-
         for p in glob.glob(os.path.join(store_path, "v*")):
             name = os.path.basename(p)[1:]
             if name.isdigit() and int(name) < batch_id - 1:

@@ -139,6 +139,23 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def parse_weight_map(spec: str, flag: str) -> dict[str, float]:
+    """'k:0.6,k2:0.4' → dict; clean SystemExit on malformed entries (shared
+    by sample --rates and mix --weights)."""
+    out: dict[str, float] = {}
+    for kv in spec.split(","):
+        k, sep, v = kv.partition(":")
+        try:
+            if not sep:
+                raise ValueError
+            out[k] = float(v)
+        except ValueError:
+            raise SystemExit(
+                f"{flag} expects comma-separated key:number entries, got {kv!r}"
+            ) from None
+    return out
+
+
 def run(args) -> dict:
     from pyspark.sql import SparkSession, functions as F
 
@@ -191,10 +208,7 @@ def run(args) -> dict:
         from fhir_owl_spark.operators import sampling
 
         if args.rates:
-            rates = {
-                k: float(v)
-                for k, v in (kv.split(":") for kv in args.rates.split(","))
-            }
+            rates = parse_weight_map(args.rates, "--rates")
             if not args.stratum_col:
                 raise SystemExit("--rates needs --stratum-col")
             out = sampling.stratified_sample(
@@ -207,10 +221,7 @@ def run(args) -> dict:
     elif args.cmd == "mix":
         from fhir_owl_spark.operators import sampling
 
-        weights = {
-            k: float(v)
-            for k, v in (kv.split(":") for kv in args.weights.split(","))
-        }
+        weights = parse_weight_map(args.weights, "--weights")
         out = sampling.mixture_sample(
             docs, weights, args.stratum_col, args.id_col,
             salt=args.salt, on_missing=args.on_missing,

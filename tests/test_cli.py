@@ -297,6 +297,12 @@ def test_corpus_mix_subcommand(spark, tmp_path, capsys):
                   "--weights", "a:0.5,b:0.5", "--stratum-col", "source"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert rc == 0
+    status = json.loads(out)  # the one-JSON-status-line contract
+    assert status["cmd"] == "mix" and status["rows_out"] > 0
+    # malformed weights die with a clean SystemExit, not a raw traceback
+    with pytest.raises(SystemExit, match="key:number"):
+        cp.main(["mix", "--input", src, "--output", str(tmp_path / "m2"),
+                 "--weights", "a:0.5,b", "--stratum-col", "source"])
     got = spark.read.parquet(str(tmp_path / "m"))
     comp = {r["source"]: r["n"] for r in
             got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}

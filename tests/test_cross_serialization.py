@@ -243,7 +243,7 @@ def test_all_serializations_agree(seed):
                              [a ^ b for a, b in zip(got, base)])
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(st.integers(0, 10**9))
 def test_dispatcher_never_crashes_unexpectedly(seed):
     """Fuzz: mutated/truncated/garbage documents must either parse or
@@ -254,6 +254,7 @@ def test_dispatcher_never_crashes_unexpectedly(seed):
     import xml.etree.ElementTree as ET
 
     from fhir_owl_spark.sources.owl_xml import UnsupportedOwlFormatError
+    from fhir_owl_spark.sources.turtle import TurtleSyntaxError
 
     rng = random.Random(seed)
     spec = _gen(seed)
@@ -276,5 +277,6 @@ def test_dispatcher_never_crashes_unexpectedly(seed):
         try:
             parsed = parse_ontology_document(path)
             assert parsed.tables is not None
-        except (UnsupportedOwlFormatError, ValueError, ET.ParseError):
-            pass  # controlled failure modes
+        except (UnsupportedOwlFormatError, TurtleSyntaxError, ET.ParseError):
+            pass  # controlled failure modes ONLY — a bare ValueError from
+            # deep inside a parser (e.g. a stray int()) must FAIL the fuzz
