@@ -529,6 +529,17 @@ def q_mixture_sample_docs(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_corpus_logloss(spark, sf_dir) -> DataFrame:
+    """Corpus-unigram cross-entropy per document (CCNet-style perplexity
+    proxy): bits_per_token = mean(-log2(c_t/N)) over the document's
+    tokens. One vocabulary hash agg + token-keyed join + per-doc agg;
+    round(6) absorbs sub-ulp log2 differences across engines."""
+    from .operators.text import corpus_logloss
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_logloss(docs)
+
+
 def q_redact_pii(spark, sf_dir) -> DataFrame:
     """PII redaction: inject deterministic synthetic PII (email/IP/CC/SSN/
     phone) into each document, then redact — the oracle injects and
@@ -1318,6 +1329,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "mixture_sample_docs": q_mixture_sample_docs,
+    "corpus_logloss": q_corpus_logloss,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2072,6 +2084,24 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
       % 1000000
       < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "corpus_logloss": r"""
+WITH tok AS (
+  SELECT doc_id, t.w AS term
+  FROM (SELECT doc_id,
+               string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+        FROM documents), unnest(ws) AS t(w)
+  WHERE t.w <> ''),
+v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+n AS (SELECT sum(c) AS n FROM v),
+p AS (SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             avg(-log2(CAST(v.c AS DOUBLE) / n.n)) AS bits
+      FROM tok JOIN v USING (term), n GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(p.bits, 6) AS bits_per_token
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 """,
         "mixture_sample_docs": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

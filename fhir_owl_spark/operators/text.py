@@ -565,3 +565,47 @@ def pack_documents_split(
         (g_start - F.col("_prefix")).cast("long").alias("tok_start"),
         (g_end - F.col("_prefix")).cast("long").alias("tok_end"),
     )
+
+
+def corpus_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram cross-entropy per document — the CCNet-style
+    LM-perplexity quality proxy: bits_per_token = mean over the
+    document's tokens of −log2(c_t / N), where c_t is the token's corpus
+    count and N the corpus token total. Low = stereotypical text, high =
+    rare-token-heavy (noise, other languages, gibberish) — the standard
+    sort key for perplexity-bucketed filtering, computed from the corpus
+    itself (no external LM; every token's count is ≥ 1, so no smoothing
+    term is needed).
+
+    Scale shape: tokens explode map-side; ONE vocabulary-sized hash
+    aggregate for counts; the corpus total folds in as a one-row
+    broadcast cross-join (never a driver action); a token-keyed join
+    (AQE splits stop-word skew) and one per-doc aggregation. Documents
+    with no tokens return NULL bits_per_token rather than vanishing.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("_t"),
+    ).filter(F.col("_t") != "")
+    vocab = tokens.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_n"))
+    scored = tokens.join(vocab, "_t").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(-F.log2(F.col("_c") / F.col("_n"))).alias("_bits"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round("_bits", 6).alias("bits_per_token"),
+        )
+    )

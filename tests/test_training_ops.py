@@ -1117,3 +1117,26 @@ class TestMixtureSample:
                              "doc_id", on_missing="skip")
         # renormalized over present strata: everything in 'a' kept
         assert out.count() == 1000
+
+
+class TestCorpusLogloss:
+    def test_rare_tokens_score_higher(self, spark):
+        rows = [(i, "common words repeated here always") for i in range(20)]
+        rows.append((100, "zyzzyva qwertyuiop xylophone obscure tokens"))
+        rows.append((101, ""))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+               for r in text.corpus_logloss(df).collect()}
+        # the rare-token doc carries more bits/token than the boilerplate
+        assert got[100][1] > got[0][1]
+        # all boilerplate docs identical
+        assert len({got[i][1] for i in range(20)}) == 1
+        # empty doc kept with NULL bits, 0 tokens
+        assert got[101] == (0, None)
+
+    def test_partition_invariance(self, spark):
+        df = spark.range(300).selectExpr(
+            "id AS doc_id", "concat('word', CAST(id % 17 AS STRING), ' filler text') AS text")
+        a = {tuple(r) for r in text.corpus_logloss(df).collect()}
+        b = {tuple(r) for r in text.corpus_logloss(df.repartition(11)).collect()}
+        assert a == b
