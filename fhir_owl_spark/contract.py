@@ -540,6 +540,52 @@ def q_corpus_logloss(spark, sf_dir) -> DataFrame:
     return corpus_logloss(docs)
 
 
+def q_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR-style importance weights (operators.sampling.
+    importance_weights): per-token average log2 likelihood ratio between
+    a unigram LM fit on the target slice (lang='en') and one fit on the
+    whole corpus, Laplace-smoothed over the joint vocabulary — the
+    hashed-ngram data-selection score of Xie et al. 2023. One vocabulary
+    hash agg computes both LMs in a single pass; round(6) absorbs
+    sub-ulp log2 differences across engines."""
+    from .operators.sampling import importance_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("lang") == "en")
+
+
+def q_source_quota_docs(spark, sf_dir) -> DataFrame:
+    """Per-source quota cap (RefinedWeb-style "at most N pages per
+    domain"): keep the 5 deterministically-first docs per source, ordered
+    by md5-60bit(doc_id) — implemented with operators.skew.salted_top_k,
+    the two-phase group-wise top-k that never builds a hub-key
+    mega-partition. The oracle is the plain single-window row_number
+    form, proving the salted plan is equivalence-preserving."""
+    from .operators.skew import salted_top_k
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "_h",
+        dedup.md5_60bit(F.concat(F.col("doc_id").cast("string"), F.lit(":quota"))),
+    )
+    out = salted_top_k(keyed, "source", [F.col("_h"), F.col("doc_id")], k=5)
+    return out.select(
+        "source", F.col("rank").cast("long").alias("rank"), "doc_id"
+    )
+
+
+def q_perplexity_buckets(spark, sf_dir) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing: ntile(3) over
+    corpus_logloss bits_per_token within each language (tokenless docs
+    sort last, ties break by doc_id). Exact form for oracle parity; the
+    production-scale twin is perplexity_bucket_thresholds (broadcast
+    approx-quantile thresholds, no language-sized window)."""
+    from .operators.text import perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)
+
+
 def q_redact_pii(spark, sf_dir) -> DataFrame:
     """PII redaction: inject deterministic synthetic PII (email/IP/CC/SSN/
     phone) into each document, then redact — the oracle injects and
@@ -1330,6 +1376,9 @@ QUERIES = {
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "mixture_sample_docs": q_mixture_sample_docs,
     "corpus_logloss": q_corpus_logloss,
+    "dsir_weights": q_dsir_weights,
+    "source_quota_docs": q_source_quota_docs,
+    "perplexity_buckets": q_perplexity_buckets,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2102,6 +2151,56 @@ SELECT d.doc_id,
        CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(p.bits, 6) AS bits_per_token
 FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+""",
+        "dsir_weights": r"""
+WITH tok AS (
+  SELECT doc_id, tgt, t.w AS term
+  FROM (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+        FROM documents), unnest(ws) AS t(w)
+  WHERE t.w <> ''),
+v AS (SELECT term, count(*) AS c_all, sum(tgt) AS c_tgt FROM tok GROUP BY term),
+n AS (SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt, count(*) AS vsz FROM v),
+p AS (SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             avg(log2((v.c_tgt + 1.0) / (n.n_tgt + 1.0 * n.vsz))
+                 - log2((v.c_all + 1.0) / (n.n_all + 1.0 * n.vsz))) AS w
+      FROM tok JOIN v USING (term), n GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(p.w, 6) AS log_ratio
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+""",
+        "source_quota_docs": """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':quota'), 1, 15)
+              AS BIGINT) AS hk
+  FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+      FROM h)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM r WHERE rank <= 5
+""",
+        "perplexity_buckets": r"""
+WITH tok AS (
+  SELECT doc_id, t.w AS term
+  FROM (SELECT doc_id,
+               string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+        FROM documents), unnest(ws) AS t(w)
+  WHERE t.w <> ''),
+v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+n AS (SELECT sum(c) AS n FROM v),
+p AS (SELECT tok.doc_id, avg(-log2(CAST(v.c AS DOUBLE) / n.n)) AS bits
+      FROM tok JOIN v USING (term), n GROUP BY tok.doc_id),
+ll AS (SELECT d.doc_id, d.lang, round(p.bits, 6) AS bits_per_token
+       FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id)
+SELECT doc_id, lang, bits_per_token,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY bits_per_token ASC NULLS LAST, doc_id)
+            AS BIGINT) AS bucket
+FROM ll
 """,
         "mixture_sample_docs": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),

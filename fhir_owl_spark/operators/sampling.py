@@ -133,3 +133,71 @@ def mixture_sample(
             threshold = int(present[s] * cap / counts[s] * _BUCKETS)
         thr = F.when(F.col(stratum_col) == s, F.lit(threshold)).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), salt, hash_fn) < thr)
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    the per-token average log-likelihood ratio between a unigram LM fit
+    on the TARGET slice (rows where ``target`` is true — e.g. curated /
+    in-domain docs) and one fit on the FULL corpus, Laplace-smoothed
+    with ``alpha`` over their joint vocabulary:
+
+        w(d) = mean over tokens t of  log2 p_tgt(t) − log2 p_all(t)
+        p_tgt(t) = (c_tgt(t) + α) / (N_tgt + α·V)   (p_all analogous)
+
+    High w = looks like the target distribution → keep / upweight; the
+    standard hashed-ngram data-selection score. Both LMs come from the
+    corpus itself in ONE pass — no external model.
+
+    Scale shape (same audited plan family as corpus_logloss): tokens
+    explode map-side; ONE vocabulary-sized hash aggregate computes both
+    counts (the target count is a conditional sum, not a second pass);
+    totals fold in as a one-row broadcast cross-join (never a driver
+    action); then a token-keyed join (AQE splits stop-word skew) and one
+    per-doc aggregation. Docs with no tokens keep NULL weight rather
+    than vanishing; the smoothing means target-absent tokens still score
+    (negatively) instead of producing -inf.
+    """
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    tokens = df.select(
+        F.col(id_col),
+        target.cast("long").alias("_tgt"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("_t"),
+    ).filter(F.col("_t") != "")
+    vocab = tokens.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_c_all"), F.sum("_tgt").alias("_c_tgt")
+    )
+    totals = vocab.agg(
+        F.sum("_c_all").alias("_n_all"),
+        F.sum("_c_tgt").alias("_n_tgt"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    ratio = F.log2((F.col("_c_tgt") + a) / (F.col("_n_tgt") + a * F.col("_v"))) - F.log2(
+        (F.col("_c_all") + a) / (F.col("_n_all") + a * F.col("_v"))
+    )
+    per_doc = (
+        tokens.join(vocab, "_t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg(ratio).alias("_w"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round("_w", 6).alias("log_ratio"),
+        )
+    )

@@ -14,7 +14,9 @@ version, so both exist.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def salted_count(
@@ -107,4 +109,43 @@ def co_mention_pairs(mentions: "DataFrame", n_salt: int = 16) -> "DataFrame":
     pairs = a.join(b, "conv_id").filter(F.col("code_a") < F.col("code_b"))
     return salted_count(pairs, ["code_a", "code_b"], n_salt=n_salt).withColumnRenamed(
         "cnt", "n_convs"
+    )
+
+def salted_top_k(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_cols: Sequence[Column],
+    k: int,
+    n_salt: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Group-wise top-k without a per-key mega-partition. Result is
+    row-identical to row_number() over (PARTITION BY keys ORDER BY
+    order_cols) <= k, but a hub key never lands on one reducer:
+
+    phase 1 ranks within (key, salt) — the hub key's rows spread over
+    n_salt bounded window partitions, each keeping only its local top-k;
+    phase 2 re-ranks the <= k*n_salt survivors per key, a window over a
+    provably tiny partition. Same two-phase shape as salted_count; this
+    is the per-domain-quota / curation-shortlist primitive
+    (RefinedWeb-style "keep at most N pages per domain").
+
+    order_cols must be a total order (caller supplies a unique tiebreak,
+    e.g. the id column) or phase-1 local pruning is not equivalence-
+    preserving.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = list(order_cols)
+    salt = F.pmod(F.spark_partition_id(), F.lit(n_salt))
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
     )

@@ -609,3 +609,92 @@ def corpus_logloss(
             F.round("_bits", 6).alias("bits_per_token"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    documents by corpus-unigram cross-entropy (corpus_logloss) WITHIN
+    each language and cut into n equal-count buckets — bucket 1 ("head")
+    is the most-stereotypical third, bucket n ("tail") the noisiest.
+    Tokenless docs (NULL bits) sort last; ties break by id so the
+    assignment is engine-independent.
+
+    This is the EXACT form: ntile over Window.partitionBy(group_col) —
+    the window partition is bounded by the largest language, which is
+    still corpus-scale at 100 TB. It exists for oracle parity and
+    moderate data; the production path is perplexity_bucket_thresholds
+    (two-pass approx-quantile thresholds, broadcast map-side assign, no
+    large-partition window).
+    """
+    from pyspark.sql.window import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ll = corpus_logloss(df, text_col=text_col, id_col=id_col)
+    scored = df.select(id_col, group_col).join(ll, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("bits_per_token").asc_nulls_last(), F.col(id_col)
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("bits_per_token"),
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+    )
+
+
+def perplexity_bucket_thresholds(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Production-scale twin of perplexity_buckets: instead of an
+    ntile window over a language-sized partition, compute per-language
+    bucket-boundary VALUES with approx_percentile (one language-keyed
+    hash aggregate over a GK sketch — mergeable, bounded memory), then
+    assign bucket = 1 + count(thresholds < bits) map-side via a
+    broadcast join of the (languages × n_buckets−1) threshold table.
+
+    Semantics differ from the exact form only at ties/sketch error:
+    equal bits always land in the same bucket here (value-based), while
+    ntile splits tied runs to force equal counts. No corpus-scale window
+    anywhere; the plan is scan → [logloss plan] → broadcast join →
+    project (asserted in test_plans).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ll = corpus_logloss(df, text_col=text_col, id_col=id_col)
+    scored = df.select(id_col, group_col).join(ll, id_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = scored.filter(F.col("bits_per_token").isNotNull()).groupBy(
+        group_col
+    ).agg(
+        F.percentile_approx("bits_per_token", qs, accuracy).alias("_ths")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.coalesce(F.col("_ths"), F.array()),
+        F.lit(0),
+        lambda acc, th: acc
+        + F.when(F.col("bits_per_token") > th, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("bits_per_token"),
+            F.when(F.col("bits_per_token").isNull(), F.lit(n_buckets))
+            .otherwise(bucket)
+            .cast("long")
+            .alias("bucket"),
+        )
+    )

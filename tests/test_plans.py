@@ -321,3 +321,50 @@ def test_pack_documents_split_sharded_plan(spark):
     assert "Join" not in plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan
+
+
+def test_perplexity_thresholds_no_single_partition_broadcast_assign(spark):
+    """perplexity_bucket_thresholds (the production twin of the ntile
+    form): threshold table joins broadcast, bucket assignment is
+    map-side — NO single-partition Exchange, no ntile window over a
+    language-sized partition, no Python stage."""
+    from fhir_owl_spark.operators.text import perplexity_bucket_thresholds
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"tok{i % 5} common words")
+         for i in range(50)],
+        ["doc_id", "lang", "text"],
+    )
+    plan = plan_of(perplexity_bucket_thresholds(docs))
+    # no window anywhere — the ntile-over-language partition is gone
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchanges are the one-row scalar corpus
+    # totals inside corpus_logloss (map-side partial_sum reduces each
+    # upstream partition to a single row first) — never a Sort
+    import re
+
+    for m in re.finditer(r"\((\d+)\) Exchange\b", plan):
+        node = int(m.group(1))
+        detail = plan[m.start():]
+        if "SinglePartition" in detail.split("\n\n")[0]:
+            # preceding node in the formatted listing is the partial agg
+            prev = re.search(rf"\({node - 1}\) (\w+)", plan)
+            assert prev and "HashAggregate" in prev.group(1), node
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
+
+
+def test_salted_top_k_phase1_partitions_on_salt(spark):
+    """salted_top_k: phase-1 window hash-partitions on (key, _salt) —
+    the hub key's rows spread over n_salt reducers — and no
+    single-partition Exchange exists anywhere."""
+    from fhir_owl_spark.operators.skew import salted_top_k
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(60)], ["id", "key"]
+    )
+    plan = plan_of(salted_top_k(df, "key", [F.col("id")], 5))
+    assert "SinglePartition" not in plan
+    assert "_salt" in plan  # phase-1 window keyed by the salt column
+    assert plan.count("Window") >= 2  # two-phase: local prune + final rank

@@ -1140,3 +1140,123 @@ class TestCorpusLogloss:
         a = {tuple(r) for r in text.corpus_logloss(df).collect()}
         b = {tuple(r) for r in text.corpus_logloss(df.repartition(11)).collect()}
         assert a == b
+
+
+class TestSaltedTopK:
+    def test_equivalent_to_plain_window(self, spark):
+        # skewed: key 'hub' has 400 rows, others 3 each
+        rows = [(i, "hub") for i in range(400)]
+        rows += [(1000 + i, f"k{i % 7}") for i in range(21)]
+        df = spark.createDataFrame(rows, ["id", "key"]).withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+        )
+        from pyspark.sql.window import Window
+
+        for k, n_salt in [(1, 4), (5, 16), (50, 3)]:
+            got = {
+                tuple(r)
+                for r in skew.salted_top_k(
+                    df, "key", [F.col("h"), F.col("id")], k, n_salt=n_salt
+                ).select("key", "rank", "id").collect()
+            }
+            w = Window.partitionBy("key").orderBy("h", "id")
+            want = {
+                tuple(r)
+                for r in df.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("key", "rank", "id")
+                .collect()
+            }
+            assert got == want, (k, n_salt)
+
+    def test_partition_invariance(self, spark):
+        df = spark.range(500).selectExpr(
+            "id", "CAST(id % 5 AS STRING) AS key"
+        ).withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+        )
+        a = {tuple(r) for r in skew.salted_top_k(
+            df, "key", [F.col("h"), F.col("id")], 7).select("key", "rank", "id").collect()}
+        b = {tuple(r) for r in skew.salted_top_k(
+            df.repartition(13), "key", [F.col("h"), F.col("id")], 7, n_salt=5
+        ).select("key", "rank", "id").collect()}
+        assert a == b
+
+
+class TestImportanceWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        # target slice speaks 'alpha beta'; off-target speaks 'gamma delta'
+        rows = [(i, "alpha beta alpha beta", 1) for i in range(10)]
+        rows += [(100 + i, "gamma delta gamma delta", 0) for i in range(10)]
+        rows.append((200, "alpha beta gamma delta", 0))  # mixed
+        rows.append((201, "", 0))  # empty
+        df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+        from fhir_owl_spark.operators.sampling import importance_weights
+
+        got = {r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+               for r in importance_weights(df, F.col("is_tgt") == 1).collect()}
+        # target-vocabulary docs score strictly above off-target ones,
+        # mixed doc in between
+        assert got[0][1] > got[200][1] > got[100][1]
+        # empty doc kept with NULL weight
+        assert got[201] == (0, None)
+
+    def test_alpha_validation(self, spark):
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        from fhir_owl_spark.operators.sampling import importance_weights
+
+        with pytest.raises(ValueError, match="alpha"):
+            importance_weights(df, F.lit(True), alpha=0.0)
+
+
+class TestPerplexityBuckets:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # 9 docs per lang with increasing rarity; one tokenless doc
+        rows = []
+        for li, lang in enumerate(["en", "de"]):
+            for i in range(9):
+                # doc i repeats a token shared by (9 - i) docs -> rarity grows
+                toks = " ".join(f"{lang}tok{j}" for j in range(i + 1))
+                rows.append((li * 100 + i, lang, "common common " + toks))
+        rows.append((999, "en", ""))
+        return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    def test_exact_buckets_monotone(self, spark, corpus):
+        got = {r["doc_id"]: r for r in text.perplexity_buckets(corpus).collect()}
+        # within a lang, bucket is monotone in bits_per_token
+        for lang, base in [("en", 0), ("de", 100)]:
+            docs = sorted(
+                (got[base + i] for i in range(9)),
+                key=lambda r: (r["bits_per_token"], r["doc_id"]),
+            )
+            buckets = [r["bucket"] for r in docs]
+            assert buckets == sorted(buckets)
+            assert set(buckets) == {1, 2, 3}
+        # tokenless doc lands in the last bucket
+        assert got[999]["bucket"] == 3 and got[999]["bits_per_token"] is None
+
+    def test_threshold_twin_value_semantics(self, spark, corpus):
+        exact = {r["doc_id"]: r for r in text.perplexity_buckets(corpus).collect()}
+        twin = {r["doc_id"]: r
+                for r in text.perplexity_bucket_thresholds(corpus).collect()}
+        assert set(twin) == set(exact)
+        # same bits everywhere
+        for d in exact:
+            assert twin[d]["bits_per_token"] == exact[d]["bits_per_token"]
+        # value-based: equal bits => equal bucket, and bucket monotone in bits
+        for lang in ("en", "de"):
+            rows = [r for r in twin.values()
+                    if r["lang"] == lang and r["bits_per_token"] is not None]
+            rows.sort(key=lambda r: r["bits_per_token"])
+            for a, b in zip(rows, rows[1:]):
+                assert a["bucket"] <= b["bucket"]
+                if a["bits_per_token"] == b["bits_per_token"]:
+                    assert a["bucket"] == b["bucket"]
+        assert twin[999]["bucket"] == 3
+
+    def test_validation(self, spark, corpus):
+        with pytest.raises(ValueError, match="n_buckets"):
+            text.perplexity_buckets(corpus, n_buckets=0)
+        with pytest.raises(ValueError, match="n_buckets"):
+            text.perplexity_bucket_thresholds(corpus, n_buckets=0)
