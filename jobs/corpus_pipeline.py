@@ -136,6 +136,35 @@ def parse_args(argv=None):
     ld.add_argument("--min-docs", type=int, default=2)
     ld.add_argument("--sep", default="\n")
 
+    dw = sub.add_parser("dsir",
+                        help="DSIR importance weights vs a target slice")
+    common(dw)
+    dw.add_argument("--target-col", required=True,
+                    help="column defining the target slice")
+    dw.add_argument("--target-value", required=True,
+                    help="rows where target-col equals this are the target LM")
+    dw.add_argument("--alpha", type=float, default=1.0,
+                    help="Laplace smoothing over the joint vocabulary")
+
+    qt = sub.add_parser("quota",
+                        help="keep at most K docs per group (deterministic)")
+    common(qt)
+    qt.add_argument("--group-col", required=True)
+    qt.add_argument("--k", type=int, required=True)
+    qt.add_argument("--salt", default="v1")
+    qt.add_argument("--n-salt", type=int, default=16,
+                    help="phase-1 fan-out of the salted top-k")
+
+    bk = sub.add_parser("buckets",
+                        help="CCNet-style perplexity buckets per group")
+    common(bk)
+    bk.add_argument("--group-col", default="lang")
+    bk.add_argument("--n-buckets", type=int, default=3)
+    bk.add_argument("--exact", action="store_true",
+                    help="exact ntile form (builds a group-sized window "
+                         "partition); default is the broadcast-threshold "
+                         "production path")
+
     return p.parse_args(argv)
 
 
@@ -278,6 +307,41 @@ def run(args) -> dict:
         out = line_dedup(docs, min_docs=args.min_docs,
                          text_col=args.text_col, id_col=args.id_col,
                          sep=args.sep)
+    elif args.cmd == "dsir":
+        from fhir_owl_spark.operators.sampling import importance_weights
+
+        weights = importance_weights(
+            docs, F.col(args.target_col) == args.target_value,
+            text_col=args.text_col, id_col=args.id_col, alpha=args.alpha,
+        )
+        out = docs.join(
+            weights.select(args.id_col, "log_ratio"), args.id_col, "left"
+        )
+    elif args.cmd == "quota":
+        from fhir_owl_spark.operators.skew import salted_top_k
+
+        keyed = docs.withColumn(
+            "_h",
+            F.xxhash64(
+                F.concat(F.col(args.id_col).cast("string"),
+                         F.lit(":" + args.salt))
+            ),
+        )
+        out = salted_top_k(
+            keyed, args.group_col, [F.col("_h"), F.col(args.id_col)],
+            args.k, n_salt=args.n_salt,
+        ).select(*docs.columns)
+    elif args.cmd == "buckets":
+        from fhir_owl_spark.operators import text
+
+        fn = (text.perplexity_buckets if args.exact
+              else text.perplexity_bucket_thresholds)
+        buckets = fn(docs, text_col=args.text_col, id_col=args.id_col,
+                     group_col=args.group_col, n_buckets=args.n_buckets)
+        out = docs.join(
+            buckets.select(args.id_col, "bits_per_token", "bucket"),
+            args.id_col, "left",
+        )
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 

@@ -308,3 +308,47 @@ def test_corpus_mix_subcommand(spark, tmp_path, capsys):
             got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert comp["a"] == 100          # binding stratum keeps all
     assert 75 <= comp["b"] <= 125    # ~100 at rate 0.25 of 400
+
+
+def test_corpus_dsir_quota_buckets_subcommands(spark, tmp_path, capsys):
+    """The round-5 selection stages: dsir appends importance weights,
+    quota caps docs per group, buckets appends perplexity buckets."""
+    import jobs.corpus_pipeline as cp
+
+    rows = [(i, "en" if i < 12 else "de",
+             ("alpha beta common" if i < 12 else "gamma delta common"))
+            for i in range(20)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "lang", "text"]).write.parquet(src)
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    s = run(["dsir", "--input", src, "--output", str(tmp_path / "w"),
+             "--target-col", "lang", "--target-value", "en"])
+    assert s["rows_out"] == 20
+    got = {r["doc_id"]: r["log_ratio"]
+           for r in spark.read.parquet(str(tmp_path / "w")).collect()}
+    assert got[0] > got[19]  # target-vocabulary docs outscore off-target
+
+    s = run(["quota", "--input", src, "--output", str(tmp_path / "q"),
+             "--group-col", "lang", "--k", "3"])
+    assert s["rows_out"] == 6
+    caps = spark.read.parquet(str(tmp_path / "q")).groupBy("lang").count()
+    assert {r["count"] for r in caps.collect()} == {3}
+    # output keeps the input schema, no helper columns
+    assert set(spark.read.parquet(str(tmp_path / "q")).columns) == {
+        "doc_id", "lang", "text"}
+
+    s = run(["buckets", "--input", src, "--output", str(tmp_path / "b"),
+             "--n-buckets", "2"])
+    assert s["rows_out"] == 20
+    bdf = spark.read.parquet(str(tmp_path / "b"))
+    assert {r["bucket"] for r in bdf.collect()} <= {1, 2}
+    # exact ntile twin also runs end-to-end
+    s = run(["buckets", "--input", src, "--output", str(tmp_path / "b2"),
+             "--exact"])
+    assert s["rows_out"] == 20
