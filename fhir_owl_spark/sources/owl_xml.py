@@ -310,6 +310,7 @@ def _classify_defined_members(
     negation_uses: set[tuple[str, str, str]] = frozenset(),
     hasvalue_uses: set[tuple[str, str, str]] = frozenset(),
     inverse_pairs: set[tuple[str, str]] = frozenset(),
+    chain_axioms: set[tuple[tuple[str, ...], str]] = frozenset(),
 ) -> list[tuple[str, str]]:
     """Told-slice defined-class MEMBERSHIP classification — the told
     slice of what the reference's reasoner (ELK/JFact, loaded at
@@ -428,6 +429,35 @@ def _classify_defined_members(
     changed = True
     while changed:
         changed = False
+        # told property-chain slice (round-5): p1∘…∘pk ⊑ r
+        # (owl:propertyChainAxiom; owl:TransitiveProperty arrives as
+        # r∘r ⊑ r). If X's told closure forces a successor path
+        # X —p1'→ F1 —p2'→ … —pk'→ Fk with every pi' ⊑* pi (each step's
+        # existential asserted on the current filler or a told ancestor
+        # of it), then every X-instance has an r-successor in Fk:
+        # X ⊑ ∃r.Fk. Derived facts join exist_of/exist_any, so they can
+        # satisfy existential body conjuncts AND seed further chain steps
+        # — the same while-loop runs both to a joint fixpoint. Sound:
+        # each added fact is entailed by the asserted axioms alone.
+        if chain_axioms:
+            for chain, r in chain_axioms:
+                for x in class_iris:
+                    frontier = {x}
+                    for step in chain:
+                        nxt: set[str] = set()
+                        for cur in frontier:
+                            for y in anc(cur):
+                                for p_have, f_have in exist_of[y]:
+                                    if step in anc(p_have):
+                                        nxt.add(f_have)
+                        frontier = nxt
+                        if not frontier:
+                            break
+                    for g in frontier:
+                        if (r, g) not in exist_of[x]:
+                            exist_of[x].add((r, g))
+                            exist_any[x].add((r, g))
+                            changed = True
         for x in class_iris:
             a = anc(x)
             own_exists = set().union(*(exist_of[y] for y in a))
@@ -988,18 +1018,46 @@ def parse_owl_xml(
     # hierarchy when matching existential bodies.
     inverse_tag = f"{{{OWL_NS}}}inverseOf"
     subprop_tag = f"{{{RDFS_NS}}}subPropertyOf"
+    # told property-chain slice (round-5): owl:propertyChainAxiom on a
+    # property r holds the ORDERED chain p1…pk with meaning
+    # p1∘…∘pk ⊑ r; owl:TransitiveProperty r is exactly r∘r ⊑ r (both
+    # element form and rdf:type form). NAMED chain members only — a
+    # chain containing an anonymous/inverse expression is skipped whole
+    # (sound abstention), never partially read.
+    chain_tag = f"{{{OWL_NS}}}propertyChainAxiom"
+    transitive_prop_tag = f"{{{OWL_NS}}}TransitiveProperty"
+    rdf_type_tag = f"{{{RDF_NS}}}type"
     inverse_pairs: set[tuple[str, str]] = set()
     prop_sub_edges: set[tuple[str, str]] = set()
+    chain_axioms: set[tuple[tuple[str, ...], str]] = set()
     for el in root.iter():
         about = el.get(_ABOUT)
         if about is None:
             continue
+        if el.tag == transitive_prop_tag:
+            chain_axioms.add(((about, about), about))
         for c in el:
             if c.tag == inverse_tag and c.get(_RESOURCE):
                 pair = (about, c.get(_RESOURCE))
                 inverse_pairs.add((min(pair), max(pair)))
             elif c.tag == subprop_tag and c.get(_RESOURCE):
                 prop_sub_edges.add((about, c.get(_RESOURCE)))
+            elif (
+                c.tag == rdf_type_tag
+                and c.get(_RESOURCE) == OWL_NS + "TransitiveProperty"
+            ):
+                chain_axioms.add(((about, about), about))
+            elif c.tag == chain_tag:
+                members: list[str] = []
+                all_named = True
+                for m in c:
+                    if m.get(_ABOUT):
+                        members.append(m.get(_ABOUT))
+                    else:
+                        all_named = False
+                        break
+                if all_named and len(members) >= 2:
+                    chain_axioms.add((tuple(members), about))
 
     class_iris = {i for i, k in kind_of.items() if k == class_tag}
 
@@ -1020,6 +1078,7 @@ def parse_owl_xml(
             negation_uses,
             hasvalue_uses,
             inverse_pairs,
+            chain_axioms,
         ):
             ont.edge(c, p)
             children.add(c)

@@ -1805,3 +1805,369 @@ class TestInverseSliceProperty:
             )
 
         check()
+
+
+class TestPropertyChainSlice:
+    """Told owl:propertyChainAxiom / owl:TransitiveProperty slice
+    (round-5): p1∘…∘pk ⊑ r lets the classifier derive X ⊑ ∃r.G from a
+    told existential successor path X —p1'→ F1 —…—pk'→ G with each
+    pi' ⊑* pi. Sound additions only; the pizza/duo membership suites
+    above are the no-change regression gate."""
+
+    NS = "http://ex/ch#"
+
+    def _chain_doc(self, with_chain: bool, sub_step: bool = False) -> str:
+        """Pizza ⊑ ∃t(.Sub)?.Cheese, Cheese ⊑ ∃i.Milk, chain t∘i ⊑ r,
+        D ≡ ∃r.Milk."""
+        ns = self.NS
+        chain = (
+            '<owl:propertyChainAxiom rdf:parseType="Collection">'
+            f'<owl:ObjectProperty rdf:about="{ns}t"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}i"/>'
+            "</owl:propertyChainAxiom>"
+        ) if with_chain else ""
+        t_used = "tSub" if sub_step else "t"
+        return (
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/ch"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}t"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}tSub">'
+            f'<rdfs:subPropertyOf rdf:resource="{ns}t"/></owl:ObjectProperty>'
+            f'<owl:ObjectProperty rdf:about="{ns}i"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}r">{chain}</owl:ObjectProperty>'
+            f'<owl:Class rdf:about="{ns}Milk"><rdfs:label>Milk</rdfs:label></owl:Class>'
+            f'<owl:Class rdf:about="{ns}Cheese"><rdfs:label>Cheese</rdfs:label>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}i"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}Milk"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            f'<owl:Class rdf:about="{ns}Pizza"><rdfs:label>Pizza</rdfs:label>'
+            "<rdfs:subClassOf><owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}{t_used}"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}Cheese"/>'
+            "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            f'<owl:Class rdf:about="{ns}D"><rdfs:label>D</rdfs:label>'
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:intersectionOf rdf:parseType="Collection">'
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}r"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}Milk"/>'
+            "</owl:Restriction>"
+            "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+            "</rdf:RDF>"
+        )
+
+    def _short_edges(self, path):
+        parsed = parse_owl_xml(str(path))
+        return {(e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+                for e in parsed.tables.edges}
+
+    def test_chain_membership(self, tmp_path):
+        """Pizza ⊑ ∃t.Cheese ⊓ (Cheese ⊑ ∃i.Milk) + t∘i ⊑ r classifies
+        Pizza under D ≡ ∃r.Milk."""
+        f = tmp_path / "ch.owl"
+        f.write_text(self._chain_doc(with_chain=True))
+        assert ("Pizza", "D") in self._short_edges(f)
+
+    def test_chain_membership_through_subproperty_step(self, tmp_path):
+        """The chain fires when Pizza's told existential uses tSub ⊑ t —
+        each chain step matches any told SUBproperty of it."""
+        f = tmp_path / "chs.owl"
+        f.write_text(self._chain_doc(with_chain=True, sub_step=True))
+        assert ("Pizza", "D") in self._short_edges(f)
+
+    def test_no_chain_no_membership(self, tmp_path):
+        """Control: identical ontology without the propertyChainAxiom
+        must NOT classify Pizza under D (r is an unrelated property)."""
+        f = tmp_path / "chn.owl"
+        f.write_text(self._chain_doc(with_chain=False))
+        edges = self._short_edges(f)
+        assert ("Pizza", "D") not in edges
+        assert ("Cheese", "D") not in edges
+
+    def _transitive_doc(self, form: str) -> str:
+        """X ⊑ ∃g.A, A ⊑ ∃g.B, B ⊑ ∃g.C, g transitive, D ≡ ∃g.C —
+        needs TWO chain applications (derived fact seeds the next)."""
+        ns = self.NS
+        if form == "element":
+            prop = f'<owl:TransitiveProperty rdf:about="{ns}g"/>'
+        elif form == "type":
+            prop = (
+                f'<owl:ObjectProperty rdf:about="{ns}g">'
+                '<rdf:type rdf:resource='
+                '"http://www.w3.org/2002/07/owl#TransitiveProperty"/>'
+                "</owl:ObjectProperty>"
+            )
+        else:  # control: plain property
+            prop = f'<owl:ObjectProperty rdf:about="{ns}g"/>'
+        def ex(c, filler):
+            return (
+                f'<owl:Class rdf:about="{ns}{c}"><rdfs:label>{c}</rdfs:label>'
+                "<rdfs:subClassOf><owl:Restriction>"
+                f'<owl:onProperty rdf:resource="{ns}g"/>'
+                f'<owl:someValuesFrom rdf:resource="{ns}{filler}"/>'
+                "</owl:Restriction></rdfs:subClassOf></owl:Class>"
+            )
+        return (
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+            '<owl:Ontology rdf:about="http://ex/ch"/>'
+            + prop
+            + f'<owl:Class rdf:about="{ns}C"><rdfs:label>C</rdfs:label></owl:Class>'
+            + ex("X", "A") + ex("A", "B") + ex("B", "C")
+            + f'<owl:Class rdf:about="{ns}D"><rdfs:label>D</rdfs:label>'
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:intersectionOf rdf:parseType="Collection">'
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}g"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}C"/>'
+            "</owl:Restriction>"
+            "</owl:intersectionOf></owl:Class></owl:equivalentClass></owl:Class>"
+            "</rdf:RDF>"
+        )
+
+    @pytest.mark.parametrize("form", ["element", "type"])
+    def test_transitive_multi_hop(self, tmp_path, form):
+        """Transitivity = g∘g ⊑ g; the 3-hop path X→A→B→C needs the
+        DERIVED ∃g.C fact to come from a previously-derived ∃g.B — the
+        chain and membership fixpoints must run jointly."""
+        f = tmp_path / f"tr_{form}.owl"
+        f.write_text(self._transitive_doc(form))
+        edges = self._short_edges(f)
+        assert ("X", "D") in edges
+        assert ("A", "D") in edges  # A→B→C two-hop
+        assert ("B", "D") in edges  # told one-hop ∃g.C
+        assert ("C", "D") not in edges  # C has no told g-successor
+
+    def test_not_transitive_control(self, tmp_path):
+        f = tmp_path / "tr_none.owl"
+        f.write_text(self._transitive_doc("none"))
+        edges = self._short_edges(f)
+        assert ("X", "D") not in edges
+        assert ("A", "D") not in edges
+        assert ("B", "D") in edges  # the told direct fact still classifies
+
+
+class TestChainSliceProperty:
+    """Property-based check of chain-saturated membership classification
+    on RANDOM ontologies vs an independent fixpoint model extended with
+    the chain rule (mirrors TestInverseSliceProperty's done-criterion)."""
+
+    NS = "http://ex/cp#"
+
+    def _render(self, n, edges, prop_edges, chains, exists, bodies) -> str:
+        ns = self.NS
+        parts = [
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+            '<owl:Ontology rdf:about="http://ex/cp"/>',
+        ]
+        all_props = sorted(
+            {p for p, _ in prop_edges} | {q for _, q in prop_edges}
+            | {p for ch, _ in chains for p in ch} | {r for _, r in chains}
+            | {p for _, p, _ in exists}
+            | {p for b in bodies.values() for p, _ in b[1]}
+        )
+        for pr in all_props:
+            body = []
+            for c, p in prop_edges:
+                if c == pr:
+                    body.append(f'<rdfs:subPropertyOf rdf:resource="{ns}{p}"/>')
+            for ch, r in chains:
+                if r == pr:
+                    body.append(
+                        '<owl:propertyChainAxiom rdf:parseType="Collection">'
+                        + "".join(
+                            f'<owl:ObjectProperty rdf:about="{ns}{m}"/>'
+                            for m in ch
+                        )
+                        + "</owl:propertyChainAxiom>"
+                    )
+            parts.append(
+                f'<owl:ObjectProperty rdf:about="{ns}{pr}">'
+                + "".join(body) + "</owl:ObjectProperty>"
+            )
+        for i in range(n):
+            body = [f"<rdfs:label>c{i}</rdfs:label>"]
+            for c, p in edges:
+                if c == i:
+                    body.append(f'<rdfs:subClassOf rdf:resource="{ns}C{p}"/>')
+            for c, prop, filler in exists:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf><owl:Restriction>"
+                        f'<owl:onProperty rdf:resource="{ns}{prop}"/>'
+                        f'<owl:someValuesFrom rdf:resource="{ns}C{filler}"/>'
+                        "</owl:Restriction></rdfs:subClassOf>"
+                    )
+            if i in bodies:
+                named, ex = bodies[i]
+                members = [
+                    f'<rdf:Description rdf:about="{ns}C{m}"/>' for m in named
+                ] + [
+                    "<owl:Restriction>"
+                    f'<owl:onProperty rdf:resource="{ns}{p}"/>'
+                    f'<owl:someValuesFrom rdf:resource="{ns}C{f}"/>'
+                    "</owl:Restriction>"
+                    for p, f in ex
+                ]
+                body.append(
+                    "<owl:equivalentClass><owl:Class>"
+                    '<owl:intersectionOf rdf:parseType="Collection">'
+                    + "".join(members)
+                    + "</owl:intersectionOf></owl:Class></owl:equivalentClass>"
+                )
+            parts.append(
+                f'<owl:Class rdf:about="{ns}C{i}">' + "".join(body) + "</owl:Class>"
+            )
+        parts.append("</rdf:RDF>")
+        return "".join(parts)
+
+    @staticmethod
+    def _model(n, edges, prop_edges, chains, exists, bodies):
+        """Independent fixpoint with the chain rule: for p1∘…∘pk ⊑ r,
+        a told successor path through sub-properties of each step adds
+        (r, last-filler) to the class's exists facts; run jointly with
+        membership to fixpoint."""
+        from collections import defaultdict
+
+        panc_edges = defaultdict(set)
+        for c, p in prop_edges:
+            panc_edges[c].add(p)
+
+        def preach(p):
+            out, todo = {p}, [p]
+            while todo:
+                for q in panc_edges[todo.pop()]:
+                    if q not in out:
+                        out.add(q)
+                        todo.append(q)
+            return out
+
+        parents = defaultdict(set)
+        for c, p in edges:
+            parents[c].add(p)
+        have = defaultdict(set)
+        for c, p, f in exists:
+            have[c].add((p, f))
+        for d, (named, ex) in bodies.items():
+            parents[d].update(named)
+            have[d].update(ex)
+
+        def anc(i):
+            out, todo = {i}, [i]
+            while todo:
+                for p in parents[todo.pop()]:
+                    if p not in out:
+                        out.add(p)
+                        todo.append(p)
+            return out
+
+        told_anc = {x: anc(x) for x in range(n)}
+        changed = True
+        while changed:
+            changed = False
+            for ch, r in chains:
+                for x in range(n):
+                    frontier = {x}
+                    for step in ch:
+                        frontier = {
+                            f for cur in frontier for y in anc(cur)
+                            for p, f in have[y] if step in preach(p)
+                        }
+                        if not frontier:
+                            break
+                    for g in frontier:
+                        if (r, g) not in have[x]:
+                            have[x].add((r, g))
+                            changed = True
+            for d, (named, ex) in bodies.items():
+                for x in range(n):
+                    a = anc(x)
+                    if x == d or d in a:
+                        continue
+                    mine = set().union(*(have[y] for y in a))
+                    ok = all(m in a for m in named) and all(
+                        any(p_req in preach(p_have) and f_req in anc(f_have)
+                            for p_have, f_have in mine)
+                        for p_req, f_req in ex
+                    )
+                    if ok:
+                        parents[x].add(d)
+                        changed = True
+        return {
+            (x, d)
+            for x in range(n)
+            for d in bodies
+            if d != x and d in anc(x) and d not in told_anc[x]
+        }
+
+    def test_property_random_graphs(self, tmp_path):
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ns = self.NS
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 10**9))
+        def check(seed):
+            rng = _random.Random(seed)
+            n = rng.randint(4, 8)
+            edges = [
+                (i, rng.randrange(i)) for i in range(1, n) if rng.random() < 0.5
+            ]
+            n_base = rng.randint(2, 4)
+            pool = [f"p{i}" for i in range(n_base)]
+            prop_edges = [
+                (pool[i], pool[rng.randrange(i)])
+                for i in range(1, n_base) if rng.random() < 0.5
+            ]
+            chains = []
+            for _ in range(rng.randint(1, 2)):
+                k = rng.choice([2, 2, 3])
+                ch = tuple(rng.choice(pool) for _ in range(k))
+                chains.append((ch, rng.choice(pool)))
+            # transitivity shows up as (p, p) ⊑ p half the time
+            if rng.random() < 0.5:
+                p = rng.choice(pool)
+                chains.append(((p, p), p))
+            exists = [
+                (rng.randrange(n), rng.choice(pool), rng.randrange(n))
+                for _ in range(rng.randint(1, 5))
+            ]
+            bodies = {}
+            for _ in range(rng.randint(1, 3)):
+                d = rng.randrange(n)
+                named = rng.sample([i for i in range(n) if i != d],
+                                   rng.randint(0, 1))
+                ex = [
+                    (rng.choice(pool), rng.randrange(n))
+                    for _ in range(rng.randint(0, 2))
+                ]
+                if named or ex:
+                    bodies[d] = (named, ex)
+            xml = self._render(n, edges, prop_edges, chains, exists, bodies)
+            f = tmp_path / f"cp{seed}.owl"
+            f.write_text(xml)
+            parsed = parse_owl_xml(str(f), include_object_properties=False)
+            got = {
+                (e["child_iri"], e["parent_iri"])
+                for e in parsed.tables.edges
+            }
+            want_base = {(f"{ns}C{c}", f"{ns}C{p}") for c, p in edges}
+            for d, (named, _) in bodies.items():
+                want_base |= {(f"{ns}C{d}", f"{ns}C{m}") for m in named}
+            want_inferred = {
+                (f"{ns}C{x}", f"{ns}C{d}")
+                for x, d in self._model(n, edges, prop_edges, chains,
+                                        exists, bodies)
+            }
+            assert got == want_base | want_inferred, seed
+
+        check()
