@@ -245,13 +245,16 @@ def _negated_existential_of(class_el) -> tuple[str, str] | None:
     return (prop, filler) if prop and filler else None
 
 
-def _body_existential(rest_el) -> tuple[str, str] | None:
+def _body_existential(rest_el) -> tuple | None:
     """Parse a Restriction appearing as a DEFINED-CLASS BODY conjunct into
-    the strict existential form ∃p.F (named filler) that told logic can
-    check for membership: someValuesFrom with a named class, or
-    min(Qualified)Cardinality == 1 with a named onClass. Anything else —
-    allValuesFrom, hasValue, exact/max cardinality, min ≥ 2, anonymous
-    fillers — returns None: a told ∃p'.F' cannot witness those, so the
+    an existential form ∃p.req that told logic can check for membership:
+    someValuesFrom with a named class (req = the IRI string), or
+    min(Qualified)Cardinality == 1 with a named onClass, or — since the
+    round-5 nested-restriction slice — someValuesFrom over an anonymous
+    positive-existential filler (req = a _parse_filler tree: and/or of
+    named classes and nested ∃). Anything else — allValuesFrom, hasValue,
+    exact/max cardinality, min ≥ 2, fillers outside the positive
+    fragment — returns None: a told ∃p'.F' cannot witness those, so the
     whole body becomes ineligible for membership inference (sound:
     we only ever SKIP inferences)."""
     prop = None
@@ -265,10 +268,16 @@ def _body_existential(rest_el) -> tuple[str, str] | None:
         if local == "onProperty":
             prop = c.get(_RESOURCE)
         elif local == "someValuesFrom":
-            if not c.get(_RESOURCE):
-                return None  # anonymous filler
+            if c.get(_RESOURCE):
+                filler = c.get(_RESOURCE)
+            else:  # anonymous filler: positive-existential tree or abstain
+                kids = list(c)
+                if len(kids) != 1:
+                    return None
+                filler = _parse_filler(kids[0])
+                if filler is None:
+                    return None
             has_some = True
-            filler = c.get(_RESOURCE)
         elif local == "onClass":
             if not c.get(_RESOURCE):
                 return None
@@ -282,6 +291,59 @@ def _body_existential(rest_el) -> tuple[str, str] | None:
             min_one = True
     if prop and filler and (has_some or min_one):
         return (prop, filler)
+    return None
+
+
+def _parse_filler(el):
+    """Requirement tree for an ANONYMOUS existential filler appearing in
+    a defined-class body (round-5 nested-restriction slice): what must
+    hold of the successor for the conjunct to be satisfied.
+
+      'iri'                — named class: successor told-under iri
+      ('and', (req, …))    — intersectionOf: every sub-requirement
+      ('or',  (req, …))    — unionOf: some sub-requirement
+      ('some', q, req)     — nested ∃q.(…): the successor itself has a
+                             told existential ∃q'.G with q' ⊑* q and G
+                             satisfying req
+
+    Anything outside this positive-existential fragment (universals,
+    complements, cardinalities, hasValue, data ranges) returns None —
+    the caller then abstains on the WHOLE body, so no unsound edge is
+    ever emitted (same discipline as _body_existential)."""
+    if el.get(_ABOUT):
+        return el.get(_ABOUT)
+    if el.tag == f"{{{OWL_NS}}}Restriction":
+        prop = None
+        sub = None
+        saw_some = False
+        for c in el:
+            local = c.tag.rsplit("}", 1)[-1]
+            if local == "onProperty":
+                prop = c.get(_RESOURCE)
+            elif local == "someValuesFrom":
+                saw_some = True
+                if c.get(_RESOURCE):
+                    sub = c.get(_RESOURCE)
+                else:
+                    kids = list(c)
+                    if len(kids) == 1:
+                        sub = _parse_filler(kids[0])
+            else:
+                return None
+        return ("some", prop, sub) if prop and saw_some and sub else None
+    if el.tag in (f"{{{OWL_NS}}}Class", f"{{{RDF_NS}}}Description"):
+        for c in el:
+            if c.tag == f"{{{OWL_NS}}}intersectionOf":
+                subs = tuple(_parse_filler(m) for m in c)
+                if subs and all(s is not None for s in subs):
+                    return ("and", subs)
+                return None
+            if c.tag == f"{{{OWL_NS}}}unionOf":
+                subs = tuple(_parse_filler(m) for m in c)
+                if subs and all(s is not None for s in subs):
+                    return ("or", subs)
+                return None
+        return None
     return None
 
 
@@ -320,7 +382,10 @@ def _classify_defined_members(
 
       * named N:            N ∈ anc(X);
       * existential ∃p.F:   some told ∃p'.F' on X or a told ancestor,
-        with p' ⊑* p (told property hierarchy) and F' ⊑* F;
+        with p' ⊑* p (told property hierarchy) and F' ⊑* F; F may also
+        be an anonymous positive-existential tree (and/or of named
+        classes, nested ∃q.(…) — round-5 nested-restriction slice),
+        checked recursively against F' by ``filler_sat``;
       * universal ∀p.(C₁∪…): some told ∀p'.(D₁∪…) on X or an ancestor
         with p ⊑* p' (X's p-successors are p'-successors) and every Dᵢ
         told-subsumed by some Cⱼ;
@@ -425,6 +490,29 @@ def _classify_defined_members(
             (min(x, y), max(x, y)) in disjoint_pairs for x in aa for y in ab
         )
 
+    def filler_sat(f_have: str, req) -> bool:
+        """Does the NAMED told filler f_have satisfy an existential-body
+        filler requirement (round-5 nested-restriction slice)? req is a
+        named IRI (told subsumption, the pre-round-5 behavior) or a
+        _parse_filler tree — and/or over sub-requirements, or a nested
+        ('some', q, sub) needing a told ∃q'.G on f_have or a told
+        ancestor with q' ⊑* q and G satisfying sub. Evaluated inside the
+        fixpoint loop, so inferred class edges and chain-derived
+        existential facts sharpen it across iterations."""
+        if isinstance(req, str):
+            return req in anc(f_have)
+        kind = req[0]
+        if kind == "and":
+            return all(filler_sat(f_have, s) for s in req[1])
+        if kind == "or":
+            return any(filler_sat(f_have, s) for s in req[1])
+        q_req, sub = req[1], req[2]  # ("some", q, sub)
+        return any(
+            q_req in anc(q_have) and filler_sat(g_have, sub)
+            for y in anc(f_have)
+            for q_have, g_have in exist_of[y]
+        )
+
     told_anc = {x: anc(x) for x in class_iris}
     changed = True
     while changed:
@@ -474,7 +562,8 @@ def _classify_defined_members(
                         elif kind == "exists":
                             p_req, f_req = rest
                             if not any(
-                                p_req in anc(p_have) and f_req in anc(f_have)
+                                p_req in anc(p_have)
+                                and filler_sat(f_have, f_req)
                                 for p_have, f_have in own_exists
                             ):
                                 ok = False

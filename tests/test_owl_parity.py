@@ -2171,3 +2171,504 @@ class TestChainSliceProperty:
             assert got == want_base | want_inferred, seed
 
         check()
+
+
+class TestNestedBodySlice:
+    """Told nested-restriction slice (round-5): defined-class body
+    conjuncts ∃p.(anonymous filler) where the filler is a POSITIVE
+    existential tree — intersectionOf / unionOf of named classes and
+    nested someValuesFrom — are now checked recursively against told
+    successors instead of making the whole body abstain. Fillers outside
+    the positive fragment (complement, universal, cardinality) still
+    abstain. The pizza/duo membership suites above are the no-change
+    regression gate (pizza's bodies use only named fillers)."""
+
+    NS = "http://ex/nb#"
+
+    HEAD = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+        'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+        '<owl:Ontology rdf:about="http://ex/nb"/>'
+    )
+
+    def _props(self) -> str:
+        ns = self.NS
+        return (
+            f'<owl:ObjectProperty rdf:about="{ns}h"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}hSub">'
+            f'<rdfs:subPropertyOf rdf:resource="{ns}h"/></owl:ObjectProperty>'
+            f'<owl:ObjectProperty rdf:about="{ns}g"/>'
+            f'<owl:ObjectProperty rdf:about="{ns}gSub">'
+            f'<rdfs:subPropertyOf rdf:resource="{ns}g"/></owl:ObjectProperty>'
+        )
+
+    def _cls(self, name: str, *body: str) -> str:
+        return (
+            f'<owl:Class rdf:about="{self.NS}{name}">'
+            f"<rdfs:label>{name}</rdfs:label>" + "".join(body) + "</owl:Class>"
+        )
+
+    def _sub(self, parent: str) -> str:
+        return f'<rdfs:subClassOf rdf:resource="{self.NS}{parent}"/>'
+
+    def _sub_exists(self, prop: str, filler: str) -> str:
+        ns = self.NS
+        return (
+            "<rdfs:subClassOf><owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}{prop}"/>'
+            f'<owl:someValuesFrom rdf:resource="{ns}{filler}"/>'
+            "</owl:Restriction></rdfs:subClassOf>"
+        )
+
+    def _defined(self, named: str, prop: str, filler_xml: str) -> str:
+        """D ≡ named ⊓ ∃prop.(filler_xml) as an equivalentClass body."""
+        ns = self.NS
+        return (
+            "<owl:equivalentClass><owl:Class>"
+            '<owl:intersectionOf rdf:parseType="Collection">'
+            f'<rdf:Description rdf:about="{ns}{named}"/>'
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}{prop}"/>'
+            f"<owl:someValuesFrom>{filler_xml}</owl:someValuesFrom>"
+            "</owl:Restriction>"
+            "</owl:intersectionOf></owl:Class></owl:equivalentClass>"
+        )
+
+    def _and_of(self, *names: str) -> str:
+        ns = self.NS
+        return (
+            '<owl:Class><owl:intersectionOf rdf:parseType="Collection">'
+            + "".join(f'<rdf:Description rdf:about="{ns}{n}"/>' for n in names)
+            + "</owl:intersectionOf></owl:Class>"
+        )
+
+    def _or_of(self, *names: str) -> str:
+        ns = self.NS
+        return (
+            '<owl:Class><owl:unionOf rdf:parseType="Collection">'
+            + "".join(f'<rdf:Description rdf:about="{ns}{n}"/>' for n in names)
+            + "</owl:unionOf></owl:Class>"
+        )
+
+    def _some_of(self, prop: str, inner_xml: str | None = None,
+                 named: str | None = None) -> str:
+        ns = self.NS
+        if named is not None:
+            sv = f'<owl:someValuesFrom rdf:resource="{ns}{named}"/>'
+        else:
+            sv = f"<owl:someValuesFrom>{inner_xml}</owl:someValuesFrom>"
+        return (
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}{prop}"/>{sv}'
+            "</owl:Restriction>"
+        )
+
+    def _edges(self, doc: str, tmp_path) -> set[tuple[str, str]]:
+        f = tmp_path / "nb.owl"
+        f.write_text(doc + "</rdf:RDF>")
+        parsed = parse_owl_xml(str(f), include_object_properties=False)
+        return {
+            (e["child_iri"].split("#")[-1], e["parent_iri"].split("#")[-1])
+            for e in parsed.tables.edges
+        }
+
+    def _base(self, f_parents: tuple[str, ...] = ("A", "B"),
+              defined_body: str = "") -> str:
+        """Base ⊑ ∃hSub.F with F under f_parents; D ≡ Base ⊓ body."""
+        return (
+            self.HEAD + self._props()
+            + self._cls("A") + self._cls("B") + self._cls("C")
+            + self._cls("Base", self._sub_exists("hSub", "F"))
+            + self._cls("F", *(self._sub(p) for p in f_parents))
+            + self._cls("D", self._sub("Base"), defined_body)
+        )
+
+    def test_and_filler_member(self, tmp_path):
+        doc = self._base(("A", "B"),
+                         self._defined("Base", "h", self._and_of("A", "B")))
+        assert ("Base", "D") in self._edges(doc, tmp_path)
+
+    def test_and_filler_non_member(self, tmp_path):
+        doc = self._base(("A",),
+                         self._defined("Base", "h", self._and_of("A", "B")))
+        assert ("Base", "D") not in self._edges(doc, tmp_path)
+
+    def test_or_filler_member(self, tmp_path):
+        doc = self._base(("B",),
+                         self._defined("Base", "h", self._or_of("A", "B")))
+        assert ("Base", "D") in self._edges(doc, tmp_path)
+
+    def test_or_filler_non_member(self, tmp_path):
+        doc = self._base(("C",),
+                         self._defined("Base", "h", self._or_of("A", "B")))
+        assert ("Base", "D") not in self._edges(doc, tmp_path)
+
+    def test_nested_some_member(self, tmp_path):
+        """D ≡ Base ⊓ ∃h.(∃g.C): F carries a told ∃gSub.G with G ⊑ C —
+        the nested requirement is witnessed through BOTH subproperty
+        steps and the filler's told subsumption."""
+        doc = (
+            self.HEAD + self._props()
+            + self._cls("C") + self._cls("G", self._sub("C"))
+            + self._cls("Base", self._sub_exists("hSub", "F"))
+            + self._cls("F", self._sub_exists("gSub", "G"))
+            + self._cls("D", self._sub("Base"),
+                        self._defined("Base", "h",
+                                      self._some_of("g", named="C")))
+        )
+        assert ("Base", "D") in self._edges(doc, tmp_path)
+
+    def test_nested_some_via_filler_ancestor(self, tmp_path):
+        """The nested existential may be told on an ANCESTOR of the
+        successor: F ⊑ FA and FA ⊑ ∃g.C still witnesses ∃h.(∃g.C)."""
+        doc = (
+            self.HEAD + self._props()
+            + self._cls("C")
+            + self._cls("FA", self._sub_exists("g", "C"))
+            + self._cls("Base", self._sub_exists("h", "F"))
+            + self._cls("F", self._sub("FA"))
+            + self._cls("D", self._sub("Base"),
+                        self._defined("Base", "h",
+                                      self._some_of("g", named="C")))
+        )
+        assert ("Base", "D") in self._edges(doc, tmp_path)
+
+    def test_depth_two_tree(self, tmp_path):
+        """D ≡ Base ⊓ ∃h.(A ⊓ ∃g.(B ∪ C)): and-over-nested-some-over-or,
+        witnessed by F ⊑ A with told ∃g.G, G ⊑ C."""
+        tree = (
+            '<owl:Class><owl:intersectionOf rdf:parseType="Collection">'
+            f'<rdf:Description rdf:about="{self.NS}A"/>'
+            + self._some_of("g", inner_xml=self._or_of("B", "C"))
+            + "</owl:intersectionOf></owl:Class>"
+        )
+        doc = (
+            self.HEAD + self._props()
+            + self._cls("A") + self._cls("B") + self._cls("C")
+            + self._cls("G", self._sub("C"))
+            + self._cls("Base", self._sub_exists("h", "F"))
+            + self._cls("F", self._sub("A"), self._sub_exists("g", "G"))
+            + self._cls("D", self._sub("Base"),
+                        self._defined("Base", "h", tree))
+        )
+        assert ("Base", "D") in self._edges(doc, tmp_path)
+
+    def test_depth_two_tree_non_member(self, tmp_path):
+        """Same body, but G lands outside the inner union ⇒ abstain from
+        membership (no unsound edge)."""
+        tree = (
+            '<owl:Class><owl:intersectionOf rdf:parseType="Collection">'
+            f'<rdf:Description rdf:about="{self.NS}A"/>'
+            + self._some_of("g", inner_xml=self._or_of("B", "C"))
+            + "</owl:intersectionOf></owl:Class>"
+        )
+        doc = (
+            self.HEAD + self._props()
+            + self._cls("A") + self._cls("B") + self._cls("C")
+            + self._cls("G")  # NOT under B or C
+            + self._cls("Base", self._sub_exists("h", "F"))
+            + self._cls("F", self._sub("A"), self._sub_exists("g", "G"))
+            + self._cls("D", self._sub("Base"),
+                        self._defined("Base", "h", tree))
+        )
+        assert ("Base", "D") not in self._edges(doc, tmp_path)
+
+    def test_non_positive_filler_abstains(self, tmp_path):
+        """A complementOf inside the filler is outside the positive
+        fragment: the WHOLE body abstains even though every other part
+        matches — and the parse itself stays clean."""
+        ns = self.NS
+        tree = (
+            "<owl:Class>"
+            f'<owl:complementOf rdf:resource="{ns}C"/>'
+            "</owl:Class>"
+        )
+        doc = self._base(("A", "B"), self._defined("Base", "h", tree))
+        assert ("Base", "D") not in self._edges(doc, tmp_path)
+
+    def test_universal_inside_filler_abstains(self, tmp_path):
+        """∀ nested inside the filler tree likewise abstains."""
+        ns = self.NS
+        tree = (
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}g"/>'
+            f'<owl:allValuesFrom rdf:resource="{ns}C"/>'
+            "</owl:Restriction>"
+        )
+        doc = self._base(("A", "B"), self._defined("Base", "h", tree))
+        assert ("Base", "D") not in self._edges(doc, tmp_path)
+
+    def test_chain_derived_fact_witnesses_tree(self, tmp_path):
+        """Interplay: a propertyChainAxiom-derived existential fact
+        (t∘i ⊑ r gives Pizza a told ∃r.Milk) witnesses an and-tree body
+        D ≡ ∃r.(M1 ⊓ M2) with Milk ⊑ M1, M2 — the two round-5 slices
+        compose inside one fixpoint."""
+        ns = self.NS
+        doc = (
+            self.HEAD
+            + f'<owl:ObjectProperty rdf:about="{ns}t"/>'
+            + f'<owl:ObjectProperty rdf:about="{ns}i"/>'
+            + f'<owl:ObjectProperty rdf:about="{ns}r">'
+            + '<owl:propertyChainAxiom rdf:parseType="Collection">'
+            + f'<owl:ObjectProperty rdf:about="{ns}t"/>'
+            + f'<owl:ObjectProperty rdf:about="{ns}i"/>'
+            + "</owl:propertyChainAxiom></owl:ObjectProperty>"
+            + self._cls("M1") + self._cls("M2")
+            + self._cls("Milk", self._sub("M1"), self._sub("M2"))
+            + self._cls("Cheese", self._sub_exists("i", "Milk"))
+            + self._cls("Pizza", self._sub_exists("t", "Cheese"))
+            + self._cls("D", self._defined("Pizza", "r",
+                                           self._and_of("M1", "M2")))
+        )
+        assert ("Pizza", "D") in self._edges(doc, tmp_path)
+
+
+class TestNestedBodyProperty:
+    """Property-based check of nested-filler membership classification
+    on RANDOM ontologies vs an independent fixpoint model implementing
+    the same positive-existential-tree semantics (mirrors the other
+    slice property suites' done-criterion)."""
+
+    NS = "http://ex/np#"
+
+    def _render_tree(self, tree) -> str:
+        ns = self.NS
+        if isinstance(tree, int):
+            return f'<rdf:Description rdf:about="{ns}C{tree}"/>'
+        kind = tree[0]
+        if kind in ("and", "or"):
+            tag = "intersectionOf" if kind == "and" else "unionOf"
+            return (
+                f'<owl:Class><owl:{tag} rdf:parseType="Collection">'
+                + "".join(self._render_tree(s) for s in tree[1])
+                + f"</owl:{tag}></owl:Class>"
+            )
+        _, prop, sub = tree  # ("some", p, sub)
+        if isinstance(sub, int):
+            sv = f'<owl:someValuesFrom rdf:resource="{ns}C{sub}"/>'
+        else:
+            sv = (
+                "<owl:someValuesFrom>" + self._render_tree(sub)
+                + "</owl:someValuesFrom>"
+            )
+        return (
+            "<owl:Restriction>"
+            f'<owl:onProperty rdf:resource="{ns}{prop}"/>{sv}'
+            "</owl:Restriction>"
+        )
+
+    def _render(self, n, edges, prop_edges, exists, bodies) -> str:
+        ns = self.NS
+
+        def tree_props(t):
+            if isinstance(t, int):
+                return set()
+            if t[0] in ("and", "or"):
+                return set().union(*(tree_props(s) for s in t[1]))
+            return {t[1]} | tree_props(t[2])
+
+        parts = [
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+            'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">',
+            '<owl:Ontology rdf:about="http://ex/np"/>',
+        ]
+        all_props = sorted(
+            {p for p, _ in prop_edges} | {q for _, q in prop_edges}
+            | {p for _, p, _ in exists}
+            | set().union(*(
+                {p for p, _ in ex} | set().union(
+                    *(tree_props(t) for _, t in ex), set()
+                )
+                for _, ex in bodies.values()
+            ), set())
+        )
+        for pr in all_props:
+            body = [
+                f'<rdfs:subPropertyOf rdf:resource="{ns}{p}"/>'
+                for c, p in prop_edges if c == pr
+            ]
+            parts.append(
+                f'<owl:ObjectProperty rdf:about="{ns}{pr}">'
+                + "".join(body) + "</owl:ObjectProperty>"
+            )
+        for i in range(n):
+            body = [f"<rdfs:label>c{i}</rdfs:label>"]
+            for c, p in edges:
+                if c == i:
+                    body.append(f'<rdfs:subClassOf rdf:resource="{ns}C{p}"/>')
+            for c, prop, filler in exists:
+                if c == i:
+                    body.append(
+                        "<rdfs:subClassOf><owl:Restriction>"
+                        f'<owl:onProperty rdf:resource="{ns}{prop}"/>'
+                        f'<owl:someValuesFrom rdf:resource="{ns}C{filler}"/>'
+                        "</owl:Restriction></rdfs:subClassOf>"
+                    )
+            if i in bodies:
+                named, ex = bodies[i]
+                members = [
+                    f'<rdf:Description rdf:about="{ns}C{m}"/>' for m in named
+                ] + [
+                    self._render_tree(("some", p, t)) for p, t in ex
+                ]
+                body.append(
+                    "<owl:equivalentClass><owl:Class>"
+                    '<owl:intersectionOf rdf:parseType="Collection">'
+                    + "".join(members)
+                    + "</owl:intersectionOf></owl:Class></owl:equivalentClass>"
+                )
+            parts.append(
+                f'<owl:Class rdf:about="{ns}C{i}">' + "".join(body) + "</owl:Class>"
+            )
+        parts.append("</rdf:RDF>")
+        return "".join(parts)
+
+    @staticmethod
+    def _model(n, edges, prop_edges, exists, bodies):
+        """Independent fixpoint with recursive tree satisfaction."""
+        from collections import defaultdict
+
+        panc_edges = defaultdict(set)
+        for c, p in prop_edges:
+            panc_edges[c].add(p)
+
+        def preach(p):
+            out, todo = {p}, [p]
+            while todo:
+                for q in panc_edges[todo.pop()]:
+                    if q not in out:
+                        out.add(q)
+                        todo.append(q)
+            return out
+
+        parents = defaultdict(set)
+        for c, p in edges:
+            parents[c].add(p)
+        have = defaultdict(set)
+        for c, p, f in exists:
+            have[c].add((p, f))
+        for d, (named, ex) in bodies.items():
+            parents[d].update(named)
+            # the NECESSARY direction of a tree conjunct is not a told
+            # named-filler existential unless the tree is a bare int
+            for p, t in ex:
+                if isinstance(t, int):
+                    have[d].add((p, t))
+
+        def anc(i):
+            out, todo = {i}, [i]
+            while todo:
+                for p in parents[todo.pop()]:
+                    if p not in out:
+                        out.add(p)
+                        todo.append(p)
+            return out
+
+        def sat(f, t):
+            if isinstance(t, int):
+                return t in anc(f)
+            if t[0] == "and":
+                return all(sat(f, s) for s in t[1])
+            if t[0] == "or":
+                return any(sat(f, s) for s in t[1])
+            _, q, sub = t
+            return any(
+                q in preach(p_have) and sat(g, sub)
+                for y in anc(f)
+                for p_have, g in have[y]
+            )
+
+        told_anc = {x: anc(x) for x in range(n)}
+        changed = True
+        while changed:
+            changed = False
+            for d, (named, ex) in bodies.items():
+                for x in range(n):
+                    a = anc(x)
+                    if x == d or d in a:
+                        continue
+                    mine = set().union(*(have[y] for y in a))
+                    ok = all(m in a for m in named) and all(
+                        any(p_req in preach(p_have) and sat(f_have, t)
+                            for p_have, f_have in mine)
+                        for p_req, t in ex
+                    )
+                    if ok:
+                        parents[x].add(d)
+                        changed = True
+        return {
+            (x, d)
+            for x in range(n)
+            for d in bodies
+            if d != x and d in anc(x) and d not in told_anc[x]
+        }
+
+    def test_property_random_graphs(self, tmp_path):
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ns = self.NS
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 10**9))
+        def check(seed):
+            rng = _random.Random(seed)
+            n = rng.randint(4, 8)
+            edges = [
+                (i, rng.randrange(i)) for i in range(1, n) if rng.random() < 0.5
+            ]
+            n_base = rng.randint(2, 3)
+            pool = [f"p{i}" for i in range(n_base)]
+            prop_edges = [
+                (pool[i], pool[rng.randrange(i)])
+                for i in range(1, n_base) if rng.random() < 0.5
+            ]
+            exists = [
+                (rng.randrange(n), rng.choice(pool), rng.randrange(n))
+                for _ in range(rng.randint(2, 6))
+            ]
+
+            def rand_tree(depth):
+                r = rng.random()
+                if depth >= 2 or r < 0.35:
+                    return rng.randrange(n)
+                if r < 0.55:
+                    return ("and", tuple(rand_tree(depth + 1)
+                                         for _ in range(rng.randint(1, 2))))
+                if r < 0.75:
+                    return ("or", tuple(rand_tree(depth + 1)
+                                        for _ in range(rng.randint(1, 2))))
+                return ("some", rng.choice(pool), rand_tree(depth + 1))
+
+            bodies = {}
+            for _ in range(rng.randint(1, 3)):
+                d = rng.randrange(n)
+                named = rng.sample([i for i in range(n) if i != d],
+                                   rng.randint(0, 1))
+                ex = [
+                    (rng.choice(pool), rand_tree(0))
+                    for _ in range(rng.randint(1, 2))
+                ]
+                bodies[d] = (named, ex)
+            xml = self._render(n, edges, prop_edges, exists, bodies)
+            f = tmp_path / f"np{seed}.owl"
+            f.write_text(xml)
+            parsed = parse_owl_xml(str(f), include_object_properties=False)
+            got = {
+                (e["child_iri"], e["parent_iri"])
+                for e in parsed.tables.edges
+            }
+            want_base = {(f"{ns}C{c}", f"{ns}C{p}") for c, p in edges}
+            for d, (named, _) in bodies.items():
+                want_base |= {(f"{ns}C{d}", f"{ns}C{m}") for m in named}
+            want_inferred = {
+                (f"{ns}C{x}", f"{ns}C{d}")
+                for x, d in self._model(n, edges, prop_edges, exists, bodies)
+            }
+            assert got == want_base | want_inferred, seed
+
+        check()
