@@ -691,6 +691,32 @@ def q_line_dedup(spark, sf_dir) -> DataFrame:
     return line_dedup(docs.select("doc_id", "text"), min_docs=400, sep=" ")
 
 
+def q_dup_span_stats(spark, sf_dir) -> DataFrame:
+    """ExactSubstr duplicated-span statistics (operators.dedup.
+    duplicate_span_stats, Lee et al. 2022): per-document counts and
+    fraction of word 5-grams occurring in ≥2 distinct documents —
+    gram-hash shuffle, never raw gram text; full value oracle."""
+    from .operators.dedup import duplicate_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_span_stats(
+        docs.select("doc_id", "text"), k=5, min_docs=2
+    )
+
+
+def q_mask_dup_spans(spark, sf_dir) -> DataFrame:
+    """ExactSubstr span REMOVAL (operators.dedup.mask_duplicate_spans):
+    every token covered by a word 3-gram shared by ≥3 distinct documents
+    is cut and survivors rejoined in order — overlapping windows merge;
+    fully-duplicated docs come back empty, not dropped."""
+    from .operators.dedup import mask_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return mask_duplicate_spans(
+        docs.select("doc_id", "text"), k=3, min_docs=3
+    )
+
+
 def q_pack_docs(spark, sf_dir) -> DataFrame:
     """Start-offset sequence packing (operators.text.pack_documents):
     2048-token bins over doc_id order — all-integer window arithmetic,
@@ -1379,6 +1405,8 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "source_quota_docs": q_source_quota_docs,
     "perplexity_buckets": q_perplexity_buckets,
+    "dup_span_stats": q_dup_span_stats,
+    "mask_dup_spans": q_mask_dup_spans,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2268,6 +2296,49 @@ kept AS (
   WHERE f.ndocs < 400)
 SELECT d.doc_id,
        coalesce((SELECT string_agg(k.seg, ' ' ORDER BY k.ord)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+FROM documents d
+""",
+        "dup_span_stats": r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text,''),'\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-4)) AS i
+  FROM t WHERE len(toks) >= 5),
+g AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram FROM idx),
+f AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+st AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(st.n_grams,0) AS BIGINT) AS n_grams,
+       CAST(coalesce(st.dup_grams,0) AS BIGINT) AS dup_grams,
+       CASE WHEN coalesce(st.n_grams,0) > 0
+            THEN round(coalesce(st.dup_grams,0) / CAST(st.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN st USING (doc_id)
+""",
+        "mask_dup_spans": r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text,''),'\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+  FROM t WHERE len(toks) >= 3),
+g AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram FROM idx),
+f AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gram) WHERE f.nd >= 3),
+cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i+2)) AS ci FROM dup),
+tokidx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS j FROM t),
+kept AS (SELECT ti.doc_id, ti.toks[ti.j] AS w, ti.j FROM tokidx ti
+         LEFT JOIN cov c ON c.doc_id = ti.doc_id AND c.ci = ti.j
+         WHERE c.ci IS NULL)
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(k.w, ' ' ORDER BY k.j)
                  FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
 FROM documents d
 """,

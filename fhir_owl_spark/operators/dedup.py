@@ -862,3 +862,165 @@ def line_dedup(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicated spans (ExactSubstr — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+
+def _positional_shingles(toks_col, k: int):
+    """Array of word k-grams in document order, built by zip_with-folding
+    k shifted slices of the token array (same HOF-safe shape as
+    word_shingles_col — zip_with evaluates its arguments once per row).
+    Element i is the gram STARTING at 0-based token index i, so
+    posexplode yields (start_index, gram) directly. Documents shorter
+    than k tokens produce an EMPTY array (no k-gram exists — unlike
+    word_shingles_col's whole-doc fallback, which suits Jaccard but not
+    exact-substring semantics)."""
+    n = F.size(toks_col)
+    m = n - (k - 1)
+    out = F.slice(toks_col, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks_col, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, out).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_tokens(text_col: str):
+    """Whitespace tokens with empties dropped — identical on both engines
+    (DuckDB: list_filter(string_split_regex(text,'\\s+'), x -> x <> ''))."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _dup_span_segments(df, k, text_col, id_col):
+    """(id, _pos, _h) exploded token-k-grams hashed map-side plus the
+    gram-hash frequency table (count_distinct docs). The raw gram text
+    never becomes a shuffle key — only its xxhash64 (same discipline as
+    line_dedup)."""
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            _positional_shingles(_doc_tokens(text_col), k)
+        ).alias("_pos", "_gram"),
+    ).select(F.col(id_col), "_pos", F.xxhash64("_gram").alias("_h"))
+    freq = segs.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    return segs, freq
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics at word granularity:
+    (id, n_grams, dup_grams, dup_fraction) where a token k-gram is
+    "duplicated" when it occurs in ≥ ``min_docs`` DISTINCT documents —
+    the ExactSubstr criterion of Lee et al. 2022 (suffix-array
+    deduplicate-text-datasets), re-expressed as a distributed
+    shuffle-on-gram-hash instead of a single-node suffix array.
+    Documents with fewer than k tokens report 0 grams (never dropped).
+
+    Scale shape: grams explode map-side and are hashed immediately
+    (xxhash64 — raw n-gram text never crosses the shuffle); the
+    frequency table is gram-cardinality, aggregated with a map-side
+    partial count_distinct; the verdict joins back on the hash (AQE
+    skew-handles boilerplate grams) and the per-doc rollup is one hash
+    aggregation on the doc id. At 100 TB the gram table is ~tokens×k
+    bytes; k-gram hashing keeps rows at 20 bytes each, and min_docs
+    filtering happens AFTER the frequency agg so no candidate is lost.
+    """
+    segs, freq = _dup_span_segments(df, k, text_col, id_col)
+    st = (
+        segs.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_nd") >= min_docs).cast("long")).alias("dup_grams"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    n_g = F.coalesce(F.col("n_grams"), zero)
+    d_g = F.coalesce(F.col("dup_grams"), zero)
+    return (
+        df.select(id_col)
+        .join(st, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_g.alias("n_grams"),
+            d_g.alias("dup_grams"),
+            F.when(
+                n_g > 0,
+                F.round(d_g.cast("double") / n_g.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def mask_duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text) with every token covered by a duplicated k-gram window
+    removed and the survivors rejoined in order — the removal half of
+    ExactSubstr dedup (Lee et al. 2022 cut duplicated spans rather than
+    whole documents; C4-style line_dedup above is the coarser per-line
+    variant). A gram starting at token i covers tokens [i, i+k-1];
+    overlapping windows merge for free through the DISTINCT on covered
+    indices. Documents losing every token come back EMPTY, not dropped.
+
+    Scale shape: everything up to the verdict join is shared with
+    duplicate_span_stats (gram-hash shuffle, AQE-skew-safe join); the
+    covered-index explode is ≤ k rows per duplicated gram, the
+    per-document covered set is token-bounded (collect_set on the doc
+    id — same bound as line_dedup's reassembly), and the final rebuild
+    is a pure-Column indexed filter over the token array, no Python.
+    """
+    segs, freq = _dup_span_segments(df, k, text_col, id_col)
+    covered = (
+        segs.join(freq, "_h")
+        .filter(F.col("_nd") >= min_docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
+            ).alias("_ci"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_ci").alias("_cov"))
+    )
+    toks = _doc_tokens(text_col)
+    empty_int = F.array().cast("array<int>")
+    return (
+        df.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    toks,
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce(F.col("_cov"), empty_int), i
+                    ),
+                ),
+            ).alias(text_col),
+        )
+    )

@@ -267,6 +267,37 @@ def test_tfidf_plan_no_cartesian_no_python(spark):
     assert "Window" in plan
 
 
+def test_duplicate_spans_plan_hashed_shuffle_no_python(spark):
+    """duplicate_span_stats / mask_duplicate_spans (ExactSubstr): every
+    transcript-scale shuffle keys on xxhash64(gram) — the raw n-gram
+    text never appears in an Exchange's hashpartitioning — and the
+    whole plan is pure Column: no Python stage, no cartesian join, no
+    sort, no single-partition Exchange."""
+    import re
+
+    from fhir_owl_spark.operators.dedup import (
+        duplicate_span_stats, mask_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"lead{i} shared run of words tail{i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    for frame in (duplicate_span_stats(docs, k=3),
+                  mask_duplicate_spans(docs, k=3)):
+        plan = plan_of(frame)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SinglePartition" not in plan
+        for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                        "FlatMapGroupsInPandas"):
+            assert py_node not in plan
+        # no Exchange partitions on a string column — only the gram
+        # hash (_h) and the doc id ever key a shuffle
+        for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "_gram" not in part
+
+
 def test_pack_documents_single_global_window(spark):
     """pack_documents: the ordered prefix sum is ONE global window (the
     documented per-shard pattern at scale) — a single Exchange

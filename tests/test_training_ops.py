@@ -1072,6 +1072,85 @@ class TestLineDedup:
         assert all(t == f"first{i}\nlast{i}" for i, t in a)
 
 
+class TestDuplicateSpans:
+    """ExactSubstr-style duplicated-span detection and removal
+    (Lee et al. 2022): word-k-gram granularity, min_docs counts
+    DISTINCT documents, overlapping windows merge, short/empty docs
+    are reported not dropped."""
+
+    def test_stats_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "b c x"), (2, "q r")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in dedup.duplicate_span_stats(
+            docs, k=2, min_docs=2).collect()}
+        # shared 2-gram: "b c" (docs 0 and 1)
+        assert (rows[0]["n_grams"], rows[0]["dup_grams"]) == (3, 1)
+        assert rows[0]["dup_fraction"] == pytest.approx(1 / 3, abs=1e-6)
+        assert (rows[1]["n_grams"], rows[1]["dup_grams"]) == (2, 1)
+        assert (rows[2]["n_grams"], rows[2]["dup_grams"]) == (1, 0)
+        assert rows[2]["dup_fraction"] == 0.0
+
+    def test_short_and_empty_docs_report_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "one two three four five"), (1, "too short"), (2, ""),
+             (3, None), (4, "   ")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in dedup.duplicate_span_stats(
+            docs, k=3, min_docs=2).collect()}
+        assert set(rows) == {0, 1, 2, 3, 4}      # nothing dropped
+        for d in (1, 2, 3, 4):                   # < k tokens → no grams
+            assert (rows[d]["n_grams"], rows[d]["dup_grams"]) == (0, 0)
+        assert rows[0]["n_grams"] == 3
+
+    def test_within_doc_repeats_do_not_trigger(self, spark):
+        """min_docs counts DISTINCT documents: a gram repeated inside
+        ONE document is not a duplicate span."""
+        docs = spark.createDataFrame(
+            [(0, "p q p q"), (1, "z w v")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in dedup.duplicate_span_stats(
+            docs, k=2, min_docs=2).collect()}
+        assert (rows[0]["n_grams"], rows[0]["dup_grams"]) == (3, 0)
+        masked = {r["doc_id"]: r["text"] for r in
+                  dedup.mask_duplicate_spans(docs, k=2, min_docs=2).collect()}
+        assert masked == {0: "p q p q", 1: "z w v"}
+
+    def test_mask_overlapping_windows_merge(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c z")], ["doc_id", "text"])
+        # dup grams "a b" and "b c" overlap on token 1 → covered {0,1,2}
+        masked = {r["doc_id"]: r["text"] for r in
+                  dedup.mask_duplicate_spans(docs, k=2, min_docs=2).collect()}
+        assert masked == {0: "d", 1: "z"}
+
+    def test_mask_fully_covered_doc_comes_back_empty(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "x y"), (1, "x y"), (2, "solo text here")],
+            ["doc_id", "text"])
+        masked = {r["doc_id"]: r["text"] for r in
+                  dedup.mask_duplicate_spans(docs, k=2, min_docs=2).collect()}
+        assert masked == {0: "", 1: "", 2: "solo text here"}
+
+    def test_partition_invariant(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"front{i} common span here back{i}") for i in range(20)],
+            ["doc_id", "text"])
+        a = {tuple(r) for r in dedup.duplicate_span_stats(
+            docs, k=3, min_docs=3).collect()}
+        b = {tuple(r) for r in dedup.duplicate_span_stats(
+            docs.repartition(7), k=3, min_docs=3).collect()}
+        assert a == b
+        m1 = {tuple(r) for r in dedup.mask_duplicate_spans(
+            docs, k=3, min_docs=3).collect()}
+        m2 = {tuple(r) for r in dedup.mask_duplicate_spans(
+            docs.repartition(7), k=3, min_docs=3).collect()}
+        assert m1 == m2
+        # "common span here" covers tokens 1-3 in every doc
+        assert all(t == f"front{i} back{i}" for i, t in m1)
+
+
 class TestMixtureSample:
     """Target-mixture down-sampling: composition tracks the weights, the
     binding stratum keeps everything, no upsampling, deterministic under
