@@ -32,6 +32,8 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
   pack        start-offset token-budget sequence packing (appends
               n_tokens + bin_idx)
   line-dedup  C4-style boilerplate-line removal (lines in >= N docs)
+  span-dedup  ExactSubstr duplicated-span removal (word k-grams in >= N
+              distinct docs; --stats-only appends counts instead)
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -135,6 +137,19 @@ def parse_args(argv=None):
     common(ld)
     ld.add_argument("--min-docs", type=int, default=2)
     ld.add_argument("--sep", default="\n")
+
+    sd = sub.add_parser("span-dedup",
+                        help="ExactSubstr duplicated-span removal or stats "
+                             "(word k-grams in >= N distinct docs)")
+    common(sd)
+    sd.add_argument("--k", type=int, default=5,
+                    help="span granularity in word tokens")
+    sd.add_argument("--min-docs", type=int, default=2,
+                    help="a k-gram in >= this many DISTINCT docs is a "
+                         "duplicated span")
+    sd.add_argument("--stats-only", action="store_true",
+                    help="append n_grams/dup_grams/dup_fraction instead of "
+                         "cutting the spans")
 
     dw = sub.add_parser("dsir",
                         help="DSIR importance weights vs a target slice")
@@ -307,6 +322,27 @@ def run(args) -> dict:
         out = line_dedup(docs, min_docs=args.min_docs,
                          text_col=args.text_col, id_col=args.id_col,
                          sep=args.sep)
+    elif args.cmd == "span-dedup":
+        from fhir_owl_spark.operators.dedup import (
+            duplicate_span_stats,
+            mask_duplicate_spans,
+        )
+
+        if args.stats_only:
+            stats = duplicate_span_stats(
+                docs, k=args.k, min_docs=args.min_docs,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+            out = docs.join(
+                stats.select(args.id_col, "n_grams", "dup_grams",
+                             "dup_fraction"),
+                args.id_col, "left",
+            )
+        else:
+            out = mask_duplicate_spans(
+                docs, k=args.k, min_docs=args.min_docs,
+                text_col=args.text_col, id_col=args.id_col,
+            )
     elif args.cmd == "dsir":
         from fhir_owl_spark.operators.sampling import importance_weights
 

@@ -310,6 +310,44 @@ def test_corpus_mix_subcommand(spark, tmp_path, capsys):
     assert 75 <= comp["b"] <= 125    # ~100 at rate 0.25 of 400
 
 
+def test_corpus_span_dedup_subcommand(spark, tmp_path, capsys):
+    """span-dedup: ExactSubstr span removal (and --stats-only) through
+    the CLI — duplicated word k-grams cut, unique text kept."""
+    import jobs.corpus_pipeline as cp
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "intro one shared span of words outroa enda"),
+         (1, "intro two shared span of words outrob endb"),
+         (2, "entirely different content here")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    s = run(["span-dedup", "--input", src, "--output", str(tmp_path / "sd"),
+             "--k", "4", "--min-docs", "2"])
+    assert s["rows_in"] == s["rows_out"] == 3
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "sd")).collect()}
+    assert got[0] == "intro one outroa enda"  # "shared span of words" cut
+    assert got[1] == "intro two outrob endb"
+    assert got[2] == "entirely different content here"
+
+    s = run(["span-dedup", "--input", src, "--output", str(tmp_path / "st"),
+             "--k", "4", "--min-docs", "2", "--stats-only"])
+    stats = {r["doc_id"]: r for r in
+             spark.read.parquet(str(tmp_path / "st")).collect()}
+    assert {"n_grams", "dup_grams", "dup_fraction"} <= set(
+        spark.read.parquet(str(tmp_path / "st")).columns)
+    assert stats[0]["dup_grams"] == 1 and stats[2]["dup_grams"] == 0
+    assert stats[0]["text"].startswith("intro one")  # original text kept
+
+
 def test_corpus_dsir_quota_buckets_subcommands(spark, tmp_path, capsys):
     """The round-5 selection stages: dsir appends importance weights,
     quota caps docs per group, buckets appends perplexity buckets."""
