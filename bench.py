@@ -268,6 +268,26 @@ def main() -> None:
         ).count()
         upscale["corpus_compose_10x"] = round(time.perf_counter() - t0, 3)
         upscale["corpus_compose_rows"] = {"tfidf": n_tfidf, "packed": n_packed}
+
+        # ExactSubstr span dedup at 10× docs: min_docs=11 exceeds the
+        # replica count (10), so only spans shared BEYOND a replica
+        # family count as duplicated — exercises the gram-hash shuffle
+        # with real cross-document collisions, not the replica artifact
+        t0 = time.perf_counter()
+        n_span_docs = (
+            dedup.duplicate_span_stats(
+                docs10.select("doc_id", "text"), k=5, min_docs=11
+            )
+            .filter(F.col("dup_grams") > 0)
+            .count()
+        )
+        n_masked = dedup.mask_duplicate_spans(
+            docs10.select("doc_id", "text"), k=5, min_docs=11
+        ).count()
+        upscale["span_dedup_10x"] = round(time.perf_counter() - t0, 3)
+        upscale["span_dedup_rows"] = {
+            "docs_with_dup_span": n_span_docs, "masked": n_masked
+        }
         upscale.update(
             {
                 "turns_6m": n_up,
