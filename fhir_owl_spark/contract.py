@@ -554,6 +554,22 @@ def q_dsir_weights(spark, sf_dir) -> DataFrame:
     return importance_weights(docs, F.col("lang") == "en")
 
 
+def q_dsir_resample(spark, sf_dir) -> DataFrame:
+    """The full DSIR pipeline: importance_weights (target lang='en')
+    composed with Gumbel-top-k importance_resample — a deterministic
+    softmax sample of 100 docs without replacement, P ∝ exp(log_ratio).
+    The hash-derived Gumbel perturbation uses md5-60bit so DuckDB
+    recomputes the IDENTICAL draw; the plan is TakeOrderedAndProject
+    (map-side partial top-n), never a full sort."""
+    from .operators.sampling import importance_resample, importance_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    w = importance_weights(docs, F.col("lang") == "en")
+    return importance_resample(
+        w, n=100, salt="dsir", hash_fn=dedup.md5_60bit
+    )
+
+
 def q_source_quota_docs(spark, sf_dir) -> DataFrame:
     """Per-source quota cap (RefinedWeb-style "at most N pages per
     domain"): keep the 5 deterministically-first docs per source, ordered
@@ -1407,6 +1423,7 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "dup_span_stats": q_dup_span_stats,
     "mask_dup_spans": q_mask_dup_spans,
+    "dsir_resample": q_dsir_resample,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2199,6 +2216,29 @@ SELECT d.doc_id,
        CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(p.w, 6) AS log_ratio
 FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+""",
+        "dsir_resample": r"""
+WITH tok AS (
+  SELECT doc_id, tgt, t.w AS term
+  FROM (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+        FROM documents), unnest(ws) AS t(w)
+  WHERE t.w <> ''),
+v AS (SELECT term, count(*) AS c_all, sum(tgt) AS c_tgt FROM tok GROUP BY term),
+n AS (SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt, count(*) AS vsz FROM v),
+p AS (SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             round(avg(log2((v.c_tgt + 1.0) / (n.n_tgt + 1.0 * n.vsz))
+                       - log2((v.c_all + 1.0) / (n.n_all + 1.0 * n.vsz))), 6) AS w
+      FROM tok JOIN v USING (term), n GROUP BY tok.doc_id),
+g AS (SELECT doc_id, n_tokens, w,
+             w / 1.0 - ln(-ln((CAST(CAST('0x' ||
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 15)
+                 AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) AS gkey
+      FROM p WHERE w IS NOT NULL)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, w AS log_ratio
+FROM g ORDER BY gkey DESC, doc_id LIMIT 100
 """,
         "source_quota_docs": """
 WITH h AS (

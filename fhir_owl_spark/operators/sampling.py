@@ -201,3 +201,59 @@ def importance_weights(
             F.round("_w", 6).alias("log_ratio"),
         )
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "log_ratio",
+    key_col: str = "doc_id",
+    temperature: float = 1.0,
+    salt: str = "v1",
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the SELECTION half of DSIR
+    (Xie et al. 2023 resample documents ∝ importance weight; pair with
+    ``importance_weights`` above for the full pipeline): draw ``n`` rows
+    without replacement with P ∝ exp(weight / temperature), using a
+    hash-derived Gumbel perturbation so the draw is DETERMINISTIC under
+    any partitioning (the Gumbel-top-k theorem: the arg-top-n of
+    w/T + G_i with G_i ~ Gumbel(0,1) i.i.d. is an exact softmax sample
+    without replacement):
+
+        u_i   = (hash_bucket(key, salt) + 0.5) / 1e6     (uniform (0,1))
+        G_i   = −ln(−ln(u_i))
+        key_i = w_i / T + G_i   →   keep the n largest
+
+    ``temperature`` interpolates between pure top-n by weight (T → 0⁺
+    sharpens the softmax) and uniform sampling (T → ∞); changing
+    ``salt`` draws an independent resample. Rows with NULL weight carry
+    no usable score and are excluded (``importance_weights`` emits NULL
+    only for token-free documents).
+
+    Scale shape: the perturbed key is pure Column arithmetic (no
+    shuffle, no UDF) and the global top-n compiles to
+    TakeOrderedAndProject — each partition keeps its local top-n and
+    only n rows ever cross to the driver-side merge; no full sort, no
+    window, n-bounded traffic at any corpus size. hash_fn is
+    parameterized like the other samplers so the contract oracle can
+    recompute the identical draw in DuckDB via md5_60bit.
+    """
+    import math
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not (temperature > 0) or not math.isfinite(temperature):
+        raise ValueError(f"temperature must be a finite number > 0, got {temperature}")
+    u = (
+        hash_bucket(F.col(key_col), salt, hash_fn).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    score = F.col(weight_col).cast("double") / F.lit(float(temperature)) + gumbel
+    return (
+        df.filter(F.col(weight_col).isNotNull())
+        .withColumn("_g_key", score)
+        .orderBy(F.col("_g_key").desc(), F.col(key_col))
+        .limit(n)
+        .drop("_g_key")
+    )

@@ -160,6 +160,13 @@ def parse_args(argv=None):
                     help="rows where target-col equals this are the target LM")
     dw.add_argument("--alpha", type=float, default=1.0,
                     help="Laplace smoothing over the joint vocabulary")
+    dw.add_argument("--top-n", type=int, default=None,
+                    help="when set, Gumbel-top-k resample this many docs "
+                         "P ∝ exp(log_ratio/temperature) instead of just "
+                         "appending weights (the full DSIR pipeline)")
+    dw.add_argument("--temperature", type=float, default=1.0)
+    dw.add_argument("--salt", default="v1",
+                    help="resample salt — change for an independent draw")
 
     qt = sub.add_parser("quota",
                         help="keep at most K docs per group (deterministic)")
@@ -353,6 +360,13 @@ def run(args) -> dict:
         out = docs.join(
             weights.select(args.id_col, "log_ratio"), args.id_col, "left"
         )
+        if args.top_n is not None:
+            from fhir_owl_spark.operators.sampling import importance_resample
+
+            out = importance_resample(
+                out, args.top_n, key_col=args.id_col,
+                temperature=args.temperature, salt=args.salt,
+            )
     elif args.cmd == "quota":
         from fhir_owl_spark.operators.skew import salted_top_k
 

@@ -267,6 +267,21 @@ def test_tfidf_plan_no_cartesian_no_python(spark):
     assert "Window" in plan
 
 
+def test_importance_resample_plan_take_ordered(spark):
+    """importance_resample: the global top-n is TakeOrderedAndProject
+    (map-side partial top-n, n-bounded traffic) — never a full Sort,
+    never a window, no Python stage."""
+    from fhir_owl_spark.operators.sampling import importance_resample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(100)], ["doc_id", "log_ratio"])
+    plan = plan_of(importance_resample(df, 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan
+
+
 def test_duplicate_spans_plan_hashed_shuffle_no_python(spark):
     """duplicate_span_stats / mask_duplicate_spans (ExactSubstr): every
     transcript-scale shuffle keys on xxhash64(gram) — the raw n-gram

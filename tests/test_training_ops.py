@@ -1288,6 +1288,65 @@ class TestImportanceWeights:
             importance_weights(df, F.lit(True), alpha=0.0)
 
 
+class TestImportanceResample:
+    """Gumbel-top-k resampling: deterministic under partitioning, weight
+    gaps beyond the Gumbel range decide selection outright, T → 0 is
+    exact top-n by weight, NULL weights excluded, loud validation."""
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from fhir_owl_spark.operators.sampling import importance_resample
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(200)], ["doc_id", "log_ratio"])
+        a = {r["doc_id"] for r in importance_resample(df, 40).collect()}
+        b = {r["doc_id"] for r in
+             importance_resample(df.repartition(11), 40).collect()}
+        assert len(a) == 40 and a == b
+        # a different salt draws a different (but equally sized) sample
+        c = {r["doc_id"] for r in
+             importance_resample(df, 40, salt="v2").collect()}
+        assert len(c) == 40 and c != a
+
+    def test_dominant_weights_always_win(self, spark):
+        """The hash-uniform grid bounds Gumbel noise to ~(-2.6, 14.5);
+        a 40-unit weight gap therefore decides selection outright."""
+        from fhir_owl_spark.operators.sampling import importance_resample
+
+        df = spark.createDataFrame(
+            [(i, 40.0 if i < 50 else 0.0) for i in range(200)],
+            ["doc_id", "log_ratio"])
+        got = {r["doc_id"] for r in importance_resample(df, 50).collect()}
+        assert got == set(range(50))
+
+    def test_low_temperature_is_exact_top_n(self, spark):
+        from fhir_owl_spark.operators.sampling import importance_resample
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], ["doc_id", "log_ratio"])
+        got = {r["doc_id"] for r in
+               importance_resample(df, 10, temperature=1e-3).collect()}
+        assert got == set(range(90, 100))
+
+    def test_null_weights_excluded_and_n_overshoot(self, spark):
+        from fhir_owl_spark.operators.sampling import importance_resample
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, None), (2, 0.5)], ["doc_id", "log_ratio"])
+        got = {r["doc_id"] for r in importance_resample(df, 10).collect()}
+        assert got == {0, 2}  # n beyond population returns all non-null
+
+    def test_validation(self, spark):
+        from fhir_owl_spark.operators.sampling import importance_resample
+
+        df = spark.createDataFrame([(0, 1.0)], ["doc_id", "log_ratio"])
+        with pytest.raises(ValueError, match="n must"):
+            importance_resample(df, 0)
+        with pytest.raises(ValueError, match="temperature"):
+            importance_resample(df, 1, temperature=0.0)
+        with pytest.raises(ValueError, match="temperature"):
+            importance_resample(df, 1, temperature=float("inf"))
+
+
 class TestPerplexityBuckets:
     @pytest.fixture(scope="class")
     def corpus(self, spark):
