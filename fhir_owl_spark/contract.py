@@ -570,6 +570,41 @@ def q_dsir_resample(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_classifier_score(spark, sf_dir) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE
+    (operators.text.linear_classifier_score): score(d) =
+    sigmoid(bias + mean token weight) over lower-cased whitespace
+    tokens, OOV terms contributing 0 — the scoring head of the
+    CCNet / GPT-3 "looks like high-quality text" filters. The trained
+    model is normally an exported (term, weight) table; here the
+    fixture model is derived deterministically from the corpus
+    vocabulary (terms of length 4..8, weight = (len-6)/4) so DuckDB
+    can rebuild the identical model. Weight table joins BROADCAST;
+    one doc-id hash agg; sigmoid is pure Column."""
+    from .operators.text import linear_classifier_score
+
+    docs = _read(spark, sf_dir, "documents")
+    weights = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+")
+            ).alias("term")
+        )
+        .filter(
+            (F.col("term") != "")
+            & F.length("term").between(4, 8)
+        )
+        .distinct()
+        .select(
+            "term",
+            ((F.length("term") - F.lit(6)) * F.lit(0.25))
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+    return linear_classifier_score(docs, weights, bias=0.1)
+
+
 def q_source_quota_docs(spark, sf_dir) -> DataFrame:
     """Per-source quota cap (RefinedWeb-style "at most N pages per
     domain"): keep the 5 deterministically-first docs per source, ordered
@@ -1424,6 +1459,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "mask_dup_spans": q_mask_dup_spans,
     "dsir_resample": q_dsir_resample,
+    "classifier_score": q_classifier_score,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -2195,6 +2231,26 @@ p AS (SELECT tok.doc_id,
 SELECT d.doc_id,
        CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
        round(p.bits, 6) AS bits_per_token
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+""",
+        "classifier_score": r"""
+WITH tok AS (
+  SELECT doc_id, t.w AS term
+  FROM (SELECT doc_id,
+               string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+        FROM documents), unnest(ws) AS t(w)
+  WHERE t.w <> ''),
+w AS (SELECT DISTINCT term,
+             CAST((length(term) - 6) * 0.25 AS DOUBLE) AS weight
+      FROM tok WHERE length(term) BETWEEN 4 AND 8),
+p AS (SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             avg(coalesce(w.weight, CAST(0.0 AS DOUBLE))) AS mean_w
+      FROM tok LEFT JOIN w USING (term) GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(0.1 + coalesce(p.mean_w, 0.0), 6) AS raw_score,
+       round(1.0 / (1.0 + exp(-(0.1 + coalesce(p.mean_w, 0.0)))), 6) AS score
 FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 """,
         "dsir_weights": r"""

@@ -698,3 +698,74 @@ def perplexity_bucket_thresholds(
             .alias("bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: linear / fastText-style classifier head
+# ---------------------------------------------------------------------------
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Apply a TRAINED linear text classifier at corpus scale — the
+    scoring head of fastText-style quality filters (CCNet's "looks like
+    Wikipedia" model, the GPT-3/LLaMA quality classifiers): for binary
+    classification a bag-of-words fastText model collapses to one scalar
+    weight per vocabulary term, so
+
+        raw(d)   = bias + (1/n_d) · Σ_{tokens t of d} w(t)
+        score(d) = sigmoid(raw(d))
+
+    over lower-cased whitespace tokens, with out-of-vocabulary tokens
+    contributing 0 (the left join below). ``weights`` is the exported
+    (term, weight) table of the trained model — training happens
+    offline; this operator is the 100-TB inference pass.
+
+    Scale shape: tokens explode map-side; the weight table is
+    vocabulary-sized (a fastText vocab is at most a few million rows —
+    far under executor memory) and joins BROADCAST by default so corpus
+    rows never shuffle for the lookup (set ``broadcast_weights=False``
+    to let AQE decide for oversized vocabularies); one doc-id hash
+    aggregation; the sigmoid is pure Column. Documents with no tokens
+    keep raw = bias (an empty bag is a valid input, not a NULL), so
+    every input row comes back scored. Outputs rounded to 6 decimals
+    for cross-engine oracle stability.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("_t"),
+    ).filter(F.col("_t") != "")
+    w = weights.select(
+        F.col(term_col).alias("_t"), F.col(weight_col).alias("_w")
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    per_doc = (
+        tokens.join(w, "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.coalesce(F.col("_w"), F.lit(0.0))).alias("_mean_w"),
+        )
+    )
+    raw = F.lit(float(bias)) + F.coalesce(F.col("_mean_w"), F.lit(0.0))
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(raw, 6).alias("raw_score"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("score"),
+        )
+    )

@@ -187,6 +187,20 @@ def parse_args(argv=None):
                          "partition); default is the broadcast-threshold "
                          "production path")
 
+    cl = sub.add_parser("classify",
+                        help="fastText-style linear quality-classifier "
+                             "scores from an exported (term, weight) model")
+    common(cl)
+    cl.add_argument("--weights", required=True,
+                    help="parquet path of the trained model's "
+                         "(term, weight) table")
+    cl.add_argument("--bias", type=float, default=0.0)
+    cl.add_argument("--term-col", default="term")
+    cl.add_argument("--weight-col", default="weight")
+    cl.add_argument("--min-score", type=float, default=None,
+                    help="when set, drop docs scoring below this instead "
+                         "of appending the score columns")
+
     return p.parse_args(argv)
 
 
@@ -392,6 +406,22 @@ def run(args) -> dict:
             buckets.select(args.id_col, "bits_per_token", "bucket"),
             args.id_col, "left",
         )
+    elif args.cmd == "classify":
+        from fhir_owl_spark.operators import text
+
+        scores = text.linear_classifier_score(
+            docs, spark.read.parquet(args.weights), bias=args.bias,
+            text_col=args.text_col, id_col=args.id_col,
+            term_col=args.term_col, weight_col=args.weight_col,
+        )
+        out = docs.join(
+            scores.select(args.id_col, "n_tokens", "raw_score", "score"),
+            args.id_col, "left",
+        )
+        if args.min_score is not None:
+            out = out.filter(F.col("score") >= args.min_score).select(
+                *docs.columns
+            )
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 

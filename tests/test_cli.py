@@ -390,3 +390,39 @@ def test_corpus_dsir_quota_buckets_subcommands(spark, tmp_path, capsys):
     s = run(["buckets", "--input", src, "--output", str(tmp_path / "b2"),
              "--exact"])
     assert s["rows_out"] == 20
+
+
+def test_corpus_classify_subcommand(spark, tmp_path, capsys):
+    """classify: linear-classifier scoring from an exported (term, weight)
+    model parquet — score columns appended, --min-score filters."""
+    import jobs.corpus_pipeline as cp
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "good good"), (1, "bad bad"), (2, "neutral words")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    wpath = str(tmp_path / "model")
+    spark.createDataFrame(
+        [("good", 3.0), ("bad", -3.0)], ["term", "weight"]
+    ).write.parquet(wpath)
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    s = run(["classify", "--input", src, "--output", str(tmp_path / "cs"),
+             "--weights", wpath])
+    assert s["rows_in"] == s["rows_out"] == 3
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "cs")).collect()}
+    assert got[0]["score"] > 0.9 and got[1]["score"] < 0.1
+    assert got[2]["raw_score"] == 0.0 and got[2]["score"] == 0.5
+
+    s = run(["classify", "--input", src, "--output", str(tmp_path / "cf"),
+             "--weights", wpath, "--min-score", "0.5"])
+    kept = spark.read.parquet(str(tmp_path / "cf"))
+    assert s["rows_out"] == 2 and set(kept.columns) == {"doc_id", "text"}
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}

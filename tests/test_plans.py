@@ -414,3 +414,24 @@ def test_salted_top_k_phase1_partitions_on_salt(spark):
     assert "SinglePartition" not in plan
     assert "_salt" in plan  # phase-1 window keyed by the salt column
     assert plan.count("Window") >= 2  # two-phase: local prune + final rank
+
+
+def test_classifier_score_plan_broadcast_no_python(spark):
+    """linear_classifier_score: the vocabulary-sized model table joins
+    BROADCAST (corpus rows never shuffle for the lookup), one doc-id
+    hash aggregation, sigmoid pure Column — no Python stage, no
+    cartesian, no sort."""
+    from fhir_owl_spark.operators.text import linear_classifier_score
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 7} common text") for i in range(50)], ["doc_id", "text"]
+    )
+    weights = spark.createDataFrame(
+        [("common", 1.0), ("text", -0.5)], ["term", "weight"])
+    plan = plan_of(linear_classifier_score(docs, weights))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+        assert py_node not in plan

@@ -1398,3 +1398,56 @@ class TestPerplexityBuckets:
             text.perplexity_buckets(corpus, n_buckets=0)
         with pytest.raises(ValueError, match="n_buckets"):
             text.perplexity_bucket_thresholds(corpus, n_buckets=0)
+
+
+class TestLinearClassifierScore:
+    @pytest.fixture()
+    def weights(self, spark):
+        return spark.createDataFrame(
+            [("good", 2.0), ("great", 1.0), ("bad", -2.0)],
+            ["term", "weight"],
+        )
+
+    def test_scores_and_oov(self, spark, weights):
+        import math
+
+        df = spark.createDataFrame(
+            [
+                (1, "good great"),          # mean w = 1.5
+                (2, "bad bad"),             # mean w = -2.0
+                (3, "unknown tokens here"), # all OOV -> mean 0
+                (4, ""),                    # no tokens -> raw = bias
+                (5, None),                  # NULL text == empty
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r
+               for r in text.linear_classifier_score(df, weights, bias=0.5).collect()}
+        assert got[1]["n_tokens"] == 2 and got[1]["raw_score"] == 2.0
+        assert got[2]["raw_score"] == -1.5
+        # OOV tokens counted but contribute zero weight
+        assert got[3]["n_tokens"] == 3 and got[3]["raw_score"] == 0.5
+        # token-free docs come back scored at the bias, not dropped
+        for d in (4, 5):
+            assert got[d]["n_tokens"] == 0 and got[d]["raw_score"] == 0.5
+        assert got[1]["score"] == round(1 / (1 + math.exp(-2.0)), 6)
+
+    def test_case_fold_and_whitespace(self, spark, weights):
+        df = spark.createDataFrame(
+            [(1, "  GOOD\t\ngReAt  ")], ["doc_id", "text"])
+        r = text.linear_classifier_score(df, weights).collect()[0]
+        assert r["n_tokens"] == 2 and r["raw_score"] == 1.5
+
+    def test_weights_join_broadcasts(self, spark, weights):
+        df = spark.createDataFrame([(1, "good")], ["doc_id", "text"])
+        plan = text.linear_classifier_score(df, weights)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_partition_invariance(self, spark, weights):
+        df = spark.range(200).selectExpr(
+            "id AS doc_id",
+            "concat('good bad great word', CAST(id % 9 AS STRING)) AS text")
+        a = {tuple(r) for r in text.linear_classifier_score(df, weights).collect()}
+        b = {tuple(r)
+             for r in text.linear_classifier_score(df.repartition(13), weights).collect()}
+        assert a == b
