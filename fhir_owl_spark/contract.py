@@ -295,6 +295,23 @@ def q_co_mentions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pmi_edges(spark, sf_dir) -> DataFrame:
+    """PMI/NPMI-weighted co-mention edges (operators.graph.pmi_edges) —
+    the statistical edge-pruning pass a transcript-derived KG runs
+    before materializing soft (entity, related-to, entity) edges.
+    Marginals broadcast (dictionary-bounded), conversation total folds
+    in as a one-row broadcast cross-join, pair counts salted."""
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+    from .operators.graph import pmi_edges
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    return pmi_edges(m, n_salt=16)
+
+
 def q_context_scores(spark, sf_dir) -> DataFrame:
     """Context-aware link scoring: boost when the entity's direct parent
     is co-mentioned in the same conversation."""
@@ -1470,6 +1487,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
+    "pmi_edges": q_pmi_edges,
     "context_scores": q_context_scores,
     "closure_orders": q_closure_orders,
     "closure_delta": q_closure_delta,
@@ -1663,6 +1681,29 @@ hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
 SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
 FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
 GROUP BY a.code, b.code
+""",
+        "pmi_edges": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'),
+tot AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n_total FROM hits),
+ent AS (SELECT code, CAST(count(*) AS DOUBLE) AS n_code FROM hits GROUP BY code),
+pr AS (SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
+       FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
+       GROUP BY a.code, b.code)
+SELECT pr.code_a, pr.code_b, CAST(pr.n_convs AS BIGINT) AS n_convs,
+       round(log2(CAST(pr.n_convs AS DOUBLE) * t.n_total
+                  / (ea.n_code * eb.n_code)), 6) AS pmi,
+       CASE WHEN CAST(pr.n_convs AS DOUBLE) = t.n_total THEN 1.0
+            ELSE round(log2(CAST(pr.n_convs AS DOUBLE) * t.n_total
+                            / (ea.n_code * eb.n_code))
+                       / (-log2(CAST(pr.n_convs AS DOUBLE) / t.n_total)), 6)
+       END AS npmi
+FROM pr
+JOIN ent ea ON pr.code_a = ea.code
+JOIN ent eb ON pr.code_b = eb.code
+CROSS JOIN tot t
 """,
         "context_scores": f"""
 WITH RECURSIVE {qops},

@@ -89,3 +89,86 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pmi_edges(
+    mention_rows: DataFrame,
+    n_salt: int = 16,
+    conv_col: str = "conv_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Pointwise-mutual-information weighting of co-mention edges — the
+    standard signal for pruning coincidental co-occurrence from a
+    knowledge graph before materializing (entity, related-to, entity)
+    edges (reference analogue: fhir-owl emits only told is-a/synonym
+    edges; a transcript-derived graph needs a statistical filter for the
+    soft edges mention detection creates):
+
+        pmi(a,b)  = log2( P(a,b) / (P(a)·P(b)) )  over conversations
+        npmi(a,b) = pmi / (-log2 P(a,b))     in [-1, 1], 1 ⇔ always
+                    together (defined as 1.0 when P(a,b) = 1)
+
+    Scale shape: one distinct (conv, entity) projection bounds hub
+    conversations at dictionary size; the pair fan-out reuses
+    ``skew.co_mention_pairs`` (conv-keyed self-join + SALTED pair
+    count, AQE splits residual heavy convs); the two marginal tables
+    are dictionary-bounded so they join BROADCAST; the conversation
+    total folds in as a one-row broadcast cross-join (the PageRank
+    dangling-mass pattern — no driver action, no collect). Output is
+    one row per unordered pair with ``n_convs``, ``pmi``, ``npmi``
+    rounded to 6 decimals for cross-engine oracle stability.
+    """
+    from .skew import co_mention_pairs
+
+    per_conv = (
+        mention_rows.select(
+            F.col(conv_col).alias("conv_id"), F.col(code_col).alias("code")
+        ).distinct()
+    )
+    totals = per_conv.agg(
+        F.count_distinct("conv_id").cast("double").alias("_n_total")
+    )
+    marginals = per_conv.groupBy("code").agg(
+        F.count(F.lit(1)).cast("double").alias("_n_code")
+    )
+    pairs = co_mention_pairs(
+        mention_rows.select(
+            F.col(conv_col).alias("conv_id"), F.col(code_col).alias("code")
+        ),
+        n_salt=n_salt,
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(
+                marginals.select(
+                    F.col("code").alias("code_a"),
+                    F.col("_n_code").alias("_n_a"),
+                )
+            ),
+            "code_a",
+        )
+        .join(
+            F.broadcast(
+                marginals.select(
+                    F.col("code").alias("code_b"),
+                    F.col("_n_code").alias("_n_b"),
+                )
+            ),
+            "code_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    n_ab = F.col("n_convs").cast("double")
+    pmi = F.log2(
+        (n_ab * F.col("_n_total")) / (F.col("_n_a") * F.col("_n_b"))
+    )
+    npmi = F.when(n_ab == F.col("_n_total"), F.lit(1.0)).otherwise(
+        pmi / -F.log2(n_ab / F.col("_n_total"))
+    )
+    return joined.select(
+        "code_a",
+        "code_b",
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(npmi, 6).alias("npmi"),
+    )

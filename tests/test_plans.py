@@ -435,3 +435,21 @@ def test_classifier_score_plan_broadcast_no_python(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "FlatMapGroupsInPandas"):
         assert py_node not in plan
+
+
+def test_pmi_edges_plan_broadcast_marginals_no_python(spark):
+    """pmi_edges: both dictionary-bounded marginal tables and the
+    one-row conversation total join BROADCAST (the pair table never
+    reshuffles for them); no Python stage; the only non-broadcast join
+    is the conv-keyed pair fan-out."""
+    from fhir_owl_spark.operators.graph import pmi_edges
+
+    m = spark.createDataFrame(
+        [(f"c{i % 5}", f"e{i % 3}") for i in range(40)], ["conv_id", "code"])
+    plan = plan_of(pmi_edges(m))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+        assert py_node not in plan

@@ -3,6 +3,8 @@ aggregation, similarity search, text analysis, multimodal plumbing."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -1450,4 +1452,45 @@ class TestLinearClassifierScore:
         a = {tuple(r) for r in text.linear_classifier_score(df, weights).collect()}
         b = {tuple(r)
              for r in text.linear_classifier_score(df.repartition(13), weights).collect()}
+        assert a == b
+
+
+class TestPmiEdges:
+    def test_hand_computed_pmi(self, spark):
+        from fhir_owl_spark.operators.graph import pmi_edges
+
+        rows = [("c1", "A"), ("c1", "B"),
+                ("c2", "A"), ("c2", "B"),
+                ("c3", "A"), ("c3", "C"),
+                ("c4", "B"),
+                # duplicate mention rows must not change conversation counts
+                ("c1", "A"), ("c3", "C")]
+        m = spark.createDataFrame(rows, ["conv_id", "code"])
+        got = {(r["code_a"], r["code_b"]): r for r in pmi_edges(m).collect()}
+        # N=4, n_A=3, n_B=3, n_C=1, n_AB=2, n_AC=1
+        ab = got[("A", "B")]
+        assert ab["n_convs"] == 2
+        assert ab["pmi"] == round(math.log2(2 * 4 / (3 * 3)), 6)
+        assert ab["npmi"] == round(math.log2(8 / 9) / -math.log2(2 / 4), 6)
+        ac = got[("A", "C")]
+        assert ac["pmi"] == round(math.log2(1 * 4 / (3 * 1)), 6)
+        assert ac["pmi"] > 0 > ab["pmi"]  # A-C correlated, A-B diluted
+
+    def test_perfect_cooccurrence_npmi_one(self, spark):
+        from fhir_owl_spark.operators.graph import pmi_edges
+
+        m = spark.createDataFrame(
+            [("c1", "D"), ("c1", "E"), ("c2", "D"), ("c2", "E")],
+            ["conv_id", "code"])
+        r = pmi_edges(m).collect()[0]
+        assert (r["code_a"], r["code_b"]) == ("D", "E")
+        assert r["pmi"] == 0.0 and r["npmi"] == 1.0
+
+    def test_partition_invariance(self, spark):
+        from fhir_owl_spark.operators.graph import pmi_edges
+
+        rows = [(f"c{i % 23}", f"e{(i * 7) % 11}") for i in range(500)]
+        m = spark.createDataFrame(rows, ["conv_id", "code"])
+        a = {tuple(r) for r in pmi_edges(m).collect()}
+        b = {tuple(r) for r in pmi_edges(m.repartition(17), n_salt=4).collect()}
         assert a == b
