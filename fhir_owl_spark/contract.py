@@ -737,6 +737,27 @@ def q_conv_render(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sft_pairs(spark, sf_dir) -> DataFrame:
+    """Instruction-tuning (prompt, response) pair extraction
+    (operators.conversations.sft_pairs): each assistant turn paired with
+    its up-to-3 preceding turns rendered 'role: text' — the SFT example
+    builder next to conv_render. Bounded rolling window frame, one
+    conv_id shuffle."""
+    from .operators.conversations import sft_pairs
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "signup"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+    return sft_pairs(t, context_turns=3)
+
+
 def q_vocab_top100(spark, sf_dir) -> DataFrame:
     """Global top-k vocabulary (operators.text.vocab_top_words): one
     combiner-backed aggregation + TakeOrderedAndProject — the vocabulary
@@ -1462,6 +1483,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "corpus_rollup": q_corpus_rollup,
     "conv_render": q_conv_render,
+    "sft_pairs": q_sft_pairs,
     "dedup_keep_one": q_dedup_keep_one,
     "scalar_funcs": q_scalar_funcs,
     "pack_docs_sharded": q_pack_docs_sharded,
@@ -2410,6 +2432,27 @@ SELECT conv_id,
                   ORDER BY turn_idx) AS text,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM t GROUP BY conv_id
+""",
+        "sft_pairs": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         CASE WHEN event_type IN ('click','signup') THEN 'user'
+              ELSE 'assistant' END AS role,
+         props AS text
+  FROM events),
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+         list(coalesce(role,'') || ': ' || coalesce(text,''))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM t)
+SELECT conv_id,
+       CAST(turn_idx AS INTEGER) AS turn_idx,
+       array_to_string(ctx, chr(10)) AS prompt,
+       coalesce(text, '') AS response
+FROM c
+WHERE role = 'assistant' AND len(ctx) >= 1
 """,
         "vocab_top100": r"""
 WITH w AS (

@@ -259,3 +259,67 @@ def tool_usage(transcripts: DataFrame) -> DataFrame:
             "last_tool",
         )
     )
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    context_turns: int = 3,
+    sep: str = "\n",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Instruction-tuning (prompt, response) pair extraction — the other
+    half of SFT prep next to ``render_conversations``: every assistant
+    turn becomes one training example whose prompt is the up-to-
+    ``context_turns`` immediately preceding turns rendered as
+    ``role: text`` lines, and whose response is the turn's own text.
+    Assistant turns with NO preceding context are dropped (nothing to
+    condition on); a NULL response renders as '' (the turn still
+    happened — dropping it would desync pair counts from turn counts).
+
+    Scale shape: ONE shuffle on conv_id; the rolling context is a
+    bounded window frame (``rowsBetween(-context_turns, -1)``), so
+    per-row state is O(context_turns) regardless of conversation
+    length — no conversation-sized collect_list, no Python. The frame
+    content is re-sorted via array_sort over (turn_idx, …) structs
+    before rendering, so the prompt is deterministic under any
+    partitioning (turn_idx is unique per conversation by the input
+    contract, same discipline as render_conversations).
+    """
+    from pyspark.sql.window import Window
+
+    if context_turns < 1:
+        raise ValueError(f"context_turns must be >= 1, got {context_turns}")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    ctx = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w)
+    )
+    # render from the MATERIALIZED _ctx column, not the window expression:
+    # referencing the window expr after the role filter would recompute the
+    # frame over the filtered (assistant-only) rows
+    rendered = F.concat_ws(
+        sep,
+        F.transform(
+            F.col("_ctx"),
+            lambda r: F.concat(
+                F.coalesce(r.role, F.lit("")),
+                F.lit(": "),
+                F.coalesce(r.text, F.lit("")),
+            ),
+        ),
+    )
+    return (
+        transcripts.withColumn("_ctx", ctx)
+        .filter(
+            (F.col("role") == assistant_role) & (F.size("_ctx") >= 1)
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            rendered.alias("prompt"),
+            F.coalesce(F.col("text"), F.lit("")).alias("response"),
+        )
+    )

@@ -187,6 +187,16 @@ def parse_args(argv=None):
                          "partition); default is the broadcast-threshold "
                          "production path")
 
+    sf = sub.add_parser("sft",
+                        help="instruction-tuning (prompt, response) pairs "
+                             "from transcripts")
+    common(sf)
+    sf.add_argument("--context-turns", type=int, default=3,
+                    help="max preceding turns rendered into the prompt")
+    sf.add_argument("--assistant-role", default="assistant")
+    sf.add_argument("--sep", default="\n",
+                    help="separator between prompt context lines")
+
     cl = sub.add_parser("classify",
                         help="fastText-style linear quality-classifier "
                              "scores from an exported (term, weight) model")
@@ -405,6 +415,15 @@ def run(args) -> dict:
         out = docs.join(
             buckets.select(args.id_col, "bits_per_token", "bucket"),
             args.id_col, "left",
+        )
+    elif args.cmd == "sft":
+        from fhir_owl_spark.operators.conversations import sft_pairs
+
+        out = sft_pairs(
+            docs,
+            context_turns=args.context_turns,
+            sep=args.sep,
+            assistant_role=args.assistant_role,
         )
     elif args.cmd == "classify":
         from fhir_owl_spark.operators import text

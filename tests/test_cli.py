@@ -426,3 +426,24 @@ def test_corpus_classify_subcommand(spark, tmp_path, capsys):
     kept = spark.read.parquet(str(tmp_path / "cf"))
     assert s["rows_out"] == 2 and set(kept.columns) == {"doc_id", "text"}
     assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+
+
+def test_corpus_sft_subcommand(spark, tmp_path, capsys):
+    """sft: (prompt, response) pair extraction through the CLI."""
+    import jobs.corpus_pipeline as cp
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("c1", 0, "user", "hello"), ("c1", 1, "assistant", "hi"),
+         ("c2", 0, "assistant", "orphan")],
+        ["conv_id", "turn_idx", "role", "text"],
+    ).write.parquet(src)
+
+    rc = cp.main(["sft", "--input", src, "--output", str(tmp_path / "p"),
+                  "--context-turns", "2"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    s = json.loads(out)
+    assert s["rows_in"] == 3 and s["rows_out"] == 1
+    r = spark.read.parquet(str(tmp_path / "p")).collect()[0]
+    assert r["prompt"] == "user: hello" and r["response"] == "hi"

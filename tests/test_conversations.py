@@ -129,3 +129,59 @@ def test_sessionize_splits_on_gap(spark):
     assert got[("c1", 3)][0] == 1
     assert got[("c1", 4)][0] == 2
     assert got[("c2", 0)] == (0, None)
+
+
+class TestSftPairs:
+    def _t(self, spark):
+        rows = [
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "hi there"),
+            ("c1", 2, "user", "do thing"),
+            ("c1", 3, "assistant", None),        # NULL response kept as ''
+            ("c1", 4, "user", "more"),
+            ("c1", 5, "assistant", "done"),
+            ("c2", 0, "assistant", "orphan"),    # no context -> dropped
+            ("c2", 1, "user", "late question"),
+        ]
+        return spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+
+    def test_pairs_and_context_window(self, spark):
+        from fhir_owl_spark.operators.conversations import sft_pairs
+
+        got = {(r["conv_id"], r["turn_idx"]): r
+               for r in sft_pairs(self._t(spark), context_turns=3).collect()}
+        # orphan assistant turn with no preceding context is dropped
+        assert ("c2", 0) not in got
+        assert set(got) == {("c1", 1), ("c1", 3), ("c1", 5)}
+        assert got[("c1", 1)]["prompt"] == "user: hello"
+        assert got[("c1", 1)]["response"] == "hi there"
+        # NULL text renders as '' in BOTH prompt lines and responses
+        assert got[("c1", 3)]["response"] == ""
+        # turns 2,3,4 are the 3-row frame before turn 5; turn 3's NULL
+        # text renders as an empty line body
+        assert got[("c1", 5)]["prompt"] == (
+            "user: do thing\nassistant: \nuser: more")
+
+    def test_window_truncates_to_k(self, spark):
+        from fhir_owl_spark.operators.conversations import sft_pairs
+
+        got = {r["turn_idx"]: r["prompt"]
+               for r in sft_pairs(self._t(spark), context_turns=1).collect()}
+        assert got[5] == "user: more"
+        assert got[3] == "user: do thing"
+
+    def test_validation(self, spark):
+        import pytest
+
+        from fhir_owl_spark.operators.conversations import sft_pairs
+
+        with pytest.raises(ValueError, match="context_turns"):
+            sft_pairs(self._t(spark), context_turns=0)
+
+    def test_partition_invariance(self, spark):
+        from fhir_owl_spark.operators.conversations import sft_pairs
+
+        t = self._t(spark)
+        a = {tuple(r) for r in sft_pairs(t).collect()}
+        b = {tuple(r) for r in sft_pairs(t.repartition(7)).collect()}
+        assert a == b

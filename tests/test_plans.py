@@ -453,3 +453,23 @@ def test_pmi_edges_plan_broadcast_marginals_no_python(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "FlatMapGroupsInPandas"):
         assert py_node not in plan
+
+
+def test_sft_pairs_plan_one_exchange_no_python(spark):
+    """sft_pairs: one conv_id hash-partitioned Exchange (the window),
+    a BOUNDED rolling frame (no conversation-sized state), rendering
+    pure Column — no Python stage, no join, no extra shuffle."""
+    from fhir_owl_spark.operators.conversations import sft_pairs
+
+    t = spark.createDataFrame(
+        [(f"c{i % 5}", i // 5, "assistant" if i % 2 else "user", f"t{i}")
+         for i in range(60)],
+        ["conv_id", "turn_idx", "role", "text"])
+    plan = plan_of(sft_pairs(t))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+        assert py_node not in plan
