@@ -737,6 +737,19 @@ def q_conv_render(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_bpe_pairs(spark, sf_dir) -> DataFrame:
+    """BPE merge-pair statistics (operators.text.bpe_merge_pairs):
+    top-100 adjacent-token-pair frequencies — the first tokenizer-
+    training iteration, ties broken by pair ascending. HOF-safe
+    zip_with pair build, one hash agg, TakeOrderedAndProject."""
+    from .operators.text import bpe_merge_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, k=100).select(
+        "pair", F.col("n").cast("long").alias("n")
+    )
+
+
 def q_sft_pairs(spark, sf_dir) -> DataFrame:
     """Instruction-tuning (prompt, response) pair extraction
     (operators.conversations.sft_pairs): each assistant turn paired with
@@ -1546,6 +1559,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "normalize_docs": q_normalize_docs,
     "vocab_top100": q_vocab_top100,
+    "bpe_pairs": q_bpe_pairs,
     "tfidf_terms": q_tfidf_terms,
     "conv_near_dups": q_conv_near_dups,
     "pack_docs": q_pack_docs,
@@ -2453,6 +2467,18 @@ SELECT conv_id,
        coalesce(text, '') AS response
 FROM c
 WHERE role = 'assistant' AND len(ctx) >= 1
+""",
+        "bpe_pairs": r"""
+WITH wd AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents),
+pr AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1])) AS pair
+  FROM wd WHERE len(ws) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pr GROUP BY pair ORDER BY n DESC, pair LIMIT 100
 """,
         "vocab_top100": r"""
 WITH w AS (

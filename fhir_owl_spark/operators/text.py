@@ -769,3 +769,34 @@ def linear_classifier_score(
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("score"),
         )
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the statistic a byte-pair-
+    encoding tokenizer's merge step maximizes (the first BPE training
+    iteration over a word-level corpus; re-running after applying the
+    winning merge yields the classic iterative trainer, with this
+    operator as the distributed inner loop).
+
+    Scale shape: the pair array reuses the HOF-safe zip_with fold
+    (``_ngrams`` — arguments evaluated once, no per-element subtree
+    re-expansion), built map-side from a MATERIALIZED filtered token
+    column; one combiner-backed hash aggregation on the pair key; the
+    global top-k compiles to TakeOrderedAndProject (map-side partial
+    top-n — the vocabulary is never fully sorted or collected). Ties
+    break by pair ascending for cross-engine determinism.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    pairs = (
+        df.select(toks.alias("_ws"))
+        .select(F.explode(_ngrams(F.col("_ws"), F.size("_ws"), 2)).alias("pair"))
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(k)

@@ -473,3 +473,18 @@ def test_sft_pairs_plan_one_exchange_no_python(spark):
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "FlatMapGroupsInPandas"):
         assert py_node not in plan
+
+
+def test_bpe_pairs_plan_take_ordered(spark):
+    """bpe_merge_pairs: one combiner-backed hash agg + global top-k as
+    TakeOrderedAndProject (map-side partial top-n) — never a full Sort
+    of the pair vocabulary, no Python stage."""
+    from fhir_owl_spark.operators.text import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} common") for i in range(60)],
+        ["doc_id", "text"])
+    plan = plan_of(bpe_merge_pairs(docs, k=10))
+    assert "TakeOrderedAndProject" in plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan

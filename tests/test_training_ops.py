@@ -1494,3 +1494,23 @@ class TestPmiEdges:
         a = {tuple(r) for r in pmi_edges(m).collect()}
         b = {tuple(r) for r in pmi_edges(m.repartition(17), n_salt=4).collect()}
         assert a == b
+
+
+class TestBpeMergePairs:
+    def test_hand_counted_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b a b c"), (1, "  a   b  "), (2, "solo"), (3, None)],
+            ["doc_id", "text"])
+        got = [(r["pair"], r["n"]) for r in text.bpe_merge_pairs(df).collect()]
+        # doc0: (a b),(b a),(a b),(b c); doc1 (whitespace runs): (a b);
+        # doc2/doc3 contribute nothing
+        assert got[0] == ("a b", 3)
+        assert dict(got) == {"a b": 3, "b a": 1, "b c": 1}
+        # ties (n=1) break by pair ascending
+        assert got[1:] == [("b a", 1), ("b c", 1)]
+
+    def test_top_k_and_validation(self, spark):
+        df = spark.createDataFrame([(0, "x y x y z w")], ["doc_id", "text"])
+        assert text.bpe_merge_pairs(df, k=1).count() == 1
+        with pytest.raises(ValueError, match="k must be"):
+            text.bpe_merge_pairs(df, k=0)
