@@ -288,6 +288,40 @@ def main() -> None:
         upscale["span_dedup_rows"] = {
             "docs_with_dup_span": n_span_docs, "masked": n_masked
         }
+        # SFT pair extraction over the full 6M-turn corpus (new r5 op):
+        # one conv_id Exchange + bounded rolling window — the same
+        # single-shuffle shape as kg_build's turn ordering
+        from fhir_owl_spark.operators.conversations import sft_pairs
+
+        t0 = time.perf_counter()
+        n_sft = sft_pairs(t6, context_turns=3).count()
+        upscale["sft_pairs_6m"] = round(time.perf_counter() - t0, 3)
+
+        # linear classifier inference at 10× docs (new r5 op): broadcast
+        # model join + one doc-id hash agg; model derived from the corpus
+        # vocabulary like the contract fixture
+        from fhir_owl_spark.operators.text import linear_classifier_score
+
+        t0 = time.perf_counter()
+        vocab_w = (
+            docs10.select(
+                F.explode(
+                    F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+")
+                ).alias("term")
+            )
+            .filter((F.col("term") != "") & F.length("term").between(4, 8))
+            .distinct()
+            .select(
+                "term",
+                ((F.length("term") - F.lit(6)) * F.lit(0.25))
+                .cast("double")
+                .alias("weight"),
+            )
+        )
+        n_scored = linear_classifier_score(docs10, vocab_w, bias=0.1).count()
+        upscale["classifier_10x"] = round(time.perf_counter() - t0, 3)
+        upscale["sft_classifier_rows"] = {"sft_pairs": n_sft, "scored": n_scored}
+
         upscale.update(
             {
                 "turns_6m": n_up,
