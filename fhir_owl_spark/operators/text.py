@@ -800,3 +800,107 @@ def bpe_merge_pairs(
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(k)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_count: int = 2,
+    end_of_word: str = "▁",
+) -> "list[dict]":
+    """Learn a byte-pair-encoding merge list from the corpus — the
+    distributed form of Sennrich et al. 2016's iterative trainer (the
+    algorithm behind GPT-2/LLaMA-style tokenizers, here at word level
+    with an end-of-word marker so merges never cross word boundaries).
+
+    Returns the ordered merge list as ``[{"step", "left", "right",
+    "merged", "count"}, ...]`` — a few-hundred-row model artifact (like
+    ``linear_classifier_score``'s weight table, the model is
+    driver-sized by definition; the corpus never is).
+
+    Scale shape — the key property: the CORPUS is touched exactly once
+    (one hash aggregation word → frequency); every merge iteration then
+    runs on the VOCABULARY table, which is bounded (≤ a few million
+    rows for any real corpus) and cached. Per iteration: one
+    weighted-pair explode + hash agg over the vocab, ONE driver action
+    (the argmax row — the PageRank one-action-per-iteration
+    discipline), and a pure-Column fold (``F.aggregate``) rewrites the
+    symbol arrays in place — no Python UDF anywhere, no corpus
+    re-scan, no growing lineage (localCheckpoint per round). Ties
+    break by (count desc, left asc, right asc) so the learned merge
+    list is deterministic under any partitioning.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark_df = df.select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        spark_df.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # symbols: characters + a terminal end-of-word marker
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""),
+                F.array(F.lit(end_of_word)),
+            ).alias("syms"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[dict] = []
+    for step in range(n_merges):
+        pair_counts = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair.left", "pair.right")
+            .agg(F.sum("n").alias("count"))
+        )
+        best = pair_counts.orderBy(
+            F.col("count").desc(), F.col("left"), F.col("right")
+        ).first()
+        if best is None or best["count"] < min_count:
+            break
+        left, right = best["left"], best["right"]
+        merged = left + right
+        merges.append(
+            {
+                "step": step,
+                "left": left,
+                "right": right,
+                "merged": merged,
+                "count": int(best["count"]),
+            }
+        )
+        # apply the merge: left-fold each symbol array, greedily joining
+        # adjacent (left, right) occurrences left-to-right (the reference
+        # algorithm's re.sub semantics) — pure Column, no UDF
+        acc0 = F.array().cast("array<string>")
+        step_fn = lambda acc, s: F.when(  # noqa: E731
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+        vocab = vocab.select(
+            F.aggregate(F.col("syms"), acc0, step_fn).alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+    return merges

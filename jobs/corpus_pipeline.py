@@ -197,6 +197,13 @@ def parse_args(argv=None):
     sf.add_argument("--sep", default="\n",
                     help="separator between prompt context lines")
 
+    bp = sub.add_parser("bpe-train",
+                        help="learn a BPE merge list from the corpus "
+                             "(Sennrich-style, distributed)")
+    common(bp)
+    bp.add_argument("--n-merges", type=int, default=100)
+    bp.add_argument("--min-count", type=int, default=2)
+
     cl = sub.add_parser("classify",
                         help="fastText-style linear quality-classifier "
                              "scores from an exported (term, weight) model")
@@ -424,6 +431,17 @@ def run(args) -> dict:
             context_turns=args.context_turns,
             sep=args.sep,
             assistant_role=args.assistant_role,
+        )
+    elif args.cmd == "bpe-train":
+        from fhir_owl_spark.operators import text
+
+        merges = text.bpe_train(
+            docs, n_merges=args.n_merges, text_col=args.text_col,
+            min_count=args.min_count,
+        )
+        out = spark.createDataFrame(
+            merges,
+            "step INT, left STRING, right STRING, merged STRING, count BIGINT",
         )
     elif args.cmd == "classify":
         from fhir_owl_spark.operators import text

@@ -447,3 +447,24 @@ def test_corpus_sft_subcommand(spark, tmp_path, capsys):
     assert s["rows_in"] == 3 and s["rows_out"] == 1
     r = spark.read.parquet(str(tmp_path / "p")).collect()[0]
     assert r["prompt"] == "user: hello" and r["response"] == "hi"
+
+
+def test_corpus_bpe_train_subcommand(spark, tmp_path, capsys):
+    """bpe-train: distributed BPE merge learning through the CLI."""
+    import jobs.corpus_pipeline as cp
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "low low low lower newest newest newest widest")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+
+    rc = cp.main(["bpe-train", "--input", src, "--output", str(tmp_path / "m"),
+                  "--n-merges", "4"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    s = json.loads(out)
+    assert s["rows_out"] == 4
+    got = {r["step"]: r for r in spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert got[0]["left"] == "e" and got[0]["right"] == "s"
+    assert got[1]["merged"] == "est"

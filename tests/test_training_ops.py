@@ -1514,3 +1514,79 @@ class TestBpeMergePairs:
         assert text.bpe_merge_pairs(df, k=1).count() == 1
         with pytest.raises(ValueError, match="k must be"):
             text.bpe_merge_pairs(df, k=0)
+
+
+def _ref_bpe(word_counts, n_merges, min_count=2, eow="▁"):
+    """Independent pure-Python reference BPE trainer (Sennrich et al.
+    2016 semantics, greedy left-to-right merge application, ties by
+    (count desc, left asc, right asc))."""
+    import collections
+
+    vocab = {tuple(list(w) + [eow]): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), cnt = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if cnt < min_count:
+            break
+        merges.append(
+            {"step": step, "left": l, "right": r, "merged": l + r, "count": cnt}
+        )
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+class TestBpeTrain:
+    def test_matches_reference_on_sennrich_corpus(self, spark):
+        words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        corpus = " ".join(" ".join([w] * c) for w, c in words.items())
+        df = spark.createDataFrame([(0, corpus)], ["doc_id", "text"])
+        got = text.bpe_train(df, n_merges=8)
+        assert got == _ref_bpe(words, 8)
+        # the classic first merges on this corpus: 'es' then 'est'
+        assert (got[0]["left"], got[0]["right"]) == ("e", "s")
+        assert got[1]["merged"] == "est"
+
+    def test_matches_reference_on_random_corpora(self, spark):
+        import random
+
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            words = {
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6))):
+                    rng.randint(1, 9)
+                for _ in range(30)
+            }
+            corpus = " ".join(" ".join([w] * c) for w, c in words.items())
+            df = spark.createDataFrame([(0, corpus)], ["doc_id", "text"])
+            got = text.bpe_train(df.repartition(5), n_merges=6)
+            assert got == _ref_bpe(words, 6), f"seed {seed}"
+
+    def test_min_count_stops_early(self, spark):
+        df = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
+        got = text.bpe_train(df, n_merges=10, min_count=3)
+        # no pair reaches count 3: 'ab' appears twice, 'cd' once
+        assert got == []
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="n_merges"):
+            text.bpe_train(df, n_merges=0)
+        with pytest.raises(ValueError, match="min_count"):
+            text.bpe_train(df, min_count=0)
