@@ -904,3 +904,76 @@ def bpe_train(
             F.aggregate(F.col("syms"), acc0, step_fn).alias("syms"), "n"
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[dict]",
+    text_col: str = "text",
+    end_of_word: str = "▁",
+    output_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize the corpus with a LEARNED BPE merge list (the inference
+    half of ``bpe_train``): lower-case, whitespace-split, char-split
+    each word (+ end-of-word marker), then apply the merges in rank
+    order with the same greedy left-to-right semantics the trainer
+    used — so encoding the training corpus reproduces the trainer's
+    final vocabulary exactly (asserted in tests).
+
+    Why a pandas UDF: applying an ARBITRARY-length learned merge list
+    is an iterative per-word computation that bounded Column
+    expressions cannot express (the per-merge fold works for one known
+    merge, not a 32k-entry ranked list). This is the engine's
+    established slow-path discipline (mentions' Aho-Corasick): an
+    Arrow-vectorized ``pandas_udf`` whose merge table ships once per
+    executor in the task closure (model-sized, like the broadcast
+    dictionary), with a per-batch WORD memo — natural-language batches
+    repeat words heavily, so the merge loop runs once per distinct
+    word per batch, not once per occurrence. Map-only: no shuffle, no
+    driver action; composes with ``pack_documents`` for packing by
+    true token counts.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranked = [(m["left"], m["right"], m["merged"]) for m in merges]
+
+    # no type hints on the UDF: under `from __future__ import annotations`
+    # they are strings PySpark's hint inference cannot resolve here; the
+    # explicit returnType selects the scalar pandas eval type
+    @pandas_udf("array<string>")
+    def _encode(texts):
+        memo: dict = {}
+
+        def encode_word(w):
+            got = memo.get(w)
+            if got is None:
+                syms = list(w) + [end_of_word]
+                for left, right, merged in ranked:
+                    if len(syms) < 2:
+                        break
+                    out = []
+                    for s in syms:
+                        if out and out[-1] == left and s == right:
+                            out[-1] = merged
+                        else:
+                            out.append(s)
+                    syms = out
+                got = memo[w] = syms
+            return got
+
+        # Java regex \s (the trainer's F.split) is ASCII-only — match it
+        # exactly so encode ∘ train is self-consistent on any input
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        return texts.map(
+            lambda t: [
+                tok
+                for w in ascii_ws.split(str(t or "").lower())
+                if w
+                for tok in encode_word(w)
+            ]
+        )
+
+    return df.withColumn(output_col, _encode(F.col(text_col)))

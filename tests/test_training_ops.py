@@ -1590,3 +1590,47 @@ class TestBpeTrain:
             text.bpe_train(df, n_merges=0)
         with pytest.raises(ValueError, match="min_count"):
             text.bpe_train(df, min_count=0)
+
+
+class TestBpeEncode:
+    def test_encode_reproduces_trainer_vocabulary(self, spark):
+        words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        corpus = " ".join(" ".join([w] * c) for w, c in words.items())
+        df = spark.createDataFrame([(0, corpus)], ["doc_id", "text"])
+        merges = text.bpe_train(df, n_merges=6)
+        # independent reference: apply the merges to each word
+        def ref_encode(w):
+            syms = list(w) + ["▁"]
+            for m in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == m["left"] and s == m["right"]:
+                        out[-1] = m["merged"]
+                    else:
+                        out.append(s)
+                syms = out
+            return syms
+        enc = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], ["doc_id", "text"])
+        got = {r["text"]: r["tokens"]
+               for r in text.bpe_encode(enc, merges).collect()}
+        for w in words:
+            assert got[w] == ref_encode(w), w
+
+    def test_empty_merges_and_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(0, "ab"), (1, None), (2, "  ")], ["doc_id", "text"])
+        got = {r["doc_id"]: r["tokens"] for r in text.bpe_encode(df, []).collect()}
+        assert got[0] == ["a", "b", "▁"]
+        assert got[1] == [] and got[2] == []
+
+    def test_case_fold_matches_trainer(self, spark):
+        df = spark.createDataFrame([(0, "AB ab")], ["doc_id", "text"])
+        merges = text.bpe_train(df, n_merges=1, min_count=2)
+        assert merges and merges[0]["count"] == 2  # 'AB' folded into 'ab'
+        # both case variants encode identically (encode lower-cases like
+        # the trainer)
+        two = text.bpe_encode(
+            spark.createDataFrame([(0, "AB"), (1, "ab")], ["doc_id", "text"]),
+            merges).collect()
+        assert two[0]["tokens"] == two[1]["tokens"]
