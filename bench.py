@@ -297,6 +297,18 @@ def main() -> None:
         n_sft = sft_pairs(t6, context_turns=3).count()
         upscale["sft_pairs_6m"] = round(time.perf_counter() - t0, 3)
 
+        # PMI edge weighting over the 6M-turn corpus's mentions (new r5
+        # op): the conv-keyed pair self-join + salted count + broadcast
+        # marginals at transcript scale
+        from fhir_owl_spark.operators.graph import pmi_edges
+
+        t0 = time.perf_counter()
+        n_pmi = pmi_edges(
+            mentions.extract_mentions(t6, dictionary, cfg), n_salt=16
+        ).count()
+        upscale["pmi_edges_6m"] = round(time.perf_counter() - t0, 3)
+        upscale["pmi_edges_rows"] = n_pmi
+
         # linear classifier inference at 10× docs (new r5 op): broadcast
         # model join + one doc-id hash agg; model derived from the corpus
         # vocabulary like the contract fixture
