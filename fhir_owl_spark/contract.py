@@ -557,6 +557,18 @@ def q_corpus_logloss(spark, sf_dir) -> DataFrame:
     return corpus_logloss(docs)
 
 
+def q_bigram_logloss(spark, sf_dir) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document
+    (operators.text.corpus_bigram_logloss): Jelinek-Mercer
+    λ·P(w2|w1) + (1−λ)·P(w2), λ=0.75 — the order-2 perplexity proxy.
+    Bigram/context counts shuffle on xxhash64 keys; unigram join is
+    token-keyed; round(6) absorbs sub-ulp log2 differences."""
+    from .operators.text import corpus_bigram_logloss
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_bigram_logloss(docs, lam=0.75)
+
+
 def q_dsir_weights(spark, sf_dir) -> DataFrame:
     """DSIR-style importance weights (operators.sampling.
     importance_weights): per-token average log2 likelihood ratio between
@@ -1505,6 +1517,7 @@ QUERIES = {
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "mixture_sample_docs": q_mixture_sample_docs,
     "corpus_logloss": q_corpus_logloss,
+    "bigram_logloss": q_bigram_logloss,
     "dsir_weights": q_dsir_weights,
     "source_quota_docs": q_source_quota_docs,
     "perplexity_buckets": q_perplexity_buckets,
@@ -2291,6 +2304,32 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 15) AS BIGINT)
       % 1000000
       < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000 ELSE 100000 END
+""",
+        "bigram_logloss": r"""
+WITH wd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')),'\s+'),
+                             w -> w <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM wd),
+uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+n AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+        FROM wd WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM idx),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+p AS (SELECT bg.doc_id,
+             count(*) AS n_pairs,
+             avg(-log2(CAST(0.75 AS DOUBLE) * bc.c12 / ctx.c1
+                       + CAST(0.25 AS DOUBLE) * uni.cu / n.n)) AS bits
+      FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+              JOIN uni ON bg.w2 = uni.w
+      CROSS JOIN n
+      GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       round(p.bits, 6) AS bits_per_pair
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 """,
         "corpus_logloss": r"""
 WITH tok AS (

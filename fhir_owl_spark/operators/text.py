@@ -977,3 +977,85 @@ def bpe_encode(
         )
 
     return df.withColumn(output_col, _encode(F.col(text_col)))
+
+
+def corpus_bigram_logloss(
+    df: DataFrame,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — the order-2
+    upgrade of ``corpus_logloss`` (one step toward CCNet's KenLM
+    5-gram, still computed from the corpus itself, no external model):
+
+        bits_per_pair(d) = mean over d's adjacent token pairs of
+            −log2( λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/N )
+
+    — a Jelinek-Mercer interpolation whose unigram floor keeps every
+    probability positive, so unseen-bigram smoothing is inherent.
+    Repetitive/boilerplate text scores low, rare-transition text high.
+
+    Scale shape: the bigram array is the HOF-safe zip_with fold; the
+    bigram-count and context-count aggregations shuffle on
+    ``xxhash64`` of the words (raw text never a shuffle key — the
+    line_dedup discipline); the unigram join is token-keyed (AQE
+    splits stop-word skew); the corpus total folds in as a one-row
+    broadcast cross-join; one per-doc aggregation. Documents with
+    fewer than two tokens return NULL bits (n_pairs = 0), never
+    vanish.
+    """
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    wd = df.select(F.col(id_col), words.alias("_ws"))
+    tokens = wd.select(id_col, F.explode("_ws").alias("_t"))
+    uni = tokens.groupBy("_t").agg(F.count(F.lit(1)).alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_n"))
+    # greatest(…, 0): a token-free document would otherwise pass slice a
+    # negative length (the _ngrams guard, inlined)
+    m = F.greatest(F.size("_ws") - 1, F.lit(0))
+    pairs = wd.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, m),
+                F.slice(F.col("_ws"), 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        F.col("_p.w1").alias("_w1"),
+        F.col("_p.w2").alias("_w2"),
+        F.xxhash64("_p.w1", "_p.w2").alias("_h12"),
+        F.xxhash64("_p.w1").alias("_h1"),
+    )
+    bc = pairs.groupBy("_h12").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = pairs.groupBy("_h1").agg(F.count(F.lit(1)).alias("_c1"))
+    prob = F.lit(lam) * F.col("_c12") / F.col("_c1") + F.lit(1.0 - lam) * F.col(
+        "_cu"
+    ) / F.col("_n")
+    per_doc = (
+        pairs.join(bc, "_h12")
+        .join(ctx, "_h1")
+        .join(uni, pairs["_w2"] == uni["_t"])
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg(-F.log2(prob)).alias("_bits"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.round("_bits", 6).alias("bits_per_pair"),
+        )
+    )

@@ -1634,3 +1634,42 @@ class TestBpeEncode:
             spark.createDataFrame([(0, "AB"), (1, "ab")], ["doc_id", "text"]),
             merges).collect()
         assert two[0]["tokens"] == two[1]["tokens"]
+
+
+class TestBigramLogloss:
+    def test_hand_computed(self, spark):
+        # corpus: "a b a" + "a b" + "x" → bigrams: (a,b)x2, (b,a)x1
+        # unigrams: a:3, b:2, x:1, N=6; c(a,·)=2, c(b,·)=1
+        df = spark.createDataFrame(
+            [(0, "a b a"), (1, "a b"), (2, "x"), (3, None)],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r
+               for r in text.corpus_bigram_logloss(df, lam=0.75).collect()}
+        p_ab = 0.75 * 2 / 2 + 0.25 * 2 / 6
+        p_ba = 0.75 * 1 / 1 + 0.25 * 3 / 6
+        exp0 = round((-math.log2(p_ab) - math.log2(p_ba)) / 2, 6)
+        assert got[0]["n_pairs"] == 2 and got[0]["bits_per_pair"] == exp0
+        assert got[1]["n_pairs"] == 1
+        assert got[1]["bits_per_pair"] == round(-math.log2(p_ab), 6)
+        # <2 tokens → NULL bits, never dropped
+        assert got[2] == (2, 0, None) or (got[2]["n_pairs"] == 0
+                                          and got[2]["bits_per_pair"] is None)
+        assert got[3]["n_pairs"] == 0 and got[3]["bits_per_pair"] is None
+
+    def test_repetitive_scores_lower_than_rare_transitions(self, spark):
+        rows = [(i, "x y x y x y x y") for i in range(10)]
+        rows.append((99, "q r s t u v w z"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["bits_per_pair"]
+               for r in text.corpus_bigram_logloss(df).collect()}
+        assert got[0] < got[99]
+
+    def test_validation_and_partition_invariance(self, spark):
+        df = spark.range(100).selectExpr(
+            "id AS doc_id",
+            "concat('w', CAST(id % 7 AS STRING), ' mid w', CAST(id % 3 AS STRING)) AS text")
+        with pytest.raises(ValueError, match="lam"):
+            text.corpus_bigram_logloss(df, lam=0.0)
+        a = {tuple(r) for r in text.corpus_bigram_logloss(df).collect()}
+        b = {tuple(r) for r in text.corpus_bigram_logloss(df.repartition(9)).collect()}
+        assert a == b
