@@ -1525,6 +1525,7 @@ QUERIES = {
     "mask_dup_spans": q_mask_dup_spans,
     "dsir_resample": q_dsir_resample,
     "classifier_score": q_classifier_score,
+    "bpe_pairs": q_bpe_pairs,
     "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
@@ -1572,7 +1573,6 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "normalize_docs": q_normalize_docs,
     "vocab_top100": q_vocab_top100,
-    "bpe_pairs": q_bpe_pairs,
     "tfidf_terms": q_tfidf_terms,
     "conv_near_dups": q_conv_near_dups,
     "pack_docs": q_pack_docs,
