@@ -366,6 +366,29 @@ def q_closure_delta(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_k_hop_orders(spark, sf_dir) -> DataFrame:
+    """Bounded k-hop neighborhood (operators.hierarchy.k_hop): every
+    node within ≤2 downward hops of two seed codes, with its BFS level
+    — the subgraph-extraction query; depth-capped frontier loop,
+    truncation by design, never the full closure."""
+    from .operators.hierarchy import k_hop
+
+    edges = _order_edges(spark, sf_dir)
+    out = k_hop(
+        edges.select(
+            F.col("child").cast("string").alias("child"),
+            F.col("parent").cast("string").alias("parent"),
+        ),
+        seeds=["4", "77"],
+        k=2,
+        direction="down",
+    )
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
 def q_reduction_orders(spark, sf_dir) -> DataFrame:
     e10 = _order_edges(spark, sf_dir, 10)
     e100 = _order_edges(spark, sf_dir, 100)
@@ -1540,6 +1563,7 @@ QUERIES = {
     "context_scores": q_context_scores,
     "closure_orders": q_closure_orders,
     "closure_delta": q_closure_delta,
+    "k_hop_orders": q_k_hop_orders,
     "reduction_orders": q_reduction_orders,
     "min_label": q_min_label,
     "dedup_hash": q_dedup_hash,
@@ -1782,6 +1806,17 @@ SELECT n.conv_id, n.code, n.term, CAST(n.n_hits AS BIGINT) AS n_hits,
                                  WHERE isa.child_code = n.code)
                     THEN 0.2 ELSE 0.0 END), 9) AS context_score
 FROM n
+""",
+        "k_hop_orders": """
+WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent
+                     FROM orders WHERE o_orderkey // 10 > 0),
+r AS (SELECT CAST(s.seed AS BIGINT) AS node, 0 AS hops
+      FROM (VALUES (4), (77)) AS s(seed)
+      UNION ALL
+      SELECT e.child, r.hops + 1 FROM r JOIN e ON e.parent = r.node
+      WHERE r.hops < 2)
+SELECT node, CAST(min(hops) AS INTEGER) AS hops
+FROM r WHERE hops >= 1 GROUP BY node
 """,
         "closure_orders": """
 WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS parent

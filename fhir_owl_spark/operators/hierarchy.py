@@ -206,6 +206,7 @@ def _seeded_bfs(
     max_iterations: int,
     stop_at,
     op_name: str,
+    allow_truncation: bool = False,
 ) -> list[DataFrame]:
     """Shared frontier loop for reachable_set / reachable_pairs: lazy
     checkpoint fused with the emptiness (+ optional stop-target) probe —
@@ -246,10 +247,11 @@ def _seeded_bfs(
             # O(path depth), not O(full reached set)
             break
     else:
-        raise HierarchyCycleError(
-            f"{op_name} did not converge within {max_iterations} hops — "
-            "graph deeper than max_iterations; raise it for this query"
-        )
+        if not allow_truncation:
+            raise HierarchyCycleError(
+                f"{op_name} did not converge within {max_iterations} hops — "
+                "graph deeper than max_iterations; raise it for this query"
+            )
     return visited_parts
 
 
@@ -525,3 +527,49 @@ def build_hierarchy(
         )
         direct = direct.unionByName(orphans)
     return direct
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: list[str],
+    k: int,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    direction: str = "up",
+    broadcast_edges: bool | None = None,
+) -> DataFrame:
+    """(node, hops) for every node within ≤ ``k`` hops of ``seeds`` —
+    the bounded neighborhood-expansion query (subgraph extraction
+    around an entity, "show me everything 2 links from X"), the
+    depth-capped sibling of ``reachable_set``. ``hops`` is the MINIMUM
+    hop count (the BFS level of first visit); seeds themselves are not
+    rows unless re-reached through a cycle (same convention as
+    reachable_set, so the two compose).
+
+    Scale shape: identical to reachable_set — the shared frontier loop
+    (one job per hop, lazy checkpoint fused with the emptiness probe,
+    AUTO edge broadcast) with truncation at depth k being the POINT
+    rather than an error: cost is O(|k-hop neighborhood| × k), never
+    the full closure.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
+    hop = _hop_table(edges, direction, child_col, parent_col, broadcast_edges)
+    frontier = spark.createDataFrame(
+        [(s,) for s in seeds], ["node"]
+    ).localCheckpoint(eager=True)
+    parts = _seeded_bfs(
+        frontier, hop, ["node"], k, None, "k_hop", allow_truncation=True
+    )
+    if not parts:
+        return spark.createDataFrame([], "node string, hops int")
+    import functools
+
+    return functools.reduce(
+        DataFrame.union,
+        [
+            p.select("node", F.lit(i + 1).cast("int").alias("hops"))
+            for i, p in enumerate(parts)
+        ],
+    )

@@ -53,3 +53,48 @@ def test_reachable_set_and_pairs_shuffle_path(spark):
             ("100", "10"), ("100", "13"), ("100", "1"),
             ("110", "11"), ("110", "1"),
         }
+
+
+class TestKHop:
+    def _edges(self, spark):
+        # chain 1→2→3→4→5 plus a shortcut 1→3 (diamond: 3 is reachable
+        # at hops 1 AND 2 — min wins)
+        rows = [("2", "1"), ("3", "2"), ("4", "3"), ("5", "4"), ("3", "1")]
+        return spark.createDataFrame(rows, ["child", "parent"])
+
+    def test_min_hop_attribution_and_truncation(self, spark):
+        from fhir_owl_spark.operators.hierarchy import k_hop
+
+        e = self._edges(spark)
+        got = {r["node"]: r["hops"]
+               for r in k_hop(e, ["1"], k=2, direction="down").collect()}
+        # down from 1: level1 {2, 3 (shortcut)}, level2 {4 (via 3), 3 via 2
+        # — already visited}; 5 is 3 hops away and must be truncated out
+        assert got == {"2": 1, "3": 1, "4": 2}
+
+    def test_up_direction_and_full_depth(self, spark):
+        from fhir_owl_spark.operators.hierarchy import k_hop
+
+        e = self._edges(spark)
+        got = {r["node"]: r["hops"]
+               for r in k_hop(e, ["5"], k=10, direction="up").collect()}
+        assert got == {"4": 1, "3": 2, "2": 3, "1": 3}
+
+    def test_validation_and_no_reach(self, spark):
+        import pytest
+
+        from fhir_owl_spark.operators.hierarchy import k_hop
+
+        e = self._edges(spark)
+        with pytest.raises(ValueError, match="k must be"):
+            k_hop(e, ["1"], k=0)
+        assert k_hop(e, ["zzz"], k=3).count() == 0
+
+    def test_matches_reachable_set_at_depth(self, spark):
+        from fhir_owl_spark.operators.hierarchy import k_hop, reachable_set
+
+        e = self._edges(spark)
+        khop_nodes = {r["node"] for r in k_hop(e, ["1"], k=10, direction="down").collect()}
+        full = {r["node"]
+                for r in reachable_set(e, ["1"], direction="down").collect()}
+        assert khop_nodes == full
