@@ -395,3 +395,102 @@ def test_sessionize_invariants(spark, gaps, threshold_min):
         if g * 60 * 1_000_000 > threshold_min * 60 * 1_000_000:
             expect_idx += 1
         assert got[i] == (expect_idx, g * 60 * 1_000_000)
+
+
+def _py_k_hop(edges, seeds, k, direction="up"):
+    """Independent model: BFS levels with min-hop attribution, capped at k."""
+    adj: dict = {}
+    for c, p in edges:
+        a, b = (c, p) if direction == "up" else (p, c)
+        adj.setdefault(a, set()).add(b)
+    hops: dict = {}
+    frontier = set(seeds)
+    for level in range(1, k + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        nxt -= set(hops)
+        if not nxt:
+            break
+        for n in nxt:
+            hops[n] = level
+        frontier = nxt
+    return hops
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(edges=random_dags(), data=st.data())
+def test_k_hop_matches_model(spark, edges, data):
+    """k_hop must equal a plain-Python leveled BFS (min-hop attribution,
+    depth cap) on random DAGs, both directions, both physical paths."""
+    from fhir_owl_spark.operators.hierarchy import k_hop
+
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    seeds = data.draw(
+        st.lists(st.sampled_from(nodes), min_size=1, max_size=3, unique=True)
+    )
+    k = data.draw(st.integers(min_value=1, max_value=4))
+    direction = data.draw(st.sampled_from(["up", "down"]))
+    bcast = data.draw(st.booleans())
+    e = spark.createDataFrame(edges, ["child", "parent"])
+    got = {
+        r["node"]: r["hops"]
+        for r in k_hop(
+            e, seeds, k=k, direction=direction, broadcast_edges=bcast
+        ).collect()
+    }
+    assert got == _py_k_hop(edges, seeds, k, direction)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_bigram_logloss_matches_model(spark, docs):
+    """corpus_bigram_logloss must equal a plain-Python Jelinek-Mercer
+    bigram model (λ=0.75) on random tiny corpora, including token-free
+    and single-token documents."""
+    import collections
+    import math as m
+
+    from fhir_owl_spark.operators.text import corpus_bigram_logloss
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_pairs"], r["bits_per_pair"])
+           for r in corpus_bigram_logloss(df, lam=0.75).collect()}
+
+    uni = collections.Counter(w for ws in docs for w in ws)
+    n = sum(uni.values())
+    bg = collections.Counter(
+        (ws[i], ws[i + 1]) for ws in docs for i in range(len(ws) - 1))
+    ctx = collections.Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    for i, ws in enumerate(docs):
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            assert got[i] == (0, None)
+            continue
+        bits = sum(
+            -m.log2(0.75 * bg[p] / ctx[p[0]] + 0.25 * uni[p[1]] / n)
+            for p in pairs
+        ) / len(pairs)
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - bits) < 1e-5, (i, got[i], bits)
