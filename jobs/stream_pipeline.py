@@ -16,10 +16,13 @@ a live 30s-trigger stream):
                (dropDuplicatesWithinWatermark; streaming/dedup)
   near-dup     incremental minhash+LSH near-dup vs the versioned
                first-seen bucket store (streaming/near_dup)
+  classify     linear-classifier quality scoring per micro-batch
+               (foreachBatch over the audited batch operator;
+               static model table joined broadcast)
 
 The reference is strictly batch; this CLI is the engine-added forward
-path for continuous transcript feeds. All four subcommands have
-stream ≡ batch equivalence tests in tests/test_streaming.py.
+path for continuous transcript feeds. All five subcommands have
+stream ≡ batch equivalence tests in tests/test_streaming.py / test_cli.py.
 """
 
 from __future__ import annotations
@@ -78,6 +81,18 @@ def parse_args(argv=None):
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--id-col", default="doc_id")
     nd.add_argument("--schema", default=None,
+                    help="input DDL schema (required for an empty landing dir)")
+
+    cl = sub.add_parser("classify",
+                        help="linear-classifier quality scores on a "
+                             "document stream (stream-static model join)")
+    common(cl)
+    cl.add_argument("--weights", required=True,
+                    help="parquet path of the (term, weight) model table")
+    cl.add_argument("--bias", type=float, default=0.0)
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--schema", default=None,
                     help="input DDL schema (required for an empty landing dir)")
 
     return p.parse_args(argv)
@@ -168,6 +183,30 @@ def main(argv=None) -> int:
                 watermark_delay=args.watermark,
             )
         ).start()
+    elif args.cmd == "classify":
+        from fhir_owl_spark.operators.text import linear_classifier_score
+
+        stream = spark.readStream.schema(_doc_schema(spark, args)).parquet(args.input)
+        weights = spark.read.parquet(args.weights).localCheckpoint()
+        # map-side plan end to end: tokens explode + BROADCAST
+        # stream-static model join + per-doc agg — but a streaming
+        # aggregation needs a watermark/output mode; instead score each
+        # micro-batch with the BATCH operator via foreachBatch, which
+        # reuses the audited batch plan verbatim (the near-dup pattern)
+        def _score_batch(batch_df, batch_id):
+            (linear_classifier_score(
+                batch_df, weights, bias=args.bias,
+                text_col=args.text_col, id_col=args.id_col)
+             .join(batch_df, args.id_col)
+             .write.mode("append").parquet(args.output))
+
+        w = (stream.writeStream.foreachBatch(_score_batch)
+             .option("checkpointLocation", args.checkpoint))
+        if args.continuous:
+            w = w.trigger(processingTime="30 seconds")
+        else:
+            w = w.trigger(availableNow=True)
+        q = w.start()
     else:  # near-dup
         from fhir_owl_spark.streaming.near_dup import start_near_dup_stream
 

@@ -468,3 +468,35 @@ def test_corpus_bpe_train_subcommand(spark, tmp_path, capsys):
     got = {r["step"]: r for r in spark.read.parquet(str(tmp_path / "m")).collect()}
     assert got[0]["left"] == "e" and got[0]["right"] == "s"
     assert got[1]["merged"] == "est"
+
+
+def test_stream_classify_subcommand(spark, tmp_path, capsys):
+    """stream classify: per-micro-batch linear-classifier scoring equals
+    the batch operator on the same drained input."""
+    import jobs.stream_pipeline as sp
+    from fhir_owl_spark.operators.text import linear_classifier_score
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "good good"), (1, "bad text"), (2, None)],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    wpath = str(tmp_path / "model")
+    spark.createDataFrame(
+        [("good", 2.0), ("bad", -2.0)], ["term", "weight"]
+    ).write.parquet(wpath)
+
+    rc = sp.main(["classify", "--input", src,
+                  "--output", str(tmp_path / "out"),
+                  "--checkpoint", str(tmp_path / "ck"),
+                  "--weights", wpath, "--bias", "0.25"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0 and json.loads(out)["cmd"] == "classify"
+
+    want = {r["doc_id"]: (r["n_tokens"], r["raw_score"], r["score"])
+            for r in linear_classifier_score(
+                spark.read.parquet(src),
+                spark.read.parquet(wpath), bias=0.25).collect()}
+    got = {r["doc_id"]: (r["n_tokens"], r["raw_score"], r["score"])
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == want and len(got) == 3
