@@ -34,6 +34,14 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
   line-dedup  C4-style boilerplate-line removal (lines in >= N docs)
   span-dedup  ExactSubstr duplicated-span removal (word k-grams in >= N
               distinct docs; --stats-only appends counts instead)
+  dsir        DSIR importance weights vs a target slice (--top-n adds
+              the Gumbel-top-k resample — the full selection pipeline)
+  quota       per-group document cap via salted top-k (RefinedWeb-style)
+  buckets     CCNet-style perplexity buckets per group
+  classify    linear-classifier quality scores from an exported
+              (term, weight) model table (--min-score filters)
+  sft         instruction-tuning (prompt, response) pair extraction
+  bpe-train   learn a BPE merge list (Sennrich-style, distributed)
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
