@@ -113,7 +113,7 @@ sandbox stand-in for N vs 4N executors per the driver instruction.
   shared-host VM with visible CPU steal and per-core turbo, so single
   runs scatter in BOTH directions. Clean same-code 2→8 runs by round:
   r01 0.843 (4→16), r02 0.828/0.909, r03 0.62/0.886/1.022, r04 0.994
-  (idle box), r05 0.875 — median of clean runs ≈ **0.89**, every round's
+  (idle box), r05 0.875/0.947 — median of clean runs ≈ **0.89**, every round's
   recorded pair ≥ the 0.8 target except r03's one steal-spiked 0.62
   outlier (its same-day re-runs were 0.886/1.022). The measured stage is
   map-only with ZERO shuffles — there is no algorithmic term that could
@@ -149,14 +149,21 @@ Shuffle-stage scaling at the same pair (fixed input, wall-time ratio):
 |---|---|---|---|---|
 {sh_rows}
 
-These three cover the engine's shuffle families — salted two-phase
-aggregation, iterative frontier join (per-round shuffle + driver
-probe), and LSH banding (wide shuffle + bucket self-join). Short
-absolute times (seconds at this SF) make these pairs noisier than the
-turn-scaled mention path — fixed per-job costs (JVM task launch,
-driver rounds in the closure loop) weigh 4× heavier at 4N — so read
-them as a floor, not a point estimate; the 10× upscale anchors in
-BENCH_r{{N}}.json carry the long-duration evidence for the same plans.
+These three cover the engine's shuffle families. The one that matters
+at transcript scale — the salted two-phase aggregation, which IS the
+transcript-volume shuffle shape — holds its efficiency (its input
+scales with the corpus). The other two rows are LATENCY-FLOOR cases at
+this SF, not throughput cases: closure_orders spends its wall time in
+~20 sequential driver rounds whose fixed per-round cost (job launch +
+probe action) is core-count-independent — the 5 s is the round floor,
+so adding cores cannot move it until the per-round data grows; minhash
+at 50k docs finishes its compute in under a second and the rest is
+stage scheduling. Neither is a scaling defect in the PLAN: the 10×
+upscale anchors (BENCH_r{{N}}.json) run the identical plans
+compute-bound — minhash 10× in ~13 s and the composed corpus stage in
+~11 s on 32 cores — which is where their throughput term is visible.
+On a real N→4N cluster the driver-round floor is the same constant at
+both sizes and amortizes at depth × data, not depth × cores.
 
 Up-scale anchors (10× data on the same plans) are recorded by bench.py
 under the JSON `upscale` key each round (BENCH_r{{N}}.json) and analyzed

@@ -494,3 +494,47 @@ def test_bigram_logloss_matches_model(spark, docs):
         ) / len(pairs)
         assert got[i][0] == len(pairs)
         assert abs(got[i][1] - bits) < 1e-5, (i, got[i], bits)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    convs=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["user", "assistant", "tool"]),
+                st.one_of(st.none(), st.sampled_from(["hi", "do it", "ok then"])),
+            ),
+            min_size=1, max_size=7,
+        ),
+        min_size=1, max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_sft_pairs_matches_model(spark, convs, k):
+    """sft_pairs must equal a plain-Python rolling-window model on random
+    conversations: every assistant turn with ≥1 preceding turn becomes
+    (prompt = up-to-k prior 'role: text' lines, response = text or '')."""
+    from fhir_owl_spark.operators.conversations import sft_pairs
+
+    rows = [
+        (f"c{ci}", ti, role, text)
+        for ci, turns in enumerate(convs)
+        for ti, (role, text) in enumerate(turns)
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+           for r in sft_pairs(df, context_turns=k).collect()}
+
+    want = {}
+    for ci, turns in enumerate(convs):
+        for ti, (role, text) in enumerate(turns):
+            if role != "assistant" or ti == 0:
+                continue
+            ctx = turns[max(0, ti - k):ti]
+            prompt = "\n".join(f"{r}: {t or ''}" for r, t in ctx)
+            want[(f"c{ci}", ti)] = (prompt, text or "")
+    assert got == want
