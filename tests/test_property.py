@@ -525,7 +525,9 @@ def test_sft_pairs_matches_model(spark, convs, k):
         for ci, turns in enumerate(convs)
         for ti, (role, text) in enumerate(turns)
     ]
-    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
     got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
            for r in sft_pairs(df, context_turns=k).collect()}
 
