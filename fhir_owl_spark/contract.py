@@ -312,6 +312,24 @@ def q_pmi_edges(spark, sf_dir) -> DataFrame:
     return pmi_edges(m, n_salt=16)
 
 
+def q_windowed_cooc(spark, sf_dir) -> DataFrame:
+    """Positional co-occurrence mining (operators.skew.
+    windowed_co_occurrence): event-type pairs within 3 positions of
+    each other per user stream — the banded proximity self-join (same
+    family as range_join: bucket ±1 equi-join, never a per-group
+    cartesian), the stronger-than-whole-conversation KG edge signal."""
+    from .operators.skew import windowed_co_occurrence
+
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.col("user_id").alias("g"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("event_type").alias("item"),
+    )
+    return windowed_co_occurrence(t, "g", "pos", "item", window=3)
+
+
 def q_context_scores(spark, sf_dir) -> DataFrame:
     """Context-aware link scoring: boost when the entity's direct parent
     is co-mentioned in the same conversation."""
@@ -1560,6 +1578,7 @@ QUERIES = {
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
     "pmi_edges": q_pmi_edges,
+    "windowed_cooc": q_windowed_cooc,
     "context_scores": q_context_scores,
     "closure_orders": q_closure_orders,
     "closure_delta": q_closure_delta,
@@ -1777,6 +1796,21 @@ FROM pr
 JOIN ent ea ON pr.code_a = ea.code
 JOIN ent eb ON pr.code_b = eb.code
 CROSS JOIN tot t
+""",
+        "windowed_cooc": """
+WITH t AS (
+  SELECT user_id AS g,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         event_type AS item
+  FROM events),
+pr AS (
+  SELECT x.g, least(x.item, y.item) AS item_a, greatest(x.item, y.item) AS item_b
+  FROM t x JOIN t y
+    ON x.g = y.g AND x.pos < y.pos AND y.pos - x.pos <= 3)
+SELECT item_a, item_b,
+       CAST(count(*) AS BIGINT) AS n_cooc,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+FROM pr GROUP BY item_a, item_b
 """,
         "context_scores": f"""
 WITH RECURSIVE {qops},

@@ -149,3 +149,74 @@ def salted_top_k(
         survivors.withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def windowed_co_occurrence(
+    df: "DataFrame",
+    group_col: str,
+    pos_col: str,
+    item_col: str,
+    window: int = 3,
+) -> "DataFrame":
+    """Positional co-occurrence mining: unordered item pairs observed
+    within ``window`` positions of each other inside the same group —
+    the proximity refinement of ``co_mention_pairs`` (whole-conversation
+    co-occurrence says two entities share a conversation; this says they
+    appear within k turns/events of each other, a far stronger edge
+    signal for a knowledge graph). Output: (item_a ≤ item_b, n_cooc =
+    number of qualifying position pairs, n_groups = distinct groups
+    containing one).
+
+    Scale shape — the classic banded proximity join, same family as
+    ``temporal.range_join``: positions bucket at width ``window``; the
+    left side explodes to its bucket ±1 (3 rows), the right side keeps
+    its own bucket, and the equi-join on (group, bucket) finds every
+    |Δpos| ≤ window pair EXACTLY ONCE (width = window ⇒ qualifying
+    pairs are at most one bucket apart; the right row's single bucket
+    de-duplicates the match) — never a per-group cartesian. The strict
+    ``pos_a < pos_b`` filter (positions are unique per group by the
+    input contract) counts each pair once; AQE splits residual hot
+    (group, bucket) cells. Two hash aggregations: pair counts and
+    distinct-group counts.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    b = (F.col(pos_col) / F.lit(window)).cast("long")
+    left = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(pos_col).alias("_pa"),
+        F.col(item_col).alias("_ia"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("_b"),
+    )
+    right = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(pos_col).alias("_pb"),
+        F.col(item_col).alias("_ib"),
+        b.alias("_b"),
+    )
+    pairs = (
+        left.join(right, ["_g", "_b"])
+        .filter(
+            (F.col("_pa") < F.col("_pb"))
+            & (F.col("_pb") - F.col("_pa") <= window)
+        )
+        .select(
+            "_g",
+            F.least("_ia", "_ib").alias("item_a"),
+            F.greatest("_ia", "_ib").alias("item_b"),
+        )
+    )
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_cooc")
+    )
+    groups = (
+        pairs.distinct()
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+    return counts.join(groups, ["item_a", "item_b"]).select(
+        "item_a",
+        "item_b",
+        F.col("n_cooc").cast("long").alias("n_cooc"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+    )

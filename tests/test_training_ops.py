@@ -1673,3 +1673,45 @@ class TestBigramLogloss:
         a = {tuple(r) for r in text.corpus_bigram_logloss(df).collect()}
         b = {tuple(r) for r in text.corpus_bigram_logloss(df.repartition(9)).collect()}
         assert a == b
+
+
+class TestWindowedCoOccurrence:
+    def test_hand_computed(self, spark):
+        rows = [("g1", 0, "A"), ("g1", 1, "B"), ("g1", 2, "A"), ("g1", 5, "C"),
+                ("g2", 0, "B"), ("g2", 1, "A")]
+        df = spark.createDataFrame(rows, ["g", "pos", "item"])
+        got = {(r["item_a"], r["item_b"]): (r["n_cooc"], r["n_groups"])
+               for r in skew.windowed_co_occurrence(df, "g", "pos", "item",
+                                                    window=2).collect()}
+        # g1 pairs within 2: (0,1) AB, (0,2) AA, (1,2) BA; pos 5 is beyond
+        # 2 of everything. g2: (0,1) BA.
+        assert got[("A", "B")] == (3, 2)
+        assert got[("A", "A")] == (1, 1)
+        assert ("A", "C") not in got and ("B", "C") not in got
+
+    def test_window_one_adjacent_only(self, spark):
+        rows = [("g", 0, "x"), ("g", 1, "y"), ("g", 2, "z")]
+        df = spark.createDataFrame(rows, ["g", "pos", "item"])
+        got = {(r["item_a"], r["item_b"]) for r in
+               skew.windowed_co_occurrence(df, "g", "pos", "item", window=1).collect()}
+        assert got == {("x", "y"), ("y", "z")}
+        with pytest.raises(ValueError, match="window"):
+            skew.windowed_co_occurrence(df, "g", "pos", "item", window=0)
+
+    def test_bucket_boundaries_exact_once(self, spark):
+        # positions straddling bucket edges must count exactly once
+        rows = [("g", p, f"i{p}") for p in range(20)]
+        df = spark.createDataFrame(rows, ["g", "pos", "item"])
+        out = skew.windowed_co_occurrence(df, "g", "pos", "item", window=4)
+        rows_out = out.collect()
+        # every pair within 4 positions, each exactly once (items unique)
+        assert len(rows_out) == sum(min(4, 19 - p) for p in range(20))
+        assert all(r["n_cooc"] == 1 for r in rows_out)
+
+    def test_no_cartesian_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [("g", p, "x") for p in range(10)], ["g", "pos", "item"])
+        plan = (skew.windowed_co_occurrence(df, "g", "pos", "item", window=2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
