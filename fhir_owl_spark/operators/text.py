@@ -1029,7 +1029,8 @@ def corpus_bigram_logloss(
         ).alias("_p"),
     ).select(
         id_col,
-        F.col("_p.w1").alias("_w1"),
+        # w1 is only needed as a hash key — not carrying it trims the
+        # shuffle row; w2 rides along for the unigram join
         F.col("_p.w2").alias("_w2"),
         F.xxhash64("_p.w1", "_p.w2").alias("_h12"),
         F.xxhash64("_p.w1").alias("_h1"),
