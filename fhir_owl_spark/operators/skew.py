@@ -97,18 +97,43 @@ def co_mention_pairs(mentions: "DataFrame", n_salt: int = 16) -> "DataFrame":
     unordered entity pairs that appear in the SAME conversation, with the
     number of conversations as weight.
 
-    Shape: distinct (conv, code) → conv-keyed self-join → salted count per
-    pair. The self-join key is conv_id; hub CONVERSATIONS (many distinct
-    entities) fan out quadratically, so the per-conv distinct comes first
-    (bounds the blow-up at dictionary size) and AQE skew-join splitting
-    handles residual heavy convs.
+    Shape (rewritten late round 5, same as graph.pmi_edges): ONE
+    conv-keyed shuffle collects each conversation's sorted entity SET
+    (bounded by the dictionary), then a MAP-SIDE nested-transform
+    expands the sets into pairs that explode straight into a
+    combiner-backed count — no conv-keyed self-join (the join form
+    shuffled the projection twice and materialized the quadratic
+    fan-out as join output; measured ~2× slower at 6M turns in
+    pmi_edges). The pair shuffle carries ≤ |dict|² rows after map-side
+    combine, so ``n_salt`` is accepted only for API compatibility — a
+    hub PAIR key can no longer concentrate rows on one reducer. A hub
+    conversation still costs O(k²) pair rows map-side (dictionary-
+    bounded, same worst case as the join form).
     """
-    per_conv = mentions.select("conv_id", "code").distinct()
-    a = per_conv.withColumnRenamed("code", "code_a")
-    b = per_conv.withColumnRenamed("code", "code_b")
-    pairs = a.join(b, "conv_id").filter(F.col("code_a") < F.col("code_b"))
-    return salted_count(pairs, ["code_a", "code_b"], n_salt=n_salt).withColumnRenamed(
-        "cnt", "n_convs"
+    sets = (
+        mentions.select("conv_id", "code")
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_set("code")).alias("_cs"))
+    )
+    n = F.size("_cs")
+    pair_array = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("_cs"), i).alias("code_a"),
+                    F.element_at(F.col("_cs"), j).alias("code_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        sets.filter(n >= 2)
+        .select(F.explode(pair_array).alias("_p"))
+        .select("_p.code_a", "_p.code_b")
+        .groupBy("code_a", "code_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
     )
 
 def salted_top_k(
