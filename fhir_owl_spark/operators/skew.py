@@ -231,17 +231,10 @@ def windowed_co_occurrence(
             F.greatest("_ia", "_ib").alias("item_b"),
         )
     )
-    counts = pairs.groupBy("item_a", "item_b").agg(
-        F.count(F.lit(1)).alias("n_cooc")
-    )
-    groups = (
-        pairs.distinct()
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_groups"))
-    )
-    return counts.join(groups, ["item_a", "item_b"]).select(
-        "item_a",
-        "item_b",
-        F.col("n_cooc").cast("long").alias("n_cooc"),
-        F.col("n_groups").cast("long").alias("n_groups"),
+    # one mixed count/count_distinct aggregation — Catalyst expands it
+    # into a single partial-aggregated pass (the separate
+    # distinct→count→join form would shuffle the pair stream twice)
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cooc"),
+        F.count_distinct("_g").cast("long").alias("n_groups"),
     )
