@@ -467,6 +467,7 @@ def pack_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_cols: Sequence[str] = (),
+    count_col: str | None = None,
 ) -> DataFrame:
     """Deterministic START-OFFSET packing: documents in ``id_col`` order
     are conceptually concatenated; a document's bin is the
@@ -491,8 +492,11 @@ def pack_documents(
     """
     from pyspark.sql.window import Window
 
+    # count_col (e.g. size of a bpe_encode token array) packs by REAL
+    # tokenizer counts; default = whitespace counts from the text
     toks = F.greatest(
-        F.lit(1), whitespace_token_count(text_col)
+        F.lit(1),
+        F.col(count_col) if count_col else whitespace_token_count(text_col),
     )  # empty docs still occupy a slot
     base = (
         Window.partitionBy(*shard_cols) if shard_cols else Window

@@ -1715,3 +1715,26 @@ class TestWindowedCoOccurrence:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPackByRealTokens:
+    def test_pack_by_bpe_token_counts(self, spark):
+        """The tokenizer→packing composition: bpe_encode's real token
+        counts drive the bin arithmetic via pack_documents(count_col=…)."""
+        df = spark.createDataFrame(
+            [(0, "aa aa"), (1, "aa"), (2, "bb bb bb")], ["doc_id", "text"])
+        merges = text.bpe_train(df, n_merges=2, min_count=2)
+        enc = text.bpe_encode(df, merges).withColumn(
+            "n_bpe", F.size("tokens"))
+        counts = {r["doc_id"]: r["n_bpe"] for r in enc.collect()}
+        packed = {r["doc_id"]: (r["n_tokens"], r["bin_idx"])
+                  for r in text.pack_documents(
+                      enc, target_tokens=4, count_col="n_bpe").collect()}
+        # n_tokens column now carries the REAL tokenizer counts
+        for d, c in counts.items():
+            assert packed[d][0] == max(1, c)
+        # prefix-sum binning over those counts
+        prefix = 0
+        for d in sorted(counts):
+            assert packed[d][1] == prefix // 4
+            prefix += max(1, counts[d])
