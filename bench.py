@@ -297,6 +297,15 @@ def main() -> None:
         n_sft = sft_pairs(t6, context_turns=3).count()
         upscale["sft_pairs_6m"] = round(time.perf_counter() - t0, 3)
 
+        # interpolated bigram-LM cross-entropy at 10× docs (new r5 op):
+        # two extra hash aggs + a token-keyed join over the unigram form
+        from fhir_owl_spark.operators.text import corpus_bigram_logloss
+
+        t0 = time.perf_counter()
+        n_bigram = corpus_bigram_logloss(docs10, lam=0.75).count()
+        upscale["bigram_logloss_10x"] = round(time.perf_counter() - t0, 3)
+        upscale["bigram_rows"] = n_bigram
+
         # PMI edge weighting over the 6M-turn corpus's mentions (new r5
         # op): the conv-keyed pair self-join + salted count + broadcast
         # marginals at transcript scale
