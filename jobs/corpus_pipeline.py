@@ -30,7 +30,8 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
   sessionize  append inactivity-gap session indexes
   tool-stats  per-conversation tool-call analytics
   pack        start-offset token-budget sequence packing (appends
-              n_tokens + bin_idx)
+              n_tokens + bin_idx; --count-col packs by a precomputed
+              tokenizer count column)
   line-dedup  C4-style boilerplate-line removal (lines in >= N docs)
   span-dedup  ExactSubstr duplicated-span removal (word k-grams in >= N
               distinct docs; --stats-only appends counts instead)
@@ -135,6 +136,10 @@ def parse_args(argv=None):
     pk = sub.add_parser("pack", help="token-budget sequence packing (bin ids)")
     common(pk)
     pk.add_argument("--target-tokens", type=int, default=2048)
+    pk.add_argument("--count-col", default=None,
+                    help="pack by this precomputed token-count column "
+                         "(e.g. real tokenizer counts) instead of "
+                         "whitespace counts")
     pk.add_argument("--shard-cols", default="",
                     help="comma-separated shard columns: prefix sums run per "
                          "shard (REQUIRED at any real scale — the global "
@@ -358,7 +363,7 @@ def run(args) -> dict:
         out = docs.join(
             pack_documents(docs, target_tokens=args.target_tokens,
                            text_col=args.text_col, id_col=args.id_col,
-                           shard_cols=shards)
+                           shard_cols=shards, count_col=args.count_col)
             .select(args.id_col, "n_tokens", "bin_idx"),
             args.id_col,
         )
