@@ -163,6 +163,23 @@ def q_kg_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.select("subj", "pred", "obj")
 
 
+def q_kg_related(spark, sf_dir) -> DataFrame:
+    """The flagship build with the statistical edge family ON
+    (build_graph(related_npmi=0.0)): (entity, related-to, entity)
+    triples for co-mentioned pairs with non-negative NPMI — the edge
+    class the reference cannot derive from told axioms. The mention
+    pass runs ONCE (checkpointed) feeding both triple families."""
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    triples = build_graph(
+        spark, concepts, edges, synonyms, transcripts, cfg, related_npmi=0.0
+    )
+    return triples.filter(F.col("pred") == "related-to").select(
+        "subj", "pred", "obj"
+    )
+
+
 def q_kg_isa(spark, sf_dir) -> DataFrame:
     ont, cfg = _qops()
     concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
@@ -1568,6 +1585,7 @@ QUERIES = {
     "classifier_score": q_classifier_score,
     "bpe_pairs": q_bpe_pairs,
     "kg_triples_all": q_kg_triples_all,
+    "kg_related": q_kg_related,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
     "kg_descendants": q_kg_descendants,
@@ -1773,6 +1791,29 @@ hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
 SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
 FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
 GROUP BY a.code, b.code
+""",
+        "kg_related": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'),
+tot AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n_total FROM hits),
+ent AS (SELECT code, CAST(count(*) AS DOUBLE) AS n_code FROM hits GROUP BY code),
+pr AS (SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
+       FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
+       GROUP BY a.code, b.code),
+sc AS (SELECT pr.code_a, pr.code_b,
+              CASE WHEN CAST(pr.n_convs AS DOUBLE) = t.n_total THEN 1.0
+                   ELSE round(log2(CAST(pr.n_convs AS DOUBLE) * t.n_total
+                                   / (ea.n_code * eb.n_code))
+                              / (-log2(CAST(pr.n_convs AS DOUBLE) / t.n_total)), 6)
+              END AS npmi
+       FROM pr
+       JOIN ent ea ON pr.code_a = ea.code
+       JOIN ent eb ON pr.code_b = eb.code
+       CROSS JOIN tot t)
+SELECT code_a AS subj, 'related-to' AS pred, code_b AS obj
+FROM sc WHERE npmi >= 0.0
 """,
         "pmi_edges": f"""
 WITH RECURSIVE {qops},

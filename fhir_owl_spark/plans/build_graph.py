@@ -156,12 +156,22 @@ def build_graph(
     transcripts: DataFrame,
     cfg: PipelineConfig | None = None,
     check_order: bool = False,
+    related_npmi: float | None = None,
 ) -> DataFrame:
     """Full pipeline → deduplicated TRIPLES DataFrame.
 
     This is the seam the reference's unit tests treat as the public
     contract (FhirOwlServiceTest calls createCodeSystem directly,
     FhirOwlServiceTest.java:42-72) — pytest drives this function.
+
+    ``related_npmi`` (default None = off, the reference-parity build)
+    additionally emits (entity, related-to, entity) triples for every
+    co-mentioned pair whose NPMI ≥ the threshold — the statistical edge
+    family the reference cannot derive (it only has told axioms; a
+    transcript corpus carries co-occurrence evidence). When enabled the
+    mention pairs are checkpointed so the Arrow mention pass still runs
+    exactly ONCE feeding both the mentions-in triples and the PMI
+    layer; the default path stays a single uninterrupted Catalyst plan.
     """
     cfg = cfg or PipelineConfig()
 
@@ -187,6 +197,8 @@ def build_graph(
     # most turns of a conversation) — global dedup still happens in the
     # final key-hash dropDuplicates, one shuffle, map-side combined.
     pairs = extract_mentions(transcripts, dictionary, cfg, pairs_only=True)
+    if related_npmi is not None:
+        pairs = pairs.localCheckpoint(eager=True)
     mention_triples = pairs.select(
         F.col("code").alias("subj"),
         F.lit("mentions-in").alias("pred"),
@@ -195,4 +207,20 @@ def build_graph(
         F.col("conv_id").alias("conv_id"),
     )
 
-    return triples_with_key(onto.unionByName(mention_triples))
+    all_triples = onto.unionByName(mention_triples)
+    if related_npmi is not None:
+        from ..operators.graph import pmi_edges
+
+        related = (
+            pmi_edges(pairs.select("conv_id", "code"))
+            .filter(F.col("npmi") >= F.lit(float(related_npmi)))
+            .select(
+                F.col("code_a").alias("subj"),
+                F.lit("related-to").alias("pred"),
+                F.col("code_b").alias("obj"),
+                F.lit("concept").alias("obj_type"),
+                F.lit(None).cast("string").alias("conv_id"),
+            )
+        )
+        all_triples = all_triples.unionByName(related)
+    return triples_with_key(all_triples)
