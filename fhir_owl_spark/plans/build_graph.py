@@ -172,6 +172,12 @@ def build_graph(
     mention pairs are checkpointed so the Arrow mention pass still runs
     exactly ONCE feeding both the mentions-in triples and the PMI
     layer; the default path stays a single uninterrupted Catalyst plan.
+    NOTE: the chunked/resumable job (plans.lineage) intentionally does
+    NOT expose this flag — PMI marginals are corpus-GLOBAL aggregates,
+    so a per-chunk computation would weight each chunk's conversations
+    against chunk-local totals; at deployment scale the related-to
+    layer runs as a second pass over the committed mentions-in
+    partition (operators.graph.pmi_edges on the re-scanned output).
     """
     cfg = cfg or PipelineConfig()
 
