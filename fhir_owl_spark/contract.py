@@ -347,6 +347,94 @@ def q_windowed_cooc(spark, sf_dir) -> DataFrame:
     return windowed_co_occurrence(t, "g", "pos", "item", window=3)
 
 
+def q_triangles_comentions(spark, sf_dir) -> DataFrame:
+    """Triadic-closure statistics over the co-mention (related-to) edge
+    family (operators.graph.triangle_counts) — per-entity triangle
+    participation via degree-oriented wedge enumeration: O(m^1.5) wedge
+    volume regardless of hub degree (the fixture hub entity contributes
+    ZERO wedges as an apex), three hash shuffles, no cartesian."""
+    from .operators.graph import triangle_counts
+
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    com = skew.co_mention_pairs(m, n_salt=16)
+    return triangle_counts(com, src_col="code_a", dst_col="code_b").select(
+        "node", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
+def q_setsim_pairs(spark, sf_dir) -> DataFrame:
+    """EXACT token-set similarity self-join (operators.setsim.
+    setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
+    the lossless counterpart of the MinHash family (rarest-first global
+    token order bounds candidate fan-out; floor-based bounds make float
+    rounding strictly conservative, so output == the oracle's quadratic
+    all-pairs form)."""
+    from .operators.setsim import setsim_join
+
+    docs = _read(spark, sf_dir, "documents")
+    out = setsim_join(docs, threshold=0.9)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_size").cast("long").alias("union_size"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_burst_events(spark, sf_dir) -> DataFrame:
+    """Bucketed burst detection (operators.temporal.burst_detection):
+    event-type day-buckets whose count exceeds 2x the trailing-7-bucket
+    average — the entity-trending pass of a temporal KG; all-integer
+    burst predicate, one shuffle + a per-key window."""
+    from .operators.temporal import burst_detection
+
+    events = _read(spark, sf_dir, "events")
+    out = burst_detection(
+        events,
+        key_cols=("event_type",),
+        resolution="day",
+        baseline_buckets=7,
+        factor=2,
+        min_baseline=3,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "cnt",
+        "base_sum",
+        "base_n",
+        "is_burst",
+        "burst_ratio",
+    )
+
+
+def q_contamination_scores(spark, sf_dir) -> DataFrame:
+    """Fuzzy decontamination (operators.dedup.contamination_overlap):
+    per-(corpus doc, benchmark item) 5-shingle containment >= 0.2 —
+    attributes contamination to the benchmark item and scores it
+    (benchmark side broadcast with per-item sizes, one hash agg)."""
+    docs = _read(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    out = dedup.contamination_overlap(
+        corpus, benchmark, threshold=0.2, shingle_k=5
+    )
+    return out.select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        "bench_size",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 def q_context_scores(spark, sf_dir) -> DataFrame:
     """Context-aware link scoring: boost when the entity's direct parent
     is co-mentioned in the same conversation."""
@@ -1584,8 +1672,15 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "classifier_score": q_classifier_score,
     "bpe_pairs": q_bpe_pairs,
-    "kg_triples_all": q_kg_triples_all,
     "kg_related": q_kg_related,
+    "pmi_edges": q_pmi_edges,
+    "windowed_cooc": q_windowed_cooc,
+    "k_hop_orders": q_k_hop_orders,
+    "triangles_comentions": q_triangles_comentions,
+    "setsim_pairs": q_setsim_pairs,
+    "burst_events": q_burst_events,
+    "contamination_scores": q_contamination_scores,
+    "kg_triples_all": q_kg_triples_all,
     "kg_isa": q_kg_isa,
     "kg_ancestors": q_kg_ancestors,
     "kg_descendants": q_kg_descendants,
@@ -1595,12 +1690,9 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_mention_counts": q_kg_mention_counts,
     "co_mentions": q_co_mentions,
-    "pmi_edges": q_pmi_edges,
-    "windowed_cooc": q_windowed_cooc,
     "context_scores": q_context_scores,
     "closure_orders": q_closure_orders,
     "closure_delta": q_closure_delta,
-    "k_hop_orders": q_k_hop_orders,
     "reduction_orders": q_reduction_orders,
     "min_label": q_min_label,
     "dedup_hash": q_dedup_hash,
@@ -1791,6 +1883,89 @@ hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
 SELECT a.code AS code_a, b.code AS code_b, count(*) AS n_convs
 FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code
 GROUP BY a.code, b.code
+""",
+        "triangles_comentions": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'),
+tce AS (SELECT DISTINCT a.code AS u, b.code AS v
+      FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code),
+tcdeg AS (SELECT n, count(*) AS deg
+        FROM (SELECT u AS n FROM tce UNION ALL SELECT v AS n FROM tce) GROUP BY n),
+tco AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND tce.u < tce.v)
+                  THEN tce.u ELSE tce.v END AS s,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND tce.u < tce.v)
+                  THEN tce.v ELSE tce.u END AS d,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND tce.u < tce.v)
+                  THEN dv.deg ELSE du.deg END AS dd
+      FROM tce JOIN tcdeg du ON tce.u = du.n JOIN tcdeg dv ON tce.v = dv.n),
+tcclosed AS (SELECT w1.s, w1.d AS x, w2.d AS y
+           FROM tco w1 JOIN tco w2 ON w1.s = w2.s
+           JOIN tco c ON c.s = w1.d AND c.d = w2.d
+           WHERE w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.d < w2.d)),
+tcnodes AS (SELECT s AS node FROM tcclosed
+          UNION ALL SELECT x FROM tcclosed
+          UNION ALL SELECT y FROM tcclosed)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM tcnodes GROUP BY node
+""",
+        "setsim_pairs": r"""
+WITH tk AS (SELECT doc_id,
+                   list_distinct(list_filter(
+                     string_split_regex(lower(coalesce(text,'')), '\s+'),
+                     x -> x <> '')) AS t
+            FROM documents),
+tz AS (SELECT doc_id, t, len(t) AS s FROM tk WHERE len(t) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+       CAST(a.s + b.s - len(list_intersect(a.t, b.t)) AS BIGINT) AS union_size,
+       round(len(list_intersect(a.t, b.t))
+             / CAST(a.s + b.s - len(list_intersect(a.t, b.t)) AS DOUBLE), 6) AS jaccard
+FROM tz a JOIN tz b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.t, b.t))
+      / CAST(a.s + b.s - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.9
+""",
+        "burst_events": """
+WITH c AS (SELECT event_type, date_trunc('day', ts) AS b,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY event_type, date_trunc('day', ts)),
+w AS (SELECT event_type, b, cnt,
+             CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base_sum,
+             CAST(count(cnt) OVER (PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_n
+      FROM c)
+SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, cnt, base_sum, base_n,
+       (base_n >= 3 AND cnt * base_n > 2 * base_sum) AS is_burst,
+       CASE WHEN base_sum > 0
+            THEN round(CAST(cnt * base_n AS DOUBLE) / CAST(base_sum AS DOUBLE), 6)
+       END AS burst_ratio
+FROM w
+""",
+        "contamination_scores": r"""
+WITH wd AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+  FROM documents),
+sh5 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(0, len(ws) - 4),
+                                 i -> array_to_string(ws[i+1:i+5], ' ')))
+         END AS sset
+  FROM wd),
+bench AS (SELECT doc_id AS bench_id, s.shingle
+          FROM sh5, unnest(sh5.sset) AS s(shingle) WHERE doc_id < 20),
+bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_size
+        FROM bench GROUP BY bench_id),
+corpus AS (SELECT doc_id, s.shingle
+           FROM sh5, unnest(sh5.sset) AS s(shingle) WHERE doc_id >= 20),
+shared AS (SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM corpus c JOIN bench b ON c.shingle = b.shingle
+           GROUP BY c.doc_id, b.bench_id)
+SELECT s.doc_id, s.bench_id, s.n_shared, z.bench_size,
+       round(s.n_shared / CAST(z.bench_size AS DOUBLE), 6) AS containment
+FROM shared s JOIN bsz z ON s.bench_id = z.bench_id
+WHERE s.n_shared / CAST(z.bench_size AS DOUBLE) >= 0.2
 """,
         "kg_related": f"""
 WITH RECURSIVE {qops},

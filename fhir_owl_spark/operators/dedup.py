@@ -798,6 +798,69 @@ def contamination_flags(
     )
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(corpus doc, benchmark doc) n-gram CONTAINMENT scores — the
+    fuzzy decontamination pass (Dolma/GPT-3-style): a corpus document is
+    contaminated by a benchmark item when it contains ≥ ``threshold`` of
+    the item's word k-shingles, even if no shingle-for-shingle exact
+    document match exists.
+
+    Complements ``contamination_flags`` (ANY-hit boolean): this one
+    attributes contamination to the specific benchmark item and scores
+    it, so a pipeline can drop on ``containment ≥ t`` instead of a raw
+    hit count that long documents trip by chance.
+
+    Scale shape: benchmark shingles (small side) carry their item id and
+    per-item shingle count, are hash-deduped and BROADCAST; corpus
+    shingles probe them map-side; ONE shuffle — the (doc, bench) hash
+    agg — then the containment filter. Exact (no sketching), so the
+    DuckDB oracle recomputes the identical scores.
+
+    Returns (doc_id, bench_id, n_shared, bench_size, containment ∈
+    (0,1]) for pairs at or above the threshold.
+    """
+    bench = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(F.array_distinct(word_shingles_col(text_col, shingle_k))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_size")
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles_col(text_col, shingle_k))).alias(
+            "shingle"
+        ),
+    )
+    shared = (
+        corpus_shingles.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = shared.join(F.broadcast(bench_sizes), "bench_id")
+    containment = F.col("n_shared") / F.col("bench_size").cast("double")
+    return out.select(
+        F.col(id_col),
+        "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("bench_size").cast("long").alias("bench_size"),
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= F.lit(threshold))
+
+
 # ---------------------------------------------------------------------------
 # C4-style line deduplication: drop every line occurring (as an exact
 # match) in at least `min_docs` distinct documents — the boilerplate

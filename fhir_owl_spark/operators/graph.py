@@ -207,3 +207,79 @@ def pmi_edges(
         F.round(pmi, 6).alias("pmi"),
         F.round(npmi, 6).alias("npmi"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected graph.
+
+    Triadic closure is the standard KG-quality signal over the soft
+    (entity, related-to, entity) edge family ``pmi_edges`` materializes:
+    an edge embedded in many triangles is corroborated by its neighbors,
+    one in none is more likely band noise. Returns (node, n_triangles)
+    for every vertex that closes at least one triangle.
+
+    Shape — the degree-orientation algorithm (the standard distributed
+    formulation, cf. Suri & Vassilvitskii WWW'11): edges are oriented
+    from the (degree, id)-SMALLER endpoint to the larger, so every
+    wedge enumeration fans out only over a vertex's LOWER-degree
+    out-neighborhood — total wedge volume is O(m^{3/2}) regardless of
+    hub degree, the reason a star hub (the fixture's 30%-of-turns
+    entity) contributes zero wedges rather than deg² of them. Three
+    shuffles: the degree agg, the wedge self-join on the apex, and the
+    closing equi-join on (v, w) — no cartesian anywhere, every key a
+    node id or an id pair.
+
+    Deterministic total order (degree, id) makes the orientation — and
+    therefore the oracle's CTE replica — engine-independent.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    # wedges (s; x, y) with x before y in the same (degree, id) order,
+    # closed by the oriented edge (x, y)
+    w1 = oriented.select(
+        F.col("s"), F.col("d").alias("x"), F.col("dd").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("s"), F.col("d").alias("y"), F.col("dd").alias("dy")
+    )
+    wedges = w1.join(w2, "s").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("s", "x", "y")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("s"), F.col("x"), F.col("y"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

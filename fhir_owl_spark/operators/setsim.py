@@ -1,0 +1,154 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin family).
+
+The dedup family (operators/dedup.py) finds near-duplicates
+APPROXIMATELY — MinHash/SimHash banding trades recall for bounded
+candidate generation. This operator is the EXACT counterpart: every
+pair of documents whose token-set Jaccard is ≥ the threshold, with no
+recall loss, using the prefix-filtering principle (Chaudhuri et al.
+SSJoin / Bayardo et al. WWW'07 / Vernica et al. SIGMOD'10 — the
+standard distributed formulation) instead of an O(n²) cross join.
+
+Why it scales (the 100-TB story):
+
+  * Tokens are globally ordered RAREST-FIRST (document frequency, then
+    token — a total order). A pair with Jaccard ≥ t MUST share at least
+    one token inside both documents' (s − ⌊t·s⌋ + 1)-length prefixes
+    under any common total order (prefix-filtering lemma), so the
+    candidate join runs only on prefix tokens — and because prefixes
+    hold the RAREST tokens, per-token fan-out is small by construction:
+    a stop word never becomes a join key unless a document consists of
+    almost nothing else.
+  * Candidate generation carries only (token, id, size) — the token
+    arrays do NOT travel through the quadratic join; verification joins
+    the surviving (id_a, id_b) pairs back to the token-set table by id.
+  * All pruning bounds are computed with FLOOR so float rounding can
+    only widen a prefix / keep a candidate, never drop a qualifying
+    pair — the output is exactly the brute-force answer (the DuckDB
+    oracle computes the all-pairs form and the contract hashes values).
+
+Shuffles: token-frequency agg (map-side combine), one doc-keyed
+re-collect, the prefix-token candidate join, pair distinct, two id-keyed
+verification joins — every key a token, an id, or an (id, id) pair;
+AQE handles residual skew on frequent prefix tokens.
+
+Reference parity note: the reference engine has no similarity join —
+this operator belongs to the training-data extension surface the task
+brief adds on top of fhir-owl's KG semantics (SURVEY.md §2 addenda).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokenize_set(text: Column, split_pattern: str = r"\s+") -> Column:
+    """Distinct lowercase tokens of ``text`` (empty tokens dropped) —
+    the DuckDB-reproducible tokenization the oracle mirrors with
+    ``list_distinct(string_split_regex(lower(text), '\\s+'))``."""
+    return F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(text, F.lit(""))), split_pattern),
+            lambda x: x != F.lit(""),
+        )
+    )
+
+
+def setsim_join(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_pattern: str = r"\s+",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard ≥ ``threshold``.
+
+    Returns (id_a, id_b, inter, union_size, jaccard) — jaccard is the
+    raw double ``inter / (sa + sb − inter)``; callers that feed an
+    oracle round it themselves.
+
+    EXACT: equivalent to the quadratic all-pairs join for every
+    ``0 < threshold ≤ 1`` (prefix filtering is lossless; the length and
+    prefix bounds use floor so IEEE rounding errs conservative).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            tokenize_set(F.col(text_col), split_pattern).alias("_toks"),
+        )
+        .withColumn("_size", F.size("_toks"))
+        .filter(F.col("_size") > 0)
+    )
+
+    # document frequency per token — rarest-first is what keeps the
+    # candidate join's per-key fan-out small.
+    tok_freq = (
+        toks.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    # per-document tokens re-collected in (df, token) order. The join is
+    # token-keyed (AQE-skew-safe); the re-collect is one doc-keyed agg.
+    ordered = (
+        toks.select("_id", "_size", F.explode("_toks").alias("_tok"))
+        .join(tok_freq, "_tok")
+        .groupBy("_id", "_size")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+    )
+
+    # prefix length s − ⌊t·s⌋ + 1 (floor ⇒ never shorter than the exact
+    # ⌈⌉ form ⇒ lossless; at most one token longer).
+    plen = (F.col("_size") - F.floor(F.col("_size") * F.lit(threshold)) + F.lit(1)).cast("int")
+    prefix = ordered.select(
+        "_id",
+        "_size",
+        F.explode(
+            F.slice(
+                F.transform("_ord", lambda s: s["_tok"]), F.lit(1), plen
+            )
+        ).alias("_tok"),
+    )
+
+    # candidate pairs: shared prefix token + conservative length filter
+    # (J ≥ t ⇒ |b| ≥ t·|a| and |a| ≥ t·|b|; floor keeps boundary pairs).
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("b._size") >= F.floor(F.col("a._size") * F.lit(threshold)))
+            & (F.col("a._size") >= F.floor(F.col("b._size") * F.lit(threshold))),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    # verification: exact Jaccard on candidate pairs only — the token
+    # arrays travel once per surviving pair, keyed by id.
+    ta = toks.select(
+        F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"), F.col("_size").alias("_sa")
+    )
+    tb = toks.select(
+        F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"), F.col("_size").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union_size = F.col("_sa") + F.col("_sb") - F.col("inter")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("union_size", union_size)
+        .withColumn(
+            "jaccard", F.col("inter") / F.col("union_size").cast("double")
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "inter", "union_size", "jaccard")
+    )

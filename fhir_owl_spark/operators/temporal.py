@@ -247,3 +247,66 @@ def time_rollup(
         )
         .agg(*[c.alias(name) for name, c in aggs.items()])
     )
+
+
+def burst_detection(
+    df: DataFrame,
+    key_cols: "tuple[str, ...] | list[str]" = ("event_type",),
+    ts_col: str = "ts",
+    resolution: str = "day",
+    baseline_buckets: int = 7,
+    factor: int = 2,
+    min_baseline: int = 3,
+) -> DataFrame:
+    """Bucketed burst/trend detection per key: flag buckets whose count
+    exceeds ``factor`` × the trailing-average of the previous
+    ``baseline_buckets`` observed buckets.
+
+    The entity-trending pass of a transcript KG — run over mention
+    triples keyed by entity it surfaces "this concept suddenly spiked
+    this day", the temporal edge family (entity, bursting-on, bucket).
+
+    Shape: ONE shuffle — the (key, bucket) count agg — then a window
+    partitioned BY KEY over the per-key bucket series, which is
+    bounded by (observed buckets per key), orders of magnitude smaller
+    than the input; no single-partition window anywhere. The burst
+    predicate is ALL-INTEGER (cnt · n_prev > factor · sum_prev) so the
+    flag is bit-identical across engines; the float ratio is emitted
+    rounded for reporting only.
+
+    ROWS-based baseline (previous observed buckets, gaps skipped) —
+    identical frame semantics in Spark and ANSI SQL, documented choice.
+    """
+    keys = list(key_cols)
+    counts = (
+        df.withColumn("_bucket", F.date_trunc(resolution, F.col(ts_col)))
+        .groupBy(*keys, "_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(-baseline_buckets, -1)
+    )
+    out = counts.withColumn("base_sum", F.coalesce(F.sum("cnt").over(w), F.lit(0))).withColumn(
+        "base_n", F.count("cnt").over(w)
+    )
+    is_burst = (F.col("base_n") >= F.lit(min_baseline)) & (
+        F.col("cnt") * F.col("base_n") > F.lit(factor) * F.col("base_sum")
+    )
+    ratio = F.when(
+        F.col("base_sum") > 0,
+        F.round(
+            (F.col("cnt") * F.col("base_n")).cast("double") / F.col("base_sum").cast("double"),
+            6,
+        ),
+    )
+    return out.select(
+        *keys,
+        F.col("_bucket").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("base_sum").cast("long").alias("base_sum"),
+        F.col("base_n").cast("long").alias("base_n"),
+        is_burst.alias("is_burst"),
+        ratio.alias("burst_ratio"),
+    )
