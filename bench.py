@@ -343,6 +343,116 @@ def main() -> None:
         upscale["classifier_10x"] = round(time.perf_counter() - t0, 3)
         upscale["sft_classifier_rows"] = {"sft_pairs": n_sft, "scored": n_scored}
 
+        # EXACT set-similarity join (new r5 op) in BOTH regimes:
+        # (a) designed regime — Zipfian vocabulary (30k tokens, power-law
+        # df): prefixes hold genuinely rare tokens, candidate fan-out is
+        # small, planted twins found losslessly; (b) adversarial regime —
+        # the bench corpus's 31-word vocabulary, where nearly every
+        # token-set PAIR qualifies, so the OUTPUT is quadratic by nature
+        # (~1M pairs from 5k docs) and wall time is output-bound, not
+        # candidate-bound. Both recorded; the honest summary is that on
+        # low-entropy corpora the right tool is minhash banding, and the
+        # prefix filter is for realistic Zipfian text.
+        from fhir_owl_spark.operators.setsim import setsim_join
+
+        zipf_path = "/tmp/fhir_owl_spark_bench/zipf50k"
+        if not os.path.exists(f"{zipf_path}/_SUCCESS"):
+            base = (
+                spark.range(50_000)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(79)),
+                            lambda j: F.concat(
+                                F.lit("w"),
+                                F.floor(
+                                    F.lit(30000.0)
+                                    * F.pow(
+                                        F.pmod(
+                                            F.xxhash64(F.col("id"), j),
+                                            F.lit(1_000_000),
+                                        )
+                                        / F.lit(1_000_000.0),
+                                        F.lit(3.0),
+                                    )
+                                ).cast("int").cast("string"),
+                            ),
+                        ),
+                    ).alias("text"),
+                )
+            )
+            twins = base.filter(F.col("doc_id") < 2500).select(
+                (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" wtwin")).alias("text"),
+            )
+            base.unionByName(twins).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(zipf_path)
+        zdocs = spark.read.parquet(zipf_path)
+        t0 = time.perf_counter()
+        n_zpairs = setsim_join(zdocs, threshold=0.8).count()
+        upscale["setsim_zipf_52k"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_lpairs = setsim_join(docs, threshold=0.9).count()
+        upscale["setsim_lowvocab_sf"] = round(time.perf_counter() - t0, 3)
+        upscale["setsim_rows"] = {"zipf": n_zpairs, "lowvocab": n_lpairs}
+
+        # triangle counting (new r5 op) on a 5M-edge power-law graph —
+        # hubs present by construction (quadratic id concentration); the
+        # degree orientation keeps wedge volume O(m^1.5) so the hub never
+        # becomes a wedge apex
+        from fhir_owl_spark.operators.graph import triangle_counts
+
+        pl_edges = spark.range(5_000_000).select(
+            F.floor(
+                F.lit(200_000.0)
+                * F.pow(
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1_000_000))
+                    / F.lit(1_000_000.0),
+                    F.lit(2.0),
+                )
+            ).alias("src"),
+            F.floor(
+                F.lit(200_000.0)
+                * F.pow(
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(1_000_000))
+                    / F.lit(1_000_000.0),
+                    F.lit(2.0),
+                )
+            ).alias("dst"),
+        )
+        t0 = time.perf_counter()
+        n_tri_nodes = triangle_counts(pl_edges).count()
+        upscale["triangles_powerlaw_5m"] = round(time.perf_counter() - t0, 3)
+        upscale["triangles_nodes"] = n_tri_nodes
+
+        # burst detection over 10x events and fuzzy decontamination over
+        # 10x docs (new r5 ops) — both single-shuffle shapes
+        from fhir_owl_spark.operators.dedup import contamination_overlap
+        from fhir_owl_spark.operators.temporal import burst_detection
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev10 = ev.crossJoin(
+            spark.range(10).withColumnRenamed("id", "rep")
+        ).select(
+            (F.col("user_id") + F.col("rep") * F.lit(1_000_000)).alias(
+                "user_id"
+            ),
+            "event_type",
+            "ts",
+        )
+        t0 = time.perf_counter()
+        n_burst = burst_detection(ev10, key_cols=("event_type",)).count()
+        upscale["burst_events_10x"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_contam = contamination_overlap(
+            docs10, docs.filter(F.col("doc_id") < 20), threshold=0.2
+        ).count()
+        upscale["contamination_10x"] = round(time.perf_counter() - t0, 3)
+        upscale["burst_contam_rows"] = {"burst": n_burst, "contam": n_contam}
+
         upscale.update(
             {
                 "turns_6m": n_up,

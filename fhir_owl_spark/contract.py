@@ -1767,6 +1767,21 @@ sh AS (SELECT doc_id,
 """
 
 
+def _oracle_shingles5_cte() -> str:
+    """k=5 word-shingle sets per document — shared by both contamination
+    oracles so the tokenization can never drift between them."""
+    return r"""
+wd5 AS (SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
+        FROM documents),
+sh5 AS (SELECT doc_id,
+               CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(0, len(ws) - 4),
+                                       i -> array_to_string(ws[i+1:i+5], ' ')))
+               END AS sset
+        FROM wd5)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qops = _qops_cte()
     oracles = {
@@ -1942,17 +1957,8 @@ SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, cnt, base_sum, ba
        END AS burst_ratio
 FROM w
 """,
-        "contamination_scores": r"""
-WITH wd AS (
-  SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
-  FROM documents),
-sh5 AS (
-  SELECT doc_id,
-         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
-              ELSE list_distinct(list_transform(range(0, len(ws) - 4),
-                                 i -> array_to_string(ws[i+1:i+5], ' ')))
-         END AS sset
-  FROM wd),
+        "contamination_scores": f"""
+WITH {_oracle_shingles5_cte()},
 bench AS (SELECT doc_id AS bench_id, s.shingle
           FROM sh5, unnest(sh5.sset) AS s(shingle) WHERE doc_id < 20),
 bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_size
@@ -2534,17 +2540,8 @@ SELECT doc_id,
        CAST(greatest(0, least(nw - i*24, 32)) AS BIGINT) AS n_tokens
 FROM n2, unnest(range(0, nc)) AS t(i)
 """,
-        "contamination_docs": r"""
-WITH w AS (
-  SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\s+') AS ws
-  FROM documents),
-sh5 AS (
-  SELECT doc_id,
-         CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
-              ELSE list_distinct(list_transform(range(0, len(ws) - 4),
-                                 i -> array_to_string(ws[i+1:i+5], ' ')))
-         END AS sset
-  FROM w),
+        "contamination_docs": f"""
+WITH {_oracle_shingles5_cte()},
 bench AS (SELECT DISTINCT s.shingle
           FROM sh5, unnest(sh5.sset) AS s(shingle) WHERE doc_id < 20),
 corpus AS (SELECT doc_id, s.shingle

@@ -236,6 +236,12 @@ def triangle_counts(
     Deterministic total order (degree, id) makes the orientation — and
     therefore the oracle's CTE replica — engine-independent.
     """
+    # NOTE on materialization: `e` and `oriented` each feed multiple
+    # subtrees, but every consumer pair shares an identical child plan,
+    # so Catalyst dedupes them via ReusedExchange for free — measured on
+    # the 5M-edge power-law bench graph, adding localCheckpoint here
+    # (the pagerank pattern) makes the job 2.5x SLOWER (40 s vs 16 s)
+    # because the checkpoint write costs more than the reused shuffle.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),

@@ -73,6 +73,8 @@ def setsim_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
+    from pyspark import StorageLevel
+
     toks = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -80,6 +82,14 @@ def setsim_join(
         )
         .withColumn("_size", F.size("_toks"))
         .filter(F.col("_size") > 0)
+        # LAZY persist (plan construction stays free): the token-set frame
+        # feeds FOUR independent subtrees — the df agg, the ordered
+        # re-collect, and both verification sides — so unpersisted the
+        # corpus would be re-scanned and re-tokenized 4x per action (the
+        # same rationale as lsh_candidate_pairs' signature persist).
+        # Cache is O(rows x distinct-tokens) arrays; MEMORY_AND_DISK
+        # spills instead of OOMing.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # document frequency per token — rarest-first is what keeps the

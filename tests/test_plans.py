@@ -24,10 +24,7 @@ def transcripts_parquet(spark, tmp_path_factory):
     return path
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import plan_of
 
 
 def test_filter_pushdown_to_scan(spark, transcripts_parquet):

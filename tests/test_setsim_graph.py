@@ -19,10 +19,7 @@ from fhir_owl_spark.operators.setsim import setsim_join, tokenize_set
 from fhir_owl_spark.operators.temporal import burst_detection
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import plan_of
 
 
 # ---------------------------------------------------------------------------
