@@ -114,28 +114,49 @@ def setsim_join(
     )
 
     # prefix length s − ⌊t·s⌋ + 1 (floor ⇒ never shorter than the exact
-    # ⌈⌉ form ⇒ lossless; at most one token longer).
+    # ⌈⌉ form ⇒ lossless; at most one token longer). posexplode keeps
+    # each prefix token's position in the (df, token) order for the
+    # positional filter below.
     plen = (F.col("_size") - F.floor(F.col("_size") * F.lit(threshold)) + F.lit(1)).cast("int")
     prefix = ordered.select(
         "_id",
         "_size",
-        F.explode(
+        F.posexplode(
             F.slice(
                 F.transform("_ord", lambda s: s["_tok"]), F.lit(1), plen
             )
-        ).alias("_tok"),
+        ).alias("_pos", "_tok"),
     )
 
-    # candidate pairs: shared prefix token + conservative length filter
-    # (J ≥ t ⇒ |b| ≥ t·|a| and |a| ≥ t·|b|; floor keeps boundary pairs).
+    # candidate pairs: shared prefix token + two lossless prunes —
+    #   length filter: J ≥ t ⇒ |b| ≥ t·|a| and |a| ≥ t·|b|;
+    #   positional filter (PPJoin): J ≥ t ⇒ |a∩b| ≥ t/(1+t)·(sa+sb),
+    #   and every common token sits at position ≥ (pa, pb) of the FIRST
+    #   common token, so |a∩b| ≤ min(sa−pa, sb−pb); a matched occurrence
+    #   with min-remaining below the bound cannot be the first common
+    #   token of a qualifying pair, and the first common token of every
+    #   qualifying pair (which the prefix lemma puts in both prefixes)
+    #   always passes — pair-distinct afterwards keeps it lossless.
+    # Both bounds use floor so IEEE rounding can only keep a candidate.
     a, b = prefix.alias("a"), prefix.alias("b")
+    overlap_floor = F.floor(
+        (F.col("a._size") + F.col("b._size"))
+        * F.lit(threshold / (1.0 + threshold))
+    )
     cand = (
         a.join(
             b,
             (F.col("a._tok") == F.col("b._tok"))
             & (F.col("a._id") < F.col("b._id"))
             & (F.col("b._size") >= F.floor(F.col("a._size") * F.lit(threshold)))
-            & (F.col("a._size") >= F.floor(F.col("b._size") * F.lit(threshold))),
+            & (F.col("a._size") >= F.floor(F.col("b._size") * F.lit(threshold)))
+            & (
+                F.least(
+                    F.col("a._size") - F.col("a._pos"),
+                    F.col("b._size") - F.col("b._pos"),
+                )
+                >= overlap_floor
+            ),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()

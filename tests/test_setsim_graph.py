@@ -60,7 +60,7 @@ def _make_docs(seed, n=60):
     return docs
 
 
-@pytest.mark.parametrize("threshold", [0.5, 0.6, 0.8, 1.0])
+@pytest.mark.parametrize("threshold", [0.5, 0.6, 2 / 3, 0.75, 0.8, 1.0])
 def test_setsim_matches_bruteforce(spark, threshold):
     docs = _make_docs(7)
     df = spark.createDataFrame(docs, "doc_id long, text string")
