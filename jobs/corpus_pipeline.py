@@ -43,6 +43,12 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
               (term, weight) model table (--min-score filters)
   sft         instruction-tuning (prompt, response) pair extraction
   bpe-train   learn a BPE merge list (Sennrich-style, distributed)
+  setsim      EXACT set-similarity dedup via the prefix-filtered Jaccard
+              join (lossless; --pairs-only writes the pair table)
+  decontaminate  drop docs containing >= threshold of any benchmark
+              item's word k-shingles (--report-only writes scores)
+  burst       bucketed burst detection per key (trailing baseline)
+  triangles   per-vertex triangle counts over an edge table
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -230,6 +236,49 @@ def parse_args(argv=None):
     cl.add_argument("--min-score", type=float, default=None,
                     help="when set, drop docs scoring below this instead "
                          "of appending the score columns")
+
+    ss = sub.add_parser("setsim",
+                        help="EXACT set-similarity dedup (prefix-filtered "
+                             "Jaccard join; lossless) — keep one per cluster")
+    common(ss)
+    ss.add_argument("--threshold", type=float, default=0.9,
+                    help="token-set Jaccard threshold (default 0.9)")
+    ss.add_argument("--pairs-only", action="store_true",
+                    help="write the (id_a, id_b, jaccard) pair table "
+                         "instead of resolving keep-one")
+
+    dc = sub.add_parser("decontaminate",
+                        help="fuzzy benchmark decontamination: drop docs "
+                             "containing >= threshold of any benchmark "
+                             "item's word k-shingles")
+    common(dc)
+    dc.add_argument("--benchmark", required=True,
+                    help="parquet path of the benchmark/eval documents")
+    dc.add_argument("--threshold", type=float, default=0.5)
+    dc.add_argument("--shingle-k", type=int, default=5)
+    dc.add_argument("--report-only", action="store_true",
+                    help="write the (doc_id, bench_id, containment) "
+                         "score table instead of dropping")
+
+    bu = sub.add_parser("burst",
+                        help="bucketed burst detection per key "
+                             "(trailing-baseline spike flags)")
+    common(bu)
+    bu.add_argument("--key-cols", default="event_type",
+                    help="comma-separated key columns")
+    bu.add_argument("--ts-col", default="ts")
+    bu.add_argument("--resolution", default="day",
+                    choices=("minute", "hour", "day", "week", "month"))
+    bu.add_argument("--baseline-buckets", type=int, default=7)
+    bu.add_argument("--factor", type=int, default=2)
+    bu.add_argument("--min-baseline", type=int, default=3)
+
+    tr = sub.add_parser("triangles",
+                        help="per-vertex triangle counts over an edge "
+                             "table (degree-oriented wedge join)")
+    common(tr)
+    tr.add_argument("--src-col", default="src")
+    tr.add_argument("--dst-col", default="dst")
 
     return p.parse_args(argv)
 
@@ -472,6 +521,52 @@ def run(args) -> dict:
             out = out.filter(F.col("score") >= args.min_score).select(
                 *docs.columns
             )
+    elif args.cmd == "setsim":
+        from fhir_owl_spark.operators import dedup
+        from fhir_owl_spark.operators.setsim import setsim_join
+
+        pairs = setsim_join(
+            docs, threshold=args.threshold,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        if args.pairs_only:
+            out = pairs
+        else:
+            decisions = dedup.dedup_keep_one(docs, pairs, id_col=args.id_col)
+            out = docs.join(
+                decisions.filter(F.col("keep")).select(args.id_col),
+                args.id_col,
+            )
+    elif args.cmd == "decontaminate":
+        from fhir_owl_spark.operators import dedup
+
+        scores = dedup.contamination_overlap(
+            docs, spark.read.parquet(args.benchmark),
+            threshold=args.threshold, shingle_k=args.shingle_k,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        if args.report_only:
+            out = scores
+        else:
+            out = docs.join(
+                scores.select(args.id_col).distinct(), args.id_col, "left_anti"
+            )
+    elif args.cmd == "burst":
+        from fhir_owl_spark.operators.temporal import burst_detection
+
+        out = burst_detection(
+            docs,
+            key_cols=tuple(args.key_cols.split(",")),
+            ts_col=args.ts_col,
+            resolution=args.resolution,
+            baseline_buckets=args.baseline_buckets,
+            factor=args.factor,
+            min_baseline=args.min_baseline,
+        )
+    elif args.cmd == "triangles":
+        from fhir_owl_spark.operators.graph import triangle_counts
+
+        out = triangle_counts(docs, src_col=args.src_col, dst_col=args.dst_col)
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 

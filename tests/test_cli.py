@@ -500,3 +500,78 @@ def test_stream_classify_subcommand(spark, tmp_path, capsys):
     got = {r["doc_id"]: (r["n_tokens"], r["raw_score"], r["score"])
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == want and len(got) == 3
+
+
+def test_corpus_setsim_decontaminate_burst_triangles(spark, tmp_path, capsys):
+    """Round-5 tail stages: exact set-similarity dedup, fuzzy
+    decontamination, burst detection, triangle counts."""
+    import datetime
+
+    import jobs.corpus_pipeline as cp
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),       # exact twin of 0
+            (2, "alpha beta gamma delta epsilon"),  # J=0.8 vs 0/1
+            (3, "completely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    s = run(["setsim", "--input", src, "--output", str(tmp_path / "ss"),
+             "--threshold", "0.9"])
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "ss")).collect()}
+    assert s["rows_out"] == 3 and kept == {0, 2, 3}  # 1 deduped into 0
+
+    s = run(["setsim", "--input", src, "--output", str(tmp_path / "sp"),
+             "--threshold", "0.8", "--pairs-only"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(str(tmp_path / "sp")).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    ).write.parquet(bench)
+    s = run(["decontaminate", "--input", src, "--output", str(tmp_path / "dc"),
+             "--benchmark", bench, "--threshold", "0.99", "--shingle-k", "4"])
+    survivors = {r["doc_id"]
+                 for r in spark.read.parquet(str(tmp_path / "dc")).collect()}
+    assert survivors == {3}  # 0/1 exact-contain, 2 contains the 4-shingle too
+    s = run(["decontaminate", "--input", src, "--output", str(tmp_path / "dr"),
+             "--benchmark", bench, "--threshold", "0.99", "--shingle-k", "4",
+             "--report-only"])
+    assert s["rows_out"] == 3  # one score row per contaminated doc
+
+    day = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("click", day + datetime.timedelta(days=d, hours=h))
+         for d in range(8) for h in range(2)]
+        + [("click", day + datetime.timedelta(days=8, hours=h))
+           for h in range(12)],
+        "event_type string, ts timestamp",
+    )
+    evsrc = str(tmp_path / "events")
+    ev.write.parquet(evsrc)
+    s = run(["burst", "--input", evsrc, "--output", str(tmp_path / "b")])
+    flagged = [r for r in spark.read.parquet(str(tmp_path / "b")).collect()
+               if r["is_burst"]]
+    assert len(flagged) == 1 and flagged[0]["cnt"] == 12
+
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    ).write.parquet(edges)
+    s = run(["triangles", "--input", edges, "--output", str(tmp_path / "t")])
+    tri = {r["node"]: r["n_triangles"]
+           for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}
