@@ -19,9 +19,12 @@ a live 30s-trigger stream):
   classify     linear-classifier quality scoring per micro-batch
                (foreachBatch over the audited batch operator;
                static model table joined broadcast)
+  burst        stateful bucketed burst detection per key
+               (applyInPandasWithState; streaming/bursts — rows emitted
+               when a bucket closes; batch-identical, see module doc)
 
 The reference is strictly batch; this CLI is the engine-added forward
-path for continuous transcript feeds. All five subcommands have
+path for continuous transcript feeds. All six subcommands have
 stream ≡ batch equivalence tests in tests/test_streaming.py / test_cli.py.
 """
 
@@ -93,6 +96,20 @@ def parse_args(argv=None):
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--schema", default=None,
+                    help="input DDL schema (required for an empty landing dir)")
+
+    bu = sub.add_parser("burst",
+                        help="stateful bucketed burst detection "
+                             "(trailing-baseline spike flags per key)")
+    common(bu)
+    bu.add_argument("--key-col", default="event_type")
+    bu.add_argument("--ts-col", default="ts")
+    bu.add_argument("--resolution", default="day",
+                    choices=("minute", "hour", "day"))
+    bu.add_argument("--baseline-buckets", type=int, default=7)
+    bu.add_argument("--factor", type=int, default=2)
+    bu.add_argument("--min-baseline", type=int, default=3)
+    bu.add_argument("--schema", default=None,
                     help="input DDL schema (required for an empty landing dir)")
 
     return p.parse_args(argv)
@@ -181,6 +198,18 @@ def main(argv=None) -> int:
             streaming_exact_dedup(
                 stream, text_col=args.text_col, ts_col=args.ts_col,
                 watermark_delay=args.watermark,
+            )
+        ).start()
+    elif args.cmd == "burst":
+        from fhir_owl_spark.streaming.bursts import burst_stream
+
+        stream = spark.readStream.schema(_doc_schema(spark, args)).parquet(args.input)
+        q = writer(
+            burst_stream(
+                stream, key_col=args.key_col, ts_col=args.ts_col,
+                resolution=args.resolution,
+                baseline_buckets=args.baseline_buckets,
+                factor=args.factor, min_baseline=args.min_baseline,
             )
         ).start()
     elif args.cmd == "classify":

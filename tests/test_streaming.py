@@ -429,3 +429,71 @@ def test_streaming_near_dup_store_retention(spark, tmp_path):
     want = {tuple(r) for r in near_dup_first_seen(
         spark.createDataFrame(rows, schema)).collect()}
     assert got == want
+
+
+def test_burst_stream_equals_batch_across_restarts(spark, tmp_path):
+    """Streaming burst detection must equal the batch operator even when
+    a key's bucket series SPANS micro-batches and a checkpoint restart:
+    the (current bucket, running count, baseline history) state carries
+    across both. A sentinel event one bucket past the horizon flushes
+    each key's final bucket (the documented close-on-advance contract)."""
+    import datetime as dt
+
+    from fhir_owl_spark.operators.temporal import burst_detection
+    from fhir_owl_spark.streaming.bursts import burst_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_type string, ts timestamp"
+    rows = []
+    # 'a': 2/day for 8 days then a 9-count spike on day 9
+    for d in range(8):
+        rows += [("a", t0 + dt.timedelta(days=d, hours=h)) for h in range(2)]
+    rows += [("a", t0 + dt.timedelta(days=8, hours=h)) for h in range(9)]
+    # 'b': irregular with gaps (observed-bucket baseline, not calendar)
+    for d in (0, 1, 4, 5, 6, 9, 10, 11):
+        rows += [("b", t0 + dt.timedelta(days=d, hours=h)) for h in range(1 + d % 3)]
+    sentinel = dt.datetime(2030, 1, 1)
+    flush = [("a", sentinel), ("b", sentinel)]
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    half = t0 + dt.timedelta(days=5)
+    spark.createDataFrame([r for r in rows if r[1] < half], schema).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            burst_stream(stream, key_col="event_type", baseline_buckets=7)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # first half of the series
+    spark.createDataFrame(
+        [r for r in rows if r[1] >= half] + flush, schema
+    ).write.mode("append").parquet(src)
+    run()  # rest + sentinel flush, same checkpoint
+
+    got = {
+        (r["key"], r["bucket"]): (
+            r["cnt"], r["base_sum"], r["base_n"], r["is_burst"], r["burst_ratio"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = burst_detection(
+        spark.createDataFrame(rows, schema),
+        key_cols=("event_type",),
+        baseline_buckets=7,
+    )
+    want = {
+        (r["event_type"], r["bucket"]): (
+            r["cnt"], r["base_sum"], r["base_n"], r["is_burst"], r["burst_ratio"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want  # sentinel's own bucket never closes, so no extra rows
+    assert sum(1 for v in got.values() if v[3]) == 1  # exactly the day-9 spike
