@@ -368,6 +368,24 @@ def q_triangles_comentions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark, sf_dir) -> DataFrame:
+    """Per-entity local clustering coefficient over the co-mention graph
+    (operators.graph.clustering_coefficients) — the normalized triangle
+    score separating hub artifacts (high degree, cc ~ 0) from real
+    entity clusters; all-integer ratio rounded at 6 decimals."""
+    from .operators.graph import clustering_coefficients
+
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    com = skew.co_mention_pairs(m, n_salt=16)
+    return clustering_coefficients(com, src_col="code_a", dst_col="code_b")
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1677,6 +1695,7 @@ QUERIES = {
     "windowed_cooc": q_windowed_cooc,
     "k_hop_orders": q_k_hop_orders,
     "triangles_comentions": q_triangles_comentions,
+    "clustering_coeff": q_clustering_coeff,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -1923,6 +1942,39 @@ tcnodes AS (SELECT s AS node FROM tcclosed
           UNION ALL SELECT x FROM tcclosed
           UNION ALL SELECT y FROM tcclosed)
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM tcnodes GROUP BY node
+""",
+        "clustering_coeff": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'),
+tce AS (SELECT DISTINCT a.code AS u, b.code AS v
+      FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code),
+tcdeg AS (SELECT n, count(*) AS deg
+        FROM (SELECT u AS n FROM tce UNION ALL SELECT v AS n FROM tce) GROUP BY n),
+tco AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND tce.u < tce.v)
+                  THEN tce.u ELSE tce.v END AS s,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND tce.u < tce.v)
+                  THEN tce.v ELSE tce.u END AS d,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND tce.u < tce.v)
+                  THEN dv.deg ELSE du.deg END AS dd
+      FROM tce JOIN tcdeg du ON tce.u = du.n JOIN tcdeg dv ON tce.v = dv.n),
+tcclosed AS (SELECT w1.s, w1.d AS x, w2.d AS y
+           FROM tco w1 JOIN tco w2 ON w1.s = w2.s
+           JOIN tco c ON c.s = w1.d AND c.d = w2.d
+           WHERE w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.d < w2.d)),
+tcnodes AS (SELECT s AS node FROM tcclosed
+          UNION ALL SELECT x FROM tcclosed
+          UNION ALL SELECT y FROM tcclosed),
+tct AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM tcnodes GROUP BY node)
+SELECT g.n AS node, CAST(g.deg AS BIGINT) AS deg,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN g.deg >= 2
+            THEN round(CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                       / CAST(g.deg * (g.deg - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM tcdeg g LEFT JOIN tct t ON g.n = t.node
 """,
         "setsim_pairs": r"""
 WITH tk AS (SELECT doc_id,

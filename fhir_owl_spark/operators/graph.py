@@ -289,3 +289,55 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex local clustering coefficient cc = 2·T / (deg·(deg−1))
+    over an undirected graph — the normalized form of
+    ``triangle_counts``: how close a vertex's neighborhood is to a
+    clique, the per-entity corroboration score for soft related-to
+    edges (a high-degree entity with near-zero cc is a hub artifact;
+    a moderate-degree one with high cc sits in a real cluster).
+
+    Adds one degree join to the triangle plan; vertices with deg < 2
+    get cc = 0.0 by definition, vertices with no triangles get 0.0 via
+    the left join. The ratio is emitted rounded to 6 decimals from an
+    all-integer numerator/denominator, so cross-engine comparison is
+    exact.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(e, src_col="u", dst_col="v")
+    joined = deg.join(tri, "node", "left").withColumn(
+        "n_triangles", F.coalesce("n_triangles", F.lit(0))
+    )
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            (F.lit(2) * F.col("n_triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        cc.alias("clustering_coeff"),
+    )

@@ -213,3 +213,20 @@ def test_contamination_overlap_benchmark_broadcast(spark):
     cdf = spark.createDataFrame([(2, "a b c d e f")], "doc_id long, text string")
     plan = plan_of(contamination_overlap(cdf, bdf, threshold=0.1))
     assert "BroadcastHashJoin" in plan and "Cartesian" not in plan
+
+
+def test_clustering_coefficients_model(spark):
+    from fhir_owl_spark.operators.graph import clustering_coefficients
+
+    # K4 on 1-4 (cc=1 everywhere), pendant 5 on 1 (deg 1 → cc 0),
+    # wedge 6-7, 7-8 (no triangle → cc 0)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.deg, r.n_triangles, r.clustering_coeff)
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got[2] == (3, 3, 1.0) and got[3] == (3, 3, 1.0) and got[4] == (3, 3, 1.0)
+    assert got[1] == (4, 3, 0.5)  # 3 of C(4,2)=6 neighbor pairs closed
+    assert got[5] == (1, 0, 0.0)
+    assert got[6] == (1, 0, 0.0) and got[7] == (2, 0, 0.0) and got[8] == (1, 0, 0.0)
