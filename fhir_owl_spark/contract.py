@@ -386,6 +386,29 @@ def q_clustering_coeff(spark, sf_dir) -> DataFrame:
     return clustering_coefficients(com, src_col="code_a", dst_col="code_b")
 
 
+def q_random_walks(spark, sf_dir) -> DataFrame:
+    """DeepWalk-style deterministic random walks over the co-mention
+    graph (operators.graph.random_walks) — the graph-embedding corpus
+    generation pass; step choice = md5-60bit(start|walk|step|cur) mod
+    degree over the sorted neighbor array, so DuckDB replays the
+    IDENTICAL walks (full value oracle of a sampling op)."""
+    from .operators.graph import random_walks
+
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    com = skew.co_mention_pairs(m, n_salt=16)
+    return random_walks(
+        com, walks_per_node=2, walk_length=3,
+        src_col="code_a", dst_col="code_b",
+    ).select("start", F.col("walk_idx").cast("long").alias("walk_idx"),
+             "step", "node")
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1696,6 +1719,7 @@ QUERIES = {
     "k_hop_orders": q_k_hop_orders,
     "triangles_comentions": q_triangles_comentions,
     "clustering_coeff": q_clustering_coeff,
+    "random_walks": q_random_walks,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -1975,6 +1999,36 @@ SELECT g.n AS node, CAST(g.deg AS BIGINT) AS deg,
                        / CAST(g.deg * (g.deg - 1) AS DOUBLE), 6)
             ELSE 0.0 END AS clustering_coeff
 FROM tcdeg g LEFT JOIN tct t ON g.n = t.node
+""",
+        "random_walks": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'),
+tce AS (SELECT DISTINCT a.code AS u, b.code AS v
+      FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code),
+rwadj AS (SELECT node, list_sort(list(DISTINCT nbr)) AS nbrs
+          FROM (SELECT u AS node, v AS nbr FROM tce
+                UNION ALL SELECT v AS node, u AS nbr FROM tce)
+          GROUP BY node),
+w0 AS (SELECT node AS start, wi, node AS cur
+       FROM rwadj, unnest([0, 1]) AS t(wi)),
+s1 AS (SELECT p.start, p.wi,
+         a.nbrs[CAST(CAST('0x' || substr(md5(p.start || '|' || p.wi || '|1|' || p.cur), 1, 15) AS BIGINT)
+                     % len(a.nbrs) AS INT) + 1] AS cur
+  FROM w0 p JOIN rwadj a ON a.node = p.cur),
+s2 AS (SELECT p.start, p.wi,
+         a.nbrs[CAST(CAST('0x' || substr(md5(p.start || '|' || p.wi || '|2|' || p.cur), 1, 15) AS BIGINT)
+                     % len(a.nbrs) AS INT) + 1] AS cur
+  FROM s1 p JOIN rwadj a ON a.node = p.cur),
+s3 AS (SELECT p.start, p.wi,
+         a.nbrs[CAST(CAST('0x' || substr(md5(p.start || '|' || p.wi || '|3|' || p.cur), 1, 15) AS BIGINT)
+                     % len(a.nbrs) AS INT) + 1] AS cur
+  FROM s2 p JOIN rwadj a ON a.node = p.cur)
+SELECT start, CAST(wi AS BIGINT) AS walk_idx, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+UNION ALL SELECT start, CAST(wi AS BIGINT), CAST(1 AS BIGINT), cur FROM s1
+UNION ALL SELECT start, CAST(wi AS BIGINT), CAST(2 AS BIGINT), cur FROM s2
+UNION ALL SELECT start, CAST(wi AS BIGINT), CAST(3 AS BIGINT), cur FROM s3
 """,
         "setsim_pairs": r"""
 WITH tk AS (SELECT doc_id,

@@ -341,3 +341,84 @@ def clustering_coefficients(
         F.col("n_triangles").cast("long").alias("n_triangles"),
         cc.alias("clustering_coeff"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hash_fn=None,
+) -> DataFrame:
+    """DeepWalk-style deterministic random walks over the undirected
+    graph — the corpus-generation pass for graph-embedding training
+    (each walk becomes a 'sentence' of entities for a skip-gram model,
+    the node2vec/DeepWalk recipe applied to the co-mention KG).
+
+    DETERMINISTIC by construction (the engine-wide sampling discipline,
+    like operators.sampling's hash-identity sampling): the step-i choice
+    from node v on walk (start, w) is
+    ``neighbors[ hash(start|w|i|v) mod deg(v) ]`` over the SORTED
+    neighbor array — partition-invariant, re-runnable, and (with the
+    default DuckDB-reproducible ``md5_60bit``) value-oracle-able
+    cross-engine. Pass ``hash_fn=F.xxhash64`` for the faster JVM hash
+    when oracle parity is not needed.
+
+    Returns (start, walk_idx, step, node): step 0 is the start itself,
+    so each (start, walk_idx) group is a (walk_length+1)-token sentence.
+    Isolated nodes have no adjacency row and emit nothing.
+
+    Shape: adjacency = one groupBy(node) collect (arrays bounded by
+    degree); each of the ``walk_length`` steps is ONE node-keyed join
+    against the adjacency (AQE handles hub-degree skew) — walks never
+    materialize as driver state and the step joins carry only
+    (start, walk_idx, cur), never the path.
+    """
+    if hash_fn is None:
+        from .dedup import md5_60bit
+
+        hash_fn = md5_60bit
+
+    both = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
+    )
+    adj = (
+        both.filter(F.col("node") != F.col("nbr"))
+        .groupBy("node")
+        .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs"))
+    )
+
+    cur = adj.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("walk_idx"),
+        F.col("node").alias("node"),
+    )
+    out = [cur.withColumn("step", F.lit(0))]
+    for i in range(1, walk_length + 1):
+        seed = F.concat_ws(
+            "|",
+            F.col("start").cast("string"),
+            F.col("walk_idx").cast("string"),
+            F.lit(str(i)),
+            F.col("node").cast("string"),
+        )
+        idx = F.pmod(hash_fn(seed), F.size("nbrs"))
+        cur = (
+            cur.join(adj, "node")
+            .select(
+                "start",
+                "walk_idx",
+                F.element_at("nbrs", (idx + F.lit(1)).cast("int")).alias("node"),
+            )
+        )
+        out.append(cur.withColumn("step", F.lit(i)))
+    import functools
+
+    return functools.reduce(DataFrame.unionByName, out).select(
+        "start", "walk_idx", F.col("step").cast("long").alias("step"), "node"
+    )

@@ -230,3 +230,61 @@ def test_clustering_coefficients_model(spark):
     assert got[1] == (4, 3, 0.5)  # 3 of C(4,2)=6 neighbor pairs closed
     assert got[5] == (1, 0, 0.0)
     assert got[6] == (1, 0, 0.0) and got[7] == (2, 0, 0.0) and got[8] == (1, 0, 0.0)
+
+
+def test_random_walks_deterministic_model(spark):
+    """Walks replay an independent Python model exactly (md5-60bit step
+    choice over sorted neighbors) and are rerun-stable."""
+    import hashlib
+
+    from fhir_owl_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r.start, r.walk_idx, r.step, r.node)
+        for r in random_walks(df, walks_per_node=2, walk_length=3).collect()
+    )
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    sorted_adj = {k: sorted(v) for k, v in adj.items()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for start in sorted_adj:
+        for w in range(2):
+            cur = start
+            want.append((start, w, 0, cur))
+            for i in range(1, 4):
+                nbrs = sorted_adj[cur]
+                cur = nbrs[h60(f"{start}|{w}|{i}|{cur}") % len(nbrs)]
+                want.append((start, w, i, cur))
+    assert got == sorted(want)
+    # every (start, walk) group is a full sentence
+    assert len(got) == len(sorted_adj) * 2 * 4
+    again = sorted(
+        (r.start, r.walk_idx, r.step, r.node)
+        for r in random_walks(df, walks_per_node=2, walk_length=3).collect()
+    )
+    assert again == got
+
+
+def test_random_walks_steps_follow_edges(spark):
+    from fhir_owl_spark.operators.graph import random_walks
+
+    edges = [(i, i + 1) for i in range(20)] + [(5, 15), (0, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = random_walks(df, walks_per_node=1, walk_length=4).collect()
+    eset = {frozenset(e) for e in edges}
+    walks = collections.defaultdict(dict)
+    for r in rows:
+        walks[(r.start, r.walk_idx)][r.step] = r.node
+    for (start, _), path in walks.items():
+        assert path[0] == start and len(path) == 5
+        for i in range(1, 5):
+            assert frozenset((path[i - 1], path[i])) in eset
