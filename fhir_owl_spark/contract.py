@@ -409,6 +409,34 @@ def q_random_walks(spark, sf_dir) -> DataFrame:
              "step", "node")
 
 
+def q_walk_skipgrams(spark, sf_dir) -> DataFrame:
+    """Skip-gram pair extraction from the walk corpus — the composition
+    random_walks ∘ windowed_co_occurrence that produces the actual
+    embedding-training input (DeepWalk: walks are sentences, skip-gram
+    pairs are co-occurrences within the context window). Two audited
+    operators, one plan; group = (start, walk_idx), position = step."""
+    from .operators.graph import random_walks
+    from .operators.skew import windowed_co_occurrence
+
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    from .operators.dictionary import build_concept_dictionary
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    transcripts = fx.documents_as_transcripts(spark, sf_dir)
+    m = mentions.extract_mentions(transcripts, dictionary, cfg)
+    com = skew.co_mention_pairs(m, n_salt=16)
+    walks = random_walks(
+        com, walks_per_node=2, walk_length=3,
+        src_col="code_a", dst_col="code_b",
+    ).select(
+        F.concat_ws("#", "start", F.col("walk_idx").cast("string")).alias("g"),
+        F.col("step").alias("pos"),
+        F.col("node").alias("item"),
+    )
+    return windowed_co_occurrence(walks, "g", "pos", "item", window=2)
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1720,6 +1748,7 @@ QUERIES = {
     "triangles_comentions": q_triangles_comentions,
     "clustering_coeff": q_clustering_coeff,
     "random_walks": q_random_walks,
+    "walk_skipgrams": q_walk_skipgrams,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2029,6 +2058,43 @@ SELECT start, CAST(wi AS BIGINT) AS walk_idx, CAST(0 AS BIGINT) AS step, cur AS 
 UNION ALL SELECT start, CAST(wi AS BIGINT), CAST(1 AS BIGINT), cur FROM s1
 UNION ALL SELECT start, CAST(wi AS BIGINT), CAST(2 AS BIGINT), cur FROM s2
 UNION ALL SELECT start, CAST(wi AS BIGINT), CAST(3 AS BIGINT), cur FROM s3
+""",
+        "walk_skipgrams": f"""
+WITH RECURSIVE {qops},
+hits AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS conv_id, d.code
+         FROM documents, qdict d
+         WHERE ' ' || lower(text) || ' ' LIKE '% ' || d.term || ' %'),
+tce AS (SELECT DISTINCT a.code AS u, b.code AS v
+      FROM hits a JOIN hits b ON a.conv_id = b.conv_id AND a.code < b.code),
+rwadj AS (SELECT node, list_sort(list(DISTINCT nbr)) AS nbrs
+          FROM (SELECT u AS node, v AS nbr FROM tce
+                UNION ALL SELECT v AS node, u AS nbr FROM tce)
+          GROUP BY node),
+w0 AS (SELECT node AS start, wi, node AS cur
+       FROM rwadj, unnest([0, 1]) AS t(wi)),
+s1 AS (SELECT p.start, p.wi,
+         a.nbrs[CAST(CAST('0x' || substr(md5(p.start || '|' || p.wi || '|1|' || p.cur), 1, 15) AS BIGINT)
+                     % len(a.nbrs) AS INT) + 1] AS cur
+  FROM w0 p JOIN rwadj a ON a.node = p.cur),
+s2 AS (SELECT p.start, p.wi,
+         a.nbrs[CAST(CAST('0x' || substr(md5(p.start || '|' || p.wi || '|2|' || p.cur), 1, 15) AS BIGINT)
+                     % len(a.nbrs) AS INT) + 1] AS cur
+  FROM s1 p JOIN rwadj a ON a.node = p.cur),
+s3 AS (SELECT p.start, p.wi,
+         a.nbrs[CAST(CAST('0x' || substr(md5(p.start || '|' || p.wi || '|3|' || p.cur), 1, 15) AS BIGINT)
+                     % len(a.nbrs) AS INT) + 1] AS cur
+  FROM s2 p JOIN rwadj a ON a.node = p.cur),
+wk AS (SELECT start || '#' || wi AS g, 0 AS pos, cur AS item FROM w0
+       UNION ALL SELECT start || '#' || wi, 1, cur FROM s1
+       UNION ALL SELECT start || '#' || wi, 2, cur FROM s2
+       UNION ALL SELECT start || '#' || wi, 3, cur FROM s3),
+pr AS (SELECT x.g, least(x.item, y.item) AS item_a, greatest(x.item, y.item) AS item_b
+       FROM wk x JOIN wk y
+         ON x.g = y.g AND x.pos < y.pos AND y.pos - x.pos <= 2)
+SELECT item_a, item_b,
+       CAST(count(*) AS BIGINT) AS n_cooc,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+FROM pr GROUP BY item_a, item_b
 """,
         "setsim_pairs": r"""
 WITH tk AS (SELECT doc_id,
