@@ -428,6 +428,21 @@ def main() -> None:
         upscale["triangles_powerlaw_5m"] = round(time.perf_counter() - t0, 3)
         upscale["triangles_nodes"] = n_tri_nodes
 
+        # DeepWalk corpus generation on the same power-law graph (new r5
+        # op): max_degree=128 keeps the super-hub's adjacency row
+        # bounded (the guard the operator ships for exactly this graph
+        # shape); xxhash64 step choice (production path — md5 is the
+        # oracle-parity path)
+        from fhir_owl_spark.operators.graph import random_walks
+
+        t0 = time.perf_counter()
+        n_walk_rows = random_walks(
+            pl_edges, walks_per_node=1, walk_length=4,
+            hash_fn=F.xxhash64, max_degree=128,
+        ).count()
+        upscale["random_walks_powerlaw_5m"] = round(time.perf_counter() - t0, 3)
+        upscale["walk_rows"] = n_walk_rows
+
         # burst detection over 10x events and fuzzy decontamination over
         # 10x docs (new r5 ops) — both single-shuffle shapes
         from fhir_owl_spark.operators.dedup import contamination_overlap

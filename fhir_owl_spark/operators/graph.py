@@ -12,7 +12,7 @@ value-oracle-able in DuckDB (contract query ``pagerank_orders``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .hierarchy import BROADCAST_EDGE_ROW_LIMIT
 
@@ -350,6 +350,7 @@ def random_walks(
     src_col: str = "src",
     dst_col: str = "dst",
     hash_fn=None,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """DeepWalk-style deterministic random walks over the undirected
     graph — the corpus-generation pass for graph-embedding training
@@ -370,10 +371,13 @@ def random_walks(
     Isolated nodes have no adjacency row and emit nothing.
 
     Shape: adjacency = one groupBy(node) collect (arrays bounded by
-    degree); each of the ``walk_length`` steps is ONE node-keyed join
-    against the adjacency (AQE handles hub-degree skew) — walks never
-    materialize as driver state and the step joins carry only
-    (start, walk_idx, cur), never the path.
+    degree — pass ``max_degree`` on power-law graphs so a super-hub's
+    row stays bounded: the cap keeps the ``max_degree`` neighbors with
+    the smallest hash(node|nbr), a deterministic unbiased sample, the
+    standard DeepWalk degree cap); each of the ``walk_length`` steps is
+    ONE node-keyed join against the adjacency (AQE handles hub-degree
+    skew) — walks never materialize as driver state and the step joins
+    carry only (start, walk_idx, cur), never the path.
     """
     if hash_fn is None:
         from .dedup import md5_60bit
@@ -384,10 +388,27 @@ def random_walks(
         F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
     ).unionByName(
         edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr"))
-    )
+    ).filter(F.col("node") != F.col("nbr"))
+    if max_degree is not None:
+        # hub guard: a power-law super-hub would otherwise materialize a
+        # degree-sized neighbor ARRAY in one row (100 MB+ at web scale).
+        # Keep the max_degree neighbors with the smallest
+        # hash(node|nbr) — deterministic, partition-invariant, unbiased
+        # by id order; walks through the hub then sample a fixed-size
+        # deterministic neighborhood (the standard DeepWalk degree cap).
+        w = Window.partitionBy("node").orderBy(
+            hash_fn(F.concat_ws("|", F.col("node").cast("string"),
+                                F.col("nbr").cast("string"))),
+            "nbr",
+        )
+        both = (
+            both.dropDuplicates(["node", "nbr"])
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_degree)
+            .drop("_rk")
+        )
     adj = (
-        both.filter(F.col("node") != F.col("nbr"))
-        .groupBy("node")
+        both.groupBy("node")
         .agg(F.array_sort(F.collect_set("nbr")).alias("nbrs"))
     )
 

@@ -288,3 +288,28 @@ def test_random_walks_steps_follow_edges(spark):
         assert path[0] == start and len(path) == 5
         for i in range(1, 5):
             assert frozenset((path[i - 1], path[i])) in eset
+
+
+def test_random_walks_max_degree_hub_guard(spark):
+    """max_degree bounds every adjacency array (the power-law super-hub
+    guard); walks still follow real edges and stay deterministic."""
+    from fhir_owl_spark.operators.graph import random_walks
+
+    edges = [(0, i) for i in range(1, 60)] + [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = random_walks(df, walks_per_node=1, walk_length=3, max_degree=8).collect()
+    eset = {frozenset(e) for e in edges}
+    walks = collections.defaultdict(dict)
+    for r in rows:
+        walks[(r.start, r.walk_idx)][r.step] = r.node
+    hub_next = set()
+    for (start, _), path in walks.items():
+        for i in range(1, 4):
+            assert frozenset((path[i - 1], path[i])) in eset
+            if path[i - 1] == 0:
+                hub_next.add(path[i])
+    # the hub's sampled neighborhood is capped: every hub departure goes
+    # to one of at most 8 distinct neighbors
+    assert 0 < len(hub_next) <= 8
+    again = random_walks(df, walks_per_node=1, walk_length=3, max_degree=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
