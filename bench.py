@@ -227,7 +227,10 @@ def main() -> None:
         # 10× the document corpus (sf1-equivalent 50k docs): replicas get
         # distinct ids and a replica marker appended so near-dup structure
         # is preserved without making every replica an exact dup
-        docs10_path = "/tmp/fhir_owl_spark_bench/docs10"
+        # cache keyed by sf: a bench run at another SF must not reuse this
+        # corpus (a cross-SF stale cache made a 10x anchor silently run on
+        # 10x-smaller data — caught round 5)
+        docs10_path = f"/tmp/fhir_owl_spark_bench/docs10_sf{sf}"
         if not os.path.exists(f"{docs10_path}/_SUCCESS"):
             n_docs = docs.count()
             reps = spark.range(10).withColumnRenamed("id", "rep")
