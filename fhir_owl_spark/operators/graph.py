@@ -250,15 +250,28 @@ def triangle_counts(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
+    deg = _degrees(e)
+    return _triangle_counts_from(e, deg)
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(node, deg) over a normalized (u < v, distinct) edge frame."""
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _triangle_counts_from(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented wedge enumeration over pre-normalized edges and
+    their degree table — shared by triangle_counts and
+    clustering_coefficients so the caller pays the edge distinct and the
+    degree shuffle exactly once."""
     ed = (
-        e.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
     )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -317,13 +330,8 @@ def clustering_coefficients(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_counts(e, src_col="u", dst_col="v")
+    deg = _degrees(e)
+    tri = _triangle_counts_from(e, deg)
     joined = deg.join(tri, "node", "left").withColumn(
         "n_triangles", F.coalesce("n_triangles", F.lit(0))
     )
@@ -379,6 +387,12 @@ def random_walks(
     skew) — walks never materialize as driver state and the step joins
     carry only (start, walk_idx, cur), never the path.
     """
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
     if hash_fn is None:
         from .dedup import md5_60bit
 

@@ -28,7 +28,7 @@ from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -130,7 +130,11 @@ def burst_stream(
         yield pd.DataFrame(out)
 
     return (
-        events.select(ts_col, key_col)
+        # the output schema declares the key as STRING; cast here so any
+        # batch-supported key type (ints, dates) streams too — the
+        # equivalence contract is vs batch burst_detection over the
+        # string-cast key
+        events.select(ts_col, F.col(key_col).cast("string").alias(key_col))
         .groupBy(key_col)
         .applyInPandasWithState(
             update,

@@ -256,6 +256,8 @@ def parse_args(argv=None):
                     help="parquet path of the benchmark/eval documents")
     dc.add_argument("--threshold", type=float, default=0.5)
     dc.add_argument("--shingle-k", type=int, default=5)
+    dc.add_argument("--bench-id-col", default=None,
+                    help="benchmark id column (default: same as --id-col)")
     dc.add_argument("--report-only", action="store_true",
                     help="write the (doc_id, bench_id, containment) "
                          "score table instead of dropping")
@@ -544,6 +546,7 @@ def run(args) -> dict:
             docs, spark.read.parquet(args.benchmark),
             threshold=args.threshold, shingle_k=args.shingle_k,
             text_col=args.text_col, id_col=args.id_col,
+            bench_id_col=args.bench_id_col or args.id_col,
         )
         if args.report_only:
             out = scores

@@ -313,3 +313,15 @@ def test_random_walks_max_degree_hub_guard(spark):
     assert 0 < len(hub_next) <= 8
     again = random_walks(df, walks_per_node=1, walk_length=3, max_degree=8).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_random_walks_rejects_bad_params(spark):
+    from fhir_owl_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="walks_per_node"):
+        random_walks(df, walks_per_node=0)
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(df, walk_length=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        random_walks(df, max_degree=0)
