@@ -437,6 +437,39 @@ def q_walk_skipgrams(spark, sf_dir) -> DataFrame:
     return windowed_co_occurrence(walks, "g", "pos", "item", window=2)
 
 
+def q_concept_diff(spark, sf_dir) -> DataFrame:
+    """Release-over-release ontology diff (operators.dictionary.
+    concept_diff): v2 is derived from the emitted dictionary by a
+    deterministic md5-keyed mutation (h%5==0 removed, ==1 relabeled,
+    ==2 cloned as a new code) that the oracle replays identically —
+    added/removed/changed concept rows, the KG-maintenance pass for
+    versioned ontologies (HPO/GO monthly releases)."""
+    from .operators.dedup import md5_60bit
+    from .operators.dictionary import build_concept_dictionary, concept_diff
+
+    ont, cfg = _qops()
+    concepts, edges, synonyms = fx.ontology_dfs(spark, ont)
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    v1 = dictionary.select("code", "display")
+    h = F.pmod(md5_60bit(F.col("code")), F.lit(5))
+    v2 = (
+        v1.filter(h != 0)
+        .withColumn(
+            "display",
+            F.when(h == 1, F.concat(F.col("display"), F.lit(" (v2)"))).otherwise(
+                F.col("display")
+            ),
+        )
+        .unionByName(
+            v1.filter(h == 2).select(
+                F.concat(F.col("code"), F.lit("_new")).alias("code"),
+                F.lit("added concept").alias("display"),
+            )
+        )
+    )
+    return concept_diff(v1, v2, id_col="code", compare_cols=("display",))
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1749,6 +1782,7 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "random_walks": q_random_walks,
     "walk_skipgrams": q_walk_skipgrams,
+    "concept_diff": q_concept_diff,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2095,6 +2129,29 @@ SELECT item_a, item_b,
        CAST(count(*) AS BIGINT) AS n_cooc,
        CAST(count(DISTINCT g) AS BIGINT) AS n_groups
 FROM pr GROUP BY item_a, item_b
+""",
+        "concept_diff": f"""
+WITH RECURSIVE {qops},
+hh AS (SELECT code, display,
+              CAST('0x' || substr(md5(code), 1, 15) AS BIGINT) % 5 AS h
+       FROM emitted),
+v1 AS (SELECT code, display FROM emitted),
+v2 AS (SELECT code,
+              CASE WHEN h = 1 THEN display || ' (v2)' ELSE display END AS display
+       FROM hh WHERE h <> 0
+       UNION ALL
+       SELECT code || '_new', 'added concept' FROM hh WHERE h = 2),
+d AS (SELECT coalesce(a.code, b.code) AS code,
+             CASE WHEN a.code IS NULL THEN 'added'
+                  WHEN b.code IS NULL THEN 'removed'
+                  WHEN a.display IS DISTINCT FROM b.display THEN 'changed'
+             END AS change,
+             a.display AS old_display, b.display AS new_display
+      FROM v1 a FULL JOIN v2 b ON a.code = b.code)
+SELECT code, change,
+       CASE WHEN change = 'changed' THEN 'display' ELSE '' END AS changed_fields,
+       old_display, new_display
+FROM d WHERE change IS NOT NULL
 """,
         "setsim_pairs": r"""
 WITH tk AS (SELECT doc_id,

@@ -192,3 +192,68 @@ def parent_code_col(cfg: PipelineConfig, has_imports: bool, iri_col="iri"):
 def broadcast_dictionary(dictionary: DataFrame) -> DataFrame:
     """Mark the dictionary for broadcast in subsequent joins."""
     return F.broadcast(dictionary)
+
+
+def concept_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "code",
+    compare_cols: "tuple[str, ...]" = ("display",),
+) -> DataFrame:
+    """Release-over-release concept diff — the KG-maintenance pass for
+    versioned ontologies (HPO/GO ship monthly releases; the reference's
+    CodeSystem carries a version and real deployments must know which
+    concepts were added, retired, or relabeled before re-emitting
+    triples; cf. FhirOwlService version handling).
+
+    Full outer join on ``id_col``; emits one row per concept present in
+    either version with change ∈ {'added', 'removed', 'changed'}
+    (unchanged concepts are dropped) and ``changed_fields`` — a
+    comma-joined sorted list of the ``compare_cols`` that differ
+    (null-safe comparison). Old/new values ride along per compare
+    column as ``old_<col>`` / ``new_<col>`` scalars.
+
+    Shape: ONE full-outer hash join on the concept id (both sides are
+    dictionary-scale, tiny next to transcripts); pure Column logic.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    ).withColumn("_in_new", F.lit(True))
+    joined = o.join(n, "_id", "full_outer")
+
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.col("_id").alias(id_col),
+            "change",
+            F.when(F.col("change") == "changed", F.concat_ws(",", diffs))
+            .otherwise(F.lit(""))
+            .alias("changed_fields"),
+            *[c for p in compare_cols for c in (f"old_{p}", f"new_{p}")],
+        )
+    )

@@ -325,3 +325,28 @@ def test_random_walks_rejects_bad_params(spark):
         random_walks(df, walk_length=0)
     with pytest.raises(ValueError, match="max_degree"):
         random_walks(df, max_degree=0)
+
+
+def test_concept_diff_model(spark):
+    from fhir_owl_spark.operators.dictionary import concept_diff
+
+    v1 = spark.createDataFrame(
+        [("a", "Apple", False), ("b", "Ball", False), ("c", "Cat", False)],
+        "code string, display string, deprecated boolean",
+    )
+    v2 = spark.createDataFrame(
+        [("a", "Apple", True), ("b", "Ball v2", False), ("d", "Dog", False)],
+        "code string, display string, deprecated boolean",
+    )
+    rows = {
+        r.code: (r.change, r.changed_fields)
+        for r in concept_diff(
+            v1, v2, compare_cols=("display", "deprecated")
+        ).collect()
+    }
+    assert rows == {
+        "a": ("changed", "deprecated"),
+        "b": ("changed", "display"),
+        "c": ("removed", ""),
+        "d": ("added", ""),
+    }
