@@ -113,7 +113,7 @@ sandbox stand-in for N vs 4N executors per the driver instruction.
   shared-host VM with visible CPU steal and per-core turbo, so single
   runs scatter in BOTH directions. Clean same-code 2→8 runs by round:
   r01 0.843 (4→16), r02 0.828/0.909, r03 0.62/0.886/1.022, r04 0.994
-  (idle box), r05 0.875/0.947 — median of clean runs ≈ **0.89**, every round's
+  (idle box), r05 0.875/0.947/0.926 (the last with the final round-5 code: salted-agg 0.915, big-dict 0.916 at the same pair) — median of clean runs ≈ **0.89**, every round's
   recorded pair ≥ the 0.8 target except r03's one steal-spiked 0.62
   outlier (its same-day re-runs were 0.886/1.022). The measured stage is
   map-only with ZERO shuffles — there is no algorithmic term that could
