@@ -49,6 +49,8 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
               item's word k-shingles (--report-only writes scores)
   burst       bucketed burst detection per key (trailing baseline)
   triangles   per-vertex triangle counts over an edge table
+  walks       deterministic DeepWalk random walks over an edge table
+              (--skipgrams WINDOW emits the training-pair extraction)
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -281,6 +283,20 @@ def parse_args(argv=None):
     common(tr)
     tr.add_argument("--src-col", default="src")
     tr.add_argument("--dst-col", default="dst")
+
+    wk = sub.add_parser("walks",
+                        help="deterministic DeepWalk random walks over an "
+                             "edge table (--skipgrams emits training pairs)")
+    common(wk)
+    wk.add_argument("--src-col", default="src")
+    wk.add_argument("--dst-col", default="dst")
+    wk.add_argument("--walks-per-node", type=int, default=2)
+    wk.add_argument("--walk-length", type=int, default=4)
+    wk.add_argument("--max-degree", type=int, default=None,
+                    help="hub guard: deterministic neighbor cap")
+    wk.add_argument("--skipgrams", type=int, default=None, metavar="WINDOW",
+                    help="emit (item_a, item_b, n_cooc, n_groups) skip-gram "
+                         "pairs within WINDOW steps instead of raw walks")
 
     return p.parse_args(argv)
 
@@ -570,6 +586,31 @@ def run(args) -> dict:
         from fhir_owl_spark.operators.graph import triangle_counts
 
         out = triangle_counts(docs, src_col=args.src_col, dst_col=args.dst_col)
+    elif args.cmd == "walks":
+        from fhir_owl_spark.operators.graph import random_walks
+
+        walks = random_walks(
+            docs, walks_per_node=args.walks_per_node,
+            walk_length=args.walk_length,
+            src_col=args.src_col, dst_col=args.dst_col,
+            hash_fn=F.xxhash64, max_degree=args.max_degree,
+        )
+        if args.skipgrams is not None:
+            from fhir_owl_spark.operators.skew import windowed_co_occurrence
+
+            out = windowed_co_occurrence(
+                walks.select(
+                    F.concat_ws(
+                        "#", F.col("start").cast("string"),
+                        F.col("walk_idx").cast("string"),
+                    ).alias("g"),
+                    F.col("step").alias("pos"),
+                    F.col("node").alias("item"),
+                ),
+                "g", "pos", "item", window=args.skipgrams,
+            )
+        else:
+            out = walks
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 

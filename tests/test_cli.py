@@ -575,3 +575,38 @@ def test_corpus_setsim_decontaminate_burst_triangles(spark, tmp_path, capsys):
     tri = {r["node"]: r["n_triangles"]
            for r in spark.read.parquet(str(tmp_path / "t")).collect()}
     assert tri == {1: 1, 2: 1, 3: 1}
+
+
+def test_corpus_walks_subcommand(spark, tmp_path, capsys):
+    import jobs.corpus_pipeline as cp
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    ).write.parquet(edges)
+
+    s = run(["walks", "--input", edges, "--output", str(tmp_path / "w"),
+             "--walks-per-node", "1", "--walk-length", "3"])
+    walks = spark.read.parquet(str(tmp_path / "w"))
+    assert s["rows_out"] == 4 * 4  # 4 nodes x (3 steps + start)
+    eset = {frozenset(e) for e in [(1, 2), (2, 3), (3, 1), (3, 4)]}
+    by_walk = {}
+    for r in walks.collect():
+        by_walk.setdefault((r["start"], r["walk_idx"]), {})[r["step"]] = r["node"]
+    for (start, _), path in by_walk.items():
+        assert path[0] == start
+        for i in range(1, 4):
+            assert frozenset((path[i - 1], path[i])) in eset
+
+    s = run(["walks", "--input", edges, "--output", str(tmp_path / "sg"),
+             "--walks-per-node", "1", "--walk-length", "3",
+             "--skipgrams", "2"])
+    sg = spark.read.parquet(str(tmp_path / "sg"))
+    assert {"item_a", "item_b", "n_cooc", "n_groups"} <= set(sg.columns)
+    assert s["rows_out"] > 0
