@@ -350,3 +350,73 @@ def test_concept_diff_model(spark):
         "c": ("removed", ""),
         "d": ("added", ""),
     }
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (bounded examples — Spark jobs are expensive)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _doc_corpora(draw):
+    vocab_size = draw(st.integers(min_value=2, max_value=20))
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    n = draw(st.integers(min_value=2, max_value=25))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=0, max_value=min(8, vocab_size)))
+        words = draw(
+            st.lists(st.sampled_from(vocab), min_size=k, max_size=k + 4)
+        )
+        docs.append((i, " ".join(words)))
+    t = draw(st.sampled_from([0.34, 0.5, 0.6, 2 / 3, 0.8, 0.9, 1.0]))
+    return docs, t
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_doc_corpora())
+def test_setsim_property_vs_bruteforce(spark, case):
+    """On RANDOM corpora (duplicated words, empty docs, tiny vocabs —
+    the shapes the seeded generator doesn't enumerate) the prefix-
+    filtered join equals the quadratic model at any threshold."""
+    docs, t = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.inter, r.union_size)
+        for r in setsim_join(df, threshold=t).collect()
+    )
+    assert got == _brute_pairs(docs, t)
+
+
+@st.composite
+def _graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=16))
+    m = draw(st.integers(min_value=1, max_value=40))
+    edges = [
+        (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+        for _ in range(m)
+    ]
+    return edges
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_graphs())
+def test_triangles_property_vs_bruteforce(spark, edges):
+    """Random multigraphs with self-loops and duplicate/reversed edges —
+    the orientation must count every triangle exactly once per vertex."""
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
