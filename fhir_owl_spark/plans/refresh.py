@@ -1,0 +1,123 @@
+"""Incremental knowledge-graph refresh across ontology releases.
+
+The reference rebuilds its CodeSystem from scratch per ontology release
+(FhirOwlService.createCodeSystem is a batch converter). At transcript
+scale that is the wrong cost model: the ontology-side triples are
+broadcast-class data (rebuilding them is free), but the mention pass
+scans the WHOLE transcript corpus — 10^12 turns — and between two
+monthly HPO/GO-style releases almost every concept's term set is
+unchanged.
+
+``refresh_graph`` exploits the per-concept locality of mention
+extraction: a turn mentions code C based only on C's own terms
+(display + synonyms) and the turn text, so mentions of concepts whose
+term set did not change are identical between releases and can be
+CARRIED OVER from the v1 output. Only concepts whose term set changed
+(or appeared) re-scan the corpus — with the dictionary broadcast
+restricted to that delta, usually a few hundred terms instead of the
+full ontology.
+
+Equivalence contract (tested): with the same transcripts and config,
+``refresh_graph(v1_triples, v2 ontology, transcripts)`` returns exactly
+``build_graph(v2 ontology, transcripts)`` — the v1 term sets are
+recovered from the v1 triples themselves (has-display + synonym-of),
+so no v1 ontology tables are needed at refresh time.
+
+Scale shape: ontology-side rebuild (broadcast-class) + ONE anti-join of
+the v1 mention partition against the (tiny, broadcast) affected-code
+set + mention extraction over the delta dictionary + the usual key-hash
+dedup. The corpus-scale win is that the Arrow mention UDF runs with a
+delta dictionary; the carried-over mentions are a columnar re-scan of
+the committed v1 output, not a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..operators.dictionary import build_concept_dictionary
+from ..operators.hierarchy import build_hierarchy
+from ..operators.mentions import extract_mentions
+from .build_graph import concept_triples, triples_with_key
+
+TRIPLE_COLS = ("subj", "pred", "obj", "obj_type", "conv_id")
+
+
+def affected_codes(old_triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Codes whose mention-relevant TERM SET (display ∪ synonyms)
+    differs between the v1 output and the v2 dictionary — includes
+    added and removed codes. One ontology-scale aggregation per side."""
+    v1 = (
+        old_triples.filter(F.col("pred").isin("has-display", "synonym-of"))
+        .groupBy(F.col("subj").alias("code"))
+        .agg(F.array_sort(F.collect_set("obj")).alias("_t1"))
+    )
+    v2 = dictionary.select(
+        "code",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.array(F.col("display")), F.col("synonyms"))
+            )
+        ).alias("_t2"),
+    )
+    return (
+        v1.join(v2, "code", "full_outer")
+        .filter(~F.col("_t1").eqNullSafe(F.col("_t2")))
+        .select("code")
+    )
+
+
+def refresh_graph(
+    spark: SparkSession,
+    old_triples: DataFrame,
+    concepts: DataFrame,
+    edges: DataFrame,
+    synonyms: DataFrame,
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Incremental v1→v2 rebuild ≡ ``build_graph`` on the v2 ontology
+    (see module docstring for the equivalence contract and cost model).
+
+    ``old_triples``: the committed output of the v1 build (any superset
+    of the canonical triple columns; extra columns like key_hash are
+    ignored). Must have been produced with the SAME transcripts and
+    config — term-set equality only implies mention equality when the
+    matcher configuration is unchanged.
+    """
+    cfg = cfg or PipelineConfig()
+
+    dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    dictionary = dictionary.localCheckpoint(eager=True)
+    direct = build_hierarchy(concepts, edges, cfg)
+    onto = concept_triples(dictionary, direct, concepts, cfg)
+
+    affected = affected_codes(old_triples, dictionary).localCheckpoint(
+        eager=True
+    )
+
+    kept_mentions = (
+        old_triples.filter(F.col("pred") == "mentions-in")
+        .join(
+            F.broadcast(affected.withColumnRenamed("code", "subj")),
+            "subj",
+            "left_anti",
+        )
+        .select(*TRIPLE_COLS)
+    )
+
+    delta_dict = dictionary.join(F.broadcast(affected), "code", "semi")
+    new_mentions = extract_mentions(
+        transcripts, delta_dict, cfg, pairs_only=True
+    ).select(
+        F.col("code").alias("subj"),
+        F.lit("mentions-in").alias("pred"),
+        F.col("conv_id").alias("obj"),
+        F.lit("conv").alias("obj_type"),
+        F.col("conv_id").alias("conv_id"),
+    )
+
+    return triples_with_key(
+        onto.unionByName(kept_mentions).unionByName(new_mentions)
+    )
