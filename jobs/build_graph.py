@@ -68,6 +68,13 @@ def parse_args(argv=None):
                         "--iri-mappings, the reference README's own "
                         "recommendation for large imports")
     p.add_argument("--output", required=True, help="output dir (triples + _lineage)")
+    p.add_argument("--refresh-from", default=None, metavar="V1_OUTPUT_DIR",
+                   help="incremental release refresh: read the previous "
+                        "build's committed triples from this output dir and "
+                        "re-extract mentions ONLY for concepts whose term "
+                        "set changed (plans/refresh; result is identical to "
+                        "a full rebuild). Bypasses the chunked resumable "
+                        "path — the refresh itself is the cheap path")
     p.add_argument("--chunks", type=int, default=8)
     p.add_argument("--run-id", default=None)
     # ConceptProperties analogs
@@ -301,6 +308,46 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"turn-ordering invariant violated: conv_id={bad[0]['conv_id']}"
             )
+
+    if args.refresh_from:
+        import datetime as dt
+        import shutil
+        import uuid
+
+        from fhir_owl_spark.operators.dictionary import build_concept_dictionary
+        from fhir_owl_spark.plans.lineage import _commit_lineage
+        from fhir_owl_spark.plans.refresh import affected_codes, refresh_graph
+        from fhir_owl_spark.schemas import TRIPLES
+
+        old_triples = read_triples(spark, args.refresh_from)
+        refreshed = refresh_graph(
+            spark, old_triples, concepts, edges, synonyms, transcripts, cfg
+        )
+        # write through the SAME committed layout as the resumable build
+        # (one chunk + a lineage commit row) so read_triples — and a
+        # future --refresh-from — read refresh output uniformly
+        run_id = args.run_id or uuid.uuid4().hex[:12]
+        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        chunk_dir = f"{args.output}/triples/chunk=0"
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        refreshed.write.partitionBy("pred").parquet(chunk_dir)
+        n_triples = spark.read.schema(TRIPLES).parquet(chunk_dir).count()
+        _commit_lineage(
+            spark, args.output, run_id, 0, old_triples.count(), n_triples,
+            started, f"{run_id}:refresh",
+        )
+        n_delta = affected_codes(
+            old_triples, build_concept_dictionary(concepts, synonyms, cfg)
+        ).count()
+        summary = {
+            "run_id": run_id,
+            "refreshed_from": args.refresh_from,
+            "output": args.output,
+            "triples": n_triples,
+            "delta_codes": n_delta,
+        }
+        print(json.dumps(summary))
+        return 0
 
     run_id = build_graph_resumable(
         spark, concepts, edges, synonyms, transcripts, args.output, cfg,

@@ -610,3 +610,29 @@ def test_corpus_walks_subcommand(spark, tmp_path, capsys):
     sg = spark.read.parquet(str(tmp_path / "sg"))
     assert {"item_a", "item_b", "n_cooc", "n_groups"} <= set(sg.columns)
     assert s["rows_out"] > 0
+
+
+def test_build_graph_refresh_from(spark, transcripts_path, tmp_path, capsys):
+    """--refresh-from: identity refresh reproduces the v1 triples through
+    the committed lineage layout (read_triples-compatible, chainable)."""
+    import jobs.build_graph as bg
+    from fhir_owl_spark.plans.lineage import read_triples
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+
+    def run(argv):
+        rc = bg.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    s1 = run(["--fixture", "pizza", "--transcripts", transcripts_path,
+              "--output", v1])
+    s2 = run(["--fixture", "pizza", "--transcripts", transcripts_path,
+              "--output", v2, "--refresh-from", v1])
+    assert s2["delta_codes"] == 0 and s2["triples"] == s1["triples"]
+    a = sorted(tuple(r) for r in
+               read_triples(spark, v1).select("subj", "pred", "obj").collect())
+    b = sorted(tuple(r) for r in
+               read_triples(spark, v2).select("subj", "pred", "obj").collect())
+    assert a == b
