@@ -31,7 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query — since round 3 EVERY query has
-    one (93/93 as of round 5). Hash-parameterized operators (simhash,
+    one (94/94 as of round 5). Hash-parameterized operators (simhash,
     fingerprint, sampling) run with an md5-60bit hash DuckDB recomputes;
     the two approximate ANN queries are self-validating (recall-floor
     booleans vs the in-query exact top-3, oracle asserts TRUE)."""

@@ -470,6 +470,23 @@ def q_concept_diff(spark, sf_dir) -> DataFrame:
     return concept_diff(v1, v2, id_col="code", compare_cols=("display",))
 
 
+def q_cms_vocab(spark, sf_dir) -> DataFrame:
+    """Count-min sketch word counts (operators.sketches.count_min_counts)
+    — fixed-memory heavy-hitter estimation whose counters and estimates
+    are a DETERMINISTIC function of the data and the md5-60bit hash, so
+    DuckDB replays the identical sketch (approximate vs the truth, exact
+    vs the algorithm; overestimate >= 0 by construction)."""
+    from .operators.sketches import count_min_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+")
+        ).alias("item")
+    ).filter(F.length("item") > 0)
+    return count_min_counts(words, "item", width=256, depth=3)
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1783,6 +1800,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "walk_skipgrams": q_walk_skipgrams,
     "concept_diff": q_concept_diff,
+    "cms_vocab": q_cms_vocab,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2152,6 +2170,27 @@ SELECT code, change,
        CASE WHEN change = 'changed' THEN 'display' ELSE '' END AS changed_fields,
        old_display, new_display
 FROM d WHERE change IS NOT NULL
+""",
+        "cms_vocab": r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(coalesce(text,'')), '\s+')) AS item
+  FROM documents),
+wx AS (SELECT item FROM w WHERE length(item) > 0),
+pr AS (SELECT item, t.d FROM wx, unnest([0, 1, 2]) AS t(d)),
+ct AS (SELECT d,
+              CAST('0x' || substr(md5(d || '|' || item), 1, 15) AS BIGINT) % 256 AS b,
+              count(*) AS c
+       FROM pr GROUP BY d, b),
+ip AS (SELECT DISTINCT item FROM wx),
+ipp AS (SELECT item, t.d,
+               CAST('0x' || substr(md5(t.d || '|' || item), 1, 15) AS BIGINT) % 256 AS b
+        FROM ip, unnest([0, 1, 2]) AS t(d)),
+est AS (SELECT item, min(c) AS est
+        FROM ipp JOIN ct ON ipp.d = ct.d AND ipp.b = ct.b GROUP BY item),
+tr AS (SELECT item, count(*) AS true_cnt FROM wx GROUP BY item)
+SELECT est.item, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est - true_cnt AS BIGINT) AS overestimate
+FROM est JOIN tr ON est.item = tr.item
 """,
         "setsim_pairs": r"""
 WITH tk AS (SELECT doc_id,

@@ -45,3 +45,74 @@ def kmv_distinct(
         F.floor(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth")).cast("double")
     )
     return agg.select("n_sketch", est.cast("long").alias("distinct_est"))
+
+
+def count_min_counts(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Count-min sketch estimates per DISTINCT item (Cormode &
+    Muthukrishnan 2005) — the fixed-memory heavy-hitter counter a
+    streaming/telemetry pipeline keeps when exact per-key counts
+    (`vocab_top_k`'s shuffle) don't fit: depth×width counters bound the
+    state regardless of key cardinality, and est(x) = min_d
+    counter[d][h_d(x)] overestimates by at most ε·N with probability
+    1−δ (ε = e/width, δ = e^−depth).
+
+    Same oracle philosophy as KMV: the sketch is a DETERMINISTIC
+    function of the data and the hash (row d hashes ``d|item``), so an
+    external engine replays the identical counters and estimates —
+    approximate vs the truth, exact vs the algorithm. Returns
+    (item, est, true_cnt, overestimate = est − true_cnt ≥ 0).
+
+    Scale shape: ONE (depth × bucket)-keyed aggregation builds the
+    counter table (≤ depth·width rows — broadcast-class whatever the
+    input size, the point of the sketch); the per-item estimate joins
+    each distinct item's depth probes against it BROADCAST; the true
+    count is one more hash agg (kept for validation — production reads
+    only the counter table).
+    """
+    if hash_fn is None:
+        from .dedup import md5_60bit
+
+        hash_fn = md5_60bit
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1, got {width}x{depth}")
+
+    rows = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("_d")
+    probes = df.select(F.col(item_col).alias("item")).select("item", rows)
+    bucket = F.pmod(
+        hash_fn(F.concat_ws("|", F.col("_d").cast("string"), F.col("item"))),
+        F.lit(width),
+    )
+    counters = (
+        probes.groupBy(F.col("_d"), bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    item_probes = (
+        df.select(F.col(item_col).alias("item"))
+        .distinct()
+        .select("item", rows)
+        .withColumn("_b", bucket)
+    )
+    est = (
+        item_probes.join(F.broadcast(counters), ["_d", "_b"])
+        .groupBy("item")
+        .agg(F.min("_c").alias("est"))
+    )
+    truth = (
+        df.select(F.col(item_col).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(truth, "item").select(
+        "item",
+        F.col("est").cast("long").alias("est"),
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        (F.col("est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )

@@ -420,3 +420,19 @@ def test_triangles_property_vs_bruteforce(spark, edges):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == _brute_triangles(edges)
+
+
+def test_count_min_never_underestimates(spark):
+    from fhir_owl_spark.operators.sketches import count_min_counts
+
+    rng = random.Random(5)
+    rows = [(f"k{rng.randrange(80)}",) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "item string")
+    out = count_min_counts(df, "item", width=32, depth=3).collect()
+    truth = collections.Counter(r[0] for r in rows)
+    assert len(out) == len(truth)
+    for r in out:
+        assert r.true_cnt == truth[r.item]
+        assert r.est >= r.true_cnt  # CMS one-sided error invariant
+    with pytest.raises(ValueError):
+        count_min_counts(df, "item", width=1)
