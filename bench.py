@@ -224,6 +224,44 @@ def main() -> None:
         build_graph(spark, concepts, edges, synonyms, t6, cfg).count()
         upscale["kg_build_6m"] = round(time.perf_counter() - t0, 3)
 
+        # incremental release refresh at the same 6M turns: v2 relabels
+        # ONE concept, so the corpus-scale mention pass re-runs with a
+        # single-code delta dictionary — the cost contrast vs
+        # kg_build_6m IS the operator's value proposition
+        from fhir_owl_spark.plans.refresh import refresh_graph
+
+        v1_path = f"/tmp/fhir_owl_spark_bench/v1_triples_n{n_up}"
+        if not os.path.exists(f"{v1_path}/_SUCCESS"):
+            build_graph(spark, concepts, edges, synonyms, t6, cfg).write.mode(
+                "overwrite"
+            ).parquet(v1_path)
+        v1_triples = spark.read.parquet(v1_path)
+        relabel_iri = (
+            concepts.filter(F.col("label").isNotNull())
+            .agg(F.min("iri"))
+            .first()[0]
+        )
+        concepts2 = concepts.withColumn(
+            "label",
+            F.when(
+                F.col("iri") == relabel_iri, F.concat(F.col("label"), F.lit(" v2"))
+            ).otherwise(F.col("label")),
+        )
+        t0 = time.perf_counter()
+        n_refreshed = refresh_graph(
+            spark, v1_triples, concepts2, edges, synonyms, t6, cfg
+        ).count()
+        upscale["kg_refresh_6m"] = round(time.perf_counter() - t0, 3)
+        # hierarchy/metadata-only release (empty term delta): the corpus
+        # is NOT scanned at all — remaining cost is the ontology-side
+        # rebuild (fixed, corpus-independent) + a columnar v1 re-scan
+        t0 = time.perf_counter()
+        refresh_graph(
+            spark, v1_triples, concepts, edges, synonyms, t6, cfg
+        ).count()
+        upscale["kg_refresh_noop_6m"] = round(time.perf_counter() - t0, 3)
+        upscale["kg_refresh_rows"] = n_refreshed
+
         # 10× the document corpus (sf1-equivalent 50k docs): replicas get
         # distinct ids and a replica marker appended so near-dup structure
         # is preserved without making every replica an exact dup
