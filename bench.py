@@ -230,7 +230,22 @@ def main() -> None:
         # kg_build_6m IS the operator's value proposition
         from fhir_owl_spark.plans.refresh import refresh_graph
 
-        v1_path = f"/tmp/fhir_owl_spark_bench/v1_triples_n{n_up}"
+        # cache keyed by turn count AND code version: the refresh anchor
+        # diffs the CURRENT dictionary against these triples, so a stale
+        # v1 from older code would measure a different workload (the
+        # cross-version twin of the cross-SF cache bug fixed above)
+        try:
+            import subprocess
+
+            _rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.abspath(__file__)
+                ),
+            ).stdout.strip() or "nogit"
+        except Exception:
+            _rev = "nogit"
+        v1_path = f"/tmp/fhir_owl_spark_bench/v1_triples_n{n_up}_{_rev}"
         if not os.path.exists(f"{v1_path}/_SUCCESS"):
             build_graph(spark, concepts, edges, synonyms, t6, cfg).write.mode(
                 "overwrite"

@@ -85,7 +85,14 @@ def count_min_counts(
     rows = F.explode(
         F.array(*[F.lit(d) for d in range(depth)])
     ).alias("_d")
-    probes = df.select(F.col(item_col).alias("item")).select("item", rows)
+    # NULL items are excluded up front: they would pollute the counters
+    # (concat_ws skips nulls, hashing every depth row to the same seed)
+    # yet silently vanish from the null-unsafe estimate join — the
+    # operator's contract is distinct NON-NULL items
+    items = df.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    probes = items.select("item", rows)
     bucket = F.pmod(
         hash_fn(F.concat_ws("|", F.col("_d").cast("string"), F.col("item"))),
         F.lit(width),
@@ -95,8 +102,7 @@ def count_min_counts(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     item_probes = (
-        df.select(F.col(item_col).alias("item"))
-        .distinct()
+        items.distinct()
         .select("item", rows)
         .withColumn("_b", bucket)
     )
@@ -105,11 +111,7 @@ def count_min_counts(
         .groupBy("item")
         .agg(F.min("_c").alias("est"))
     )
-    truth = (
-        df.select(F.col(item_col).alias("item"))
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-    )
+    truth = items.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
     return est.join(truth, "item").select(
         "item",
         F.col("est").cast("long").alias("est"),

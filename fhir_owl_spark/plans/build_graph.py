@@ -36,18 +36,22 @@ from ..schemas import OWL_NOTHING
 KEY_SEP = "\x1f"
 
 
+def triple_key_col() -> "F.Column":
+    """THE canonical triple key expression — shared by the build dedup
+    and the incremental refresh's map-side key recompute so the two can
+    never diverge."""
+    return F.sha2(
+        F.concat_ws(KEY_SEP, F.col("subj"), F.col("pred"), F.coalesce("obj", F.lit(""))),
+        256,
+    )
+
+
 def triples_with_key(triples: DataFrame) -> DataFrame:
     """A5: canonical-key hashing + dedup. dropDuplicates on the SHA256 key
     runs as partial-then-final HashAggregate (map-side combine before the
     shuffle); the hash key is uniformly distributed so the shuffle cannot
     skew."""
-    keyed = triples.withColumn(
-        "key_hash",
-        F.sha2(
-            F.concat_ws(KEY_SEP, F.col("subj"), F.col("pred"), F.coalesce("obj", F.lit(""))),
-            256,
-        ),
-    )
+    keyed = triples.withColumn("key_hash", triple_key_col())
     # Full-row dropDuplicates instead of dropDuplicates([key_hash]): the
     # non-key columns are functions of the key here, and keys-only dedup
     # compiles to HashAggregate (no sort), while subset-dedup would carry

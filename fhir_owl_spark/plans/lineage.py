@@ -78,6 +78,32 @@ def _commit_lineage(spark, output_dir, run_id, chunk, input_rows, output_rows,
     )
 
 
+def write_committed_chunk(
+    spark: SparkSession,
+    output_dir: str,
+    chunk: int,
+    df: DataFrame,
+    input_rows: int,
+    run_id: str,
+) -> int:
+    """Public single-chunk commit: the write_chunk protocol (discard
+    leftovers → pred-partitioned write → schema-read count → lineage
+    append) for callers outside the resumable loop (the CLI's
+    --refresh-from path). Returns the committed row count."""
+    import shutil as _shutil
+
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    chunk_dir = f"{output_dir}/triples/chunk={chunk}"
+    _shutil.rmtree(chunk_dir, ignore_errors=True)
+    df.write.partitionBy("pred").parquet(chunk_dir)
+    n_out = spark.read.schema(TRIPLES).parquet(chunk_dir).count()
+    _commit_lineage(
+        spark, output_dir, run_id, chunk, input_rows, n_out, started,
+        f"{run_id}:{chunk}",
+    )
+    return n_out
+
+
 def build_graph_resumable(
     spark: SparkSession,
     concepts: DataFrame,

@@ -39,7 +39,7 @@ from ..config import PipelineConfig
 from ..operators.dictionary import build_concept_dictionary
 from ..operators.hierarchy import build_hierarchy
 from ..operators.mentions import extract_mentions
-from .build_graph import KEY_SEP, concept_triples, triples_with_key
+from .build_graph import concept_triples, triple_key_col, triples_with_key
 
 TRIPLE_COLS = ("subj", "pred", "obj", "obj_type", "conv_id")
 
@@ -88,6 +88,25 @@ def refresh_graph(
     """
     cfg = cfg or PipelineConfig()
 
+    handled = {
+        "has-display", "imported", "deprecated", "root",
+        "synonym-of", "is-a", "mentions-in",
+    }
+    extra = [
+        r["pred"]
+        for r in old_triples.select("pred").distinct().collect()
+        if r["pred"] not in handled
+    ]
+    if extra:
+        raise ValueError(
+            f"v1 output carries triple families refresh cannot maintain: "
+            f"{sorted(extra)} — e.g. related-to derives from corpus-GLOBAL "
+            "PMI marginals, so a term delta invalidates it; rebuild that "
+            "family as a second pass over the refreshed mentions-in "
+            "partition (operators.graph.pmi_edges), the same deployment "
+            "recipe plans/build_graph.py documents for the chunked path"
+        )
+
     dictionary = build_concept_dictionary(concepts, synonyms, cfg)
     dictionary = dictionary.localCheckpoint(eager=True)
     direct = build_hierarchy(concepts, edges, cfg)
@@ -107,7 +126,8 @@ def refresh_graph(
         .select(*TRIPLE_COLS)
     )
 
-    if affected.count() == 0:
+    n_affected = affected.count()
+    if n_affected == 0:
         # hierarchy-only / metadata-only release: NO corpus scan at all —
         # the refresh cost is the ontology-side rebuild plus a columnar
         # re-scan of the v1 mention partition (the count is free: the
@@ -140,13 +160,10 @@ def refresh_graph(
     # Kept rows get the key column recomputed MAP-SIDE (same expression,
     # no shuffle).
     fresh = triples_with_key(onto.unionByName(new_mentions))
-    kept_keyed = kept_mentions.withColumn(
-        "key_hash",
-        F.sha2(
-            F.concat_ws(
-                KEY_SEP, F.col("subj"), F.col("pred"), F.coalesce("obj", F.lit(""))
-            ),
-            256,
-        ),
-    )
-    return fresh.unionByName(kept_keyed)
+    kept_keyed = kept_mentions.withColumn("key_hash", triple_key_col())
+    out = fresh.unionByName(kept_keyed)
+    # expose the already-computed delta so callers (the CLI summary)
+    # need not recompute the dictionary + diff — the LSH observation
+    # pattern (operators/dedup.py)
+    out._refresh_delta_codes = n_affected
+    return out

@@ -310,14 +310,31 @@ def main(argv=None) -> int:
             )
 
     if args.refresh_from:
-        import datetime as dt
-        import shutil
+        import os as _os
         import uuid
 
-        from fhir_owl_spark.operators.dictionary import build_concept_dictionary
-        from fhir_owl_spark.plans.lineage import _commit_lineage
-        from fhir_owl_spark.plans.refresh import affected_codes, refresh_graph
-        from fhir_owl_spark.schemas import TRIPLES
+        from fhir_owl_spark.plans.lineage import write_committed_chunk
+        from fhir_owl_spark.plans.refresh import refresh_graph
+
+        if args.export_codesystem:
+            raise SystemExit(
+                "--export-codesystem is not supported with --refresh-from; "
+                "export from the full build (the CodeSystem is ontology-"
+                "side only — a refresh never changes what it would export "
+                "beyond what a plain rebuild exports)"
+            )
+        if _os.path.abspath(args.refresh_from) == _os.path.abspath(args.output):
+            raise SystemExit(
+                "--refresh-from must differ from --output: the refresh "
+                "reads v1 LAZILY while writing, so an in-place refresh "
+                "would delete its own input mid-job"
+            )
+        if _os.path.exists(f"{args.output}/_lineage"):
+            raise SystemExit(
+                f"--output {args.output} already holds a committed build; "
+                "refreshing into it would leave stale chunks committed "
+                "alongside the refreshed chunk — use a fresh output dir"
+            )
 
         old_triples = read_triples(spark, args.refresh_from)
         refreshed = refresh_graph(
@@ -327,24 +344,19 @@ def main(argv=None) -> int:
         # (one chunk + a lineage commit row) so read_triples — and a
         # future --refresh-from — read refresh output uniformly
         run_id = args.run_id or uuid.uuid4().hex[:12]
-        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        chunk_dir = f"{args.output}/triples/chunk=0"
-        shutil.rmtree(chunk_dir, ignore_errors=True)
-        refreshed.write.partitionBy("pred").parquet(chunk_dir)
-        n_triples = spark.read.schema(TRIPLES).parquet(chunk_dir).count()
-        _commit_lineage(
-            spark, args.output, run_id, 0, old_triples.count(), n_triples,
-            started, f"{run_id}:refresh",
+        v1_rows = sum(
+            r["output_triples"]
+            for r in read_lineage(spark, args.refresh_from).collect()
         )
-        n_delta = affected_codes(
-            old_triples, build_concept_dictionary(concepts, synonyms, cfg)
-        ).count()
+        n_triples = write_committed_chunk(
+            spark, args.output, 0, refreshed, v1_rows, run_id
+        )
         summary = {
             "run_id": run_id,
             "refreshed_from": args.refresh_from,
             "output": args.output,
             "triples": n_triples,
-            "delta_codes": n_delta,
+            "delta_codes": getattr(refreshed, "_refresh_delta_codes", None),
         }
         print(json.dumps(summary))
         return 0

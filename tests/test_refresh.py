@@ -83,3 +83,29 @@ def test_refresh_hierarchy_only_change(spark, v1_world):
     )
     d2 = build_concept_dictionary(c2, s2, cfg)
     assert affected_codes(v1, d2).count() == 0
+
+
+def test_refresh_rejects_unmaintainable_families(spark, v1_world):
+    """v1 output carrying related-to (corpus-global PMI) must be
+    refused, not silently dropped."""
+    ont, cfg, tdf, v1 = v1_world
+    from pyspark.sql import functions as F
+
+    tainted = v1.unionByName(
+        v1.limit(1).select(
+            F.lit("A").alias("subj"), F.lit("related-to").alias("pred"),
+            F.lit("B").alias("obj"), F.lit("concept").alias("obj_type"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit("x").alias("key_hash"),
+        )
+    )
+    c2, e2, s2 = fx.ontology_dfs(spark, ont)
+    with pytest.raises(ValueError, match="related-to"):
+        refresh_graph(spark, tainted, c2, e2, s2, tdf, cfg)
+
+
+def test_refresh_exposes_delta_count(spark, v1_world):
+    ont, cfg, tdf, v1 = v1_world
+    c2, e2, s2 = fx.ontology_dfs(spark, ont)
+    out = refresh_graph(spark, v1, c2, e2, s2, tdf, cfg)
+    assert out._refresh_delta_codes == 0
