@@ -487,6 +487,21 @@ def q_cms_vocab(spark, sf_dir) -> DataFrame:
     return count_min_counts(words, "item", width=256, depth=3)
 
 
+def q_hll_orders(spark, sf_dir) -> DataFrame:
+    """HyperLogLog distinct customers over orders (operators.sketches.
+    hll_distinct) — the register sketch production engines ship, made
+    REPLAYABLE: registers come from the md5-60bit hash and the harmonic
+    mean is an exact integer rational (one IEEE division), so DuckDB
+    recomputes the identical registers and estimate. sf0.001 (150
+    distinct) exercises the linear-counting branch, sf0.01 (1,500) the
+    raw-estimate branch — both paths cross-engine-checked."""
+    from .operators.sketches import hll_distinct
+
+    orders = _read(spark, sf_dir, "orders")
+    vals = orders.select(F.col("o_custkey").cast("string").alias("cust"))
+    return hll_distinct(vals, "cust", p=8, hash_fn=dedup.md5_60bit)
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1249,8 +1264,9 @@ def q_kmv_vocab(spark, sf_dir) -> DataFrame:
     """KMV bottom-k distinct-count sketch (operators.sketches.
     kmv_distinct) over the corpus vocabulary — the estimate is a
     deterministic function of the md5-60bit hash, so DuckDB recomputes
-    the SAME approximate number bit-for-bit (unlike HLL, whose estimate
-    is engine-internal)."""
+    the SAME approximate number bit-for-bit (unlike Spark's built-in
+    HLL++, whose estimate is engine-internal — see q_hll_orders for
+    this engine's replayable HLL)."""
     from .operators.sketches import kmv_distinct
 
     docs = _read(spark, sf_dir, "documents")
@@ -1801,6 +1817,7 @@ QUERIES = {
     "walk_skipgrams": q_walk_skipgrams,
     "concept_diff": q_concept_diff,
     "cms_vocab": q_cms_vocab,
+    "hll_orders": q_hll_orders,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2191,6 +2208,31 @@ tr AS (SELECT item, count(*) AS true_cnt FROM wx GROUP BY item)
 SELECT est.item, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt,
        CAST(est - true_cnt AS BIGINT) AS overestimate
 FROM est JOIN tr ON est.item = tr.item
+""",
+        "hll_orders": r"""
+WITH v AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s
+           FROM orders WHERE o_custkey IS NOT NULL),
+h AS (SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM v),
+r AS (SELECT h % 256 AS idx,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END AS rho
+      FROM h),
+reg AS (SELECT idx, max(rho) AS mx FROM r GROUP BY idx),
+f AS (SELECT count(*) AS n_regs,
+             coalesce(sum(CAST(1 AS BIGINT) << CAST(40 - least(mx, 40) AS INT)), 0)
+               AS np
+      FROM reg),
+e AS (SELECT 256 - n_regs AS v_empty,
+             5.175699493294551e+16
+               / CAST(np + (256 - n_regs) * 1099511627776 AS DOUBLE) AS raw
+      FROM f)
+SELECT CAST(256 AS BIGINT) AS m,
+       CAST(v_empty AS BIGINT) AS v_empty,
+       round(raw, 4) AS raw_est,
+       round(CASE WHEN raw <= 640.0 AND v_empty > 0
+                  THEN 256.0 * ln(256.0 / v_empty)
+                  ELSE raw END, 4) AS est
+FROM e
 """,
         "setsim_pairs": r"""
 WITH tk AS (SELECT doc_id,

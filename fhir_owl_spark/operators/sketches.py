@@ -1,4 +1,4 @@
-"""Distinct-count sketching: K-minimum-values (KMV / bottom-k).
+"""Distinct-count sketching: KMV (bottom-k), count-min, HyperLogLog.
 
 Spark ships HyperLogLog++ (approx_count_distinct), but its estimate is
 engine-internal — nothing else can reproduce the number, so a contract
@@ -117,4 +117,97 @@ def count_min_counts(
         F.col("est").cast("long").alias("est"),
         F.col("true_cnt").cast("long").alias("true_cnt"),
         (F.col("est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    # Flajolet et al. 2007 bias constants
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+# cap register values at 40 so the harmonic sum Σ 2^-M has an EXACT
+# int64 representation scaled by 2^40 (m·2^40 ≤ 2^56 for p ≤ 16 —
+# no overflow, no float-summation order dependence); rho > 40 needs
+# ~2^40 values per register, so the cap never binds on real data
+_HLL_RHO_CAP = 40
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 8, hash_fn=F.xxhash64
+) -> DataFrame:
+    """One-row HyperLogLog distinct estimate (Flajolet et al. 2007) —
+    the register-based sketch production engines actually ship (Spark's
+    approx_count_distinct IS HLL++, but its registers and estimate are
+    engine-internal; this one is a deterministic function of the data
+    and the hash, so the DuckDB contract oracle replays the identical
+    registers and — on the raw-estimate path — the bit-identical
+    estimate). Completes the sketch trio with KMV (distinct via order
+    statistics) and count-min (frequency).
+
+    Register math over the 60-bit hash: the LOW ``p`` bits pick the
+    register (m = 2^p), the HIGH w = 60−p bits carry the rank
+    rho = (position of the first 1 bit, 1-indexed; w+1 if zero), and
+    each register keeps max(rho). The harmonic mean is computed as an
+    exact integer rational: numer = Σ 2^(CAP−min(M,40)) + V·2^CAP over
+    a 2^CAP denominator, so raw_est = alpha·m²·2^CAP / numer is ONE
+    IEEE division — engine-independent to the last bit. Small-range
+    linear counting (raw ≤ 2.5m and empty registers exist) uses
+    m·ln(m/V); ln is the one libm call, absorbed by 4-decimal rounding
+    (≤ 1 ulp across libms at these magnitudes). Large-range correction
+    is intentionally absent: it exists for 32-bit hash saturation and
+    a 60-bit space never gets there.
+
+    Scale shape: map-side (register, rho) projection → ONE m-row
+    combiner-backed hash aggregate (the shuffle carries at most m rows
+    per task — sketch-sized, not data-sized, the reason HLL beats
+    KMV's global bottom-k sort at scale) → a 1-row fold. Standard
+    error ≈ 1.04/sqrt(m). NULLs are excluded (same contract as
+    count_min_counts).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w = 60 - p
+    alpha_scaled = _hll_alpha(m) * float(m) * float(m) * float(1 << _HLL_RHO_CAP)
+
+    h = _hash60(F.col(col), hash_fn)
+    idx = F.pmod(h, F.lit(m))
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(idx.alias("_r"), rho.alias("_rho"))
+        .groupBy("_r")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST({_HLL_RHO_CAP} - least(_m, {_HLL_RHO_CAP}) AS INT))"
+    )
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("_n_regs"),
+        F.sum(term).alias("_numer_present"),
+    )
+    v_empty = F.lit(m) - F.col("_n_regs")
+    numer = F.coalesce(F.col("_numer_present"), F.lit(0)) + v_empty * F.lit(
+        1 << _HLL_RHO_CAP
+    )
+    raw = F.lit(alpha_scaled) / numer.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return folded.select(
+        F.lit(m).cast("long").alias("m"),
+        v_empty.cast("long").alias("v_empty"),
+        F.round(raw, 4).alias("raw_est"),
+        F.round(est, 4).alias("est"),
     )

@@ -743,6 +743,80 @@ class TestSketches:
         row = kmv_distinct(df, "v", k=64).collect()[0]
         assert (row["n_sketch"], row["distinct_est"]) == (10, 10)
 
+    @staticmethod
+    def _hll_model(values, p):
+        """Independent pure-Python HLL over the md5-60bit hash — the
+        same register math the operator documents, written from the
+        paper, not from the Column code."""
+        import hashlib
+        import math
+
+        from fhir_owl_spark.operators.sketches import _hll_alpha
+
+        m, w, cap = 1 << p, 60 - p, 40
+        regs: dict = {}
+        for v in values:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            idx = h % m
+            rest = h >> p
+            rho = (w + 1) if rest == 0 else (w + 1 - rest.bit_length())
+            regs[idx] = max(regs.get(idx, 0), rho)
+        v_empty = m - len(regs)
+        numer = sum(
+            1 << (cap - min(mm, cap)) for mm in regs.values()
+        ) + v_empty * (1 << cap)
+        raw = _hll_alpha(m) * m * m * float(1 << cap) / numer
+        est = (
+            m * math.log(m / v_empty)
+            if (raw <= 2.5 * m and v_empty > 0)
+            else raw
+        )
+        return (m, v_empty, round(raw, 4), round(est, 4))
+
+    def test_hll_matches_python_model_raw_path(self, spark):
+        from fhir_owl_spark.operators.dedup import md5_60bit
+        from fhir_owl_spark.operators.sketches import hll_distinct
+
+        n = 5_000  # >> 2.5·m → raw-estimate (bit-exact rational) path
+        df = spark.range(n).selectExpr("concat('val', id) AS v")
+        row = hll_distinct(df, "v", p=8, hash_fn=md5_60bit).collect()[0]
+        got = (row["m"], row["v_empty"], row["raw_est"], row["est"])
+        want = self._hll_model([f"val{i}" for i in range(n)], p=8)
+        assert got == want
+        assert row["est"] == row["raw_est"]  # LC must NOT fire here
+        # standard error ≈ 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+        assert abs(row["est"] - n) / n < 0.26
+
+    def test_hll_linear_counting_path_and_invariances(self, spark):
+        from fhir_owl_spark.operators.dedup import md5_60bit
+        from fhir_owl_spark.operators.sketches import hll_distinct
+
+        n = 120  # << 2.5·m with empty registers → linear counting
+        df = spark.range(n).selectExpr("concat('v', id) AS v")
+        row = hll_distinct(df, "v", p=8, hash_fn=md5_60bit).collect()[0]
+        want = self._hll_model([f"v{i}" for i in range(n)], p=8)
+        assert (row["m"], row["v_empty"], row["raw_est"], row["est"]) == want
+        assert row["est"] != row["raw_est"]  # LC fired
+        # LC is near-exact at this load factor
+        assert abs(row["est"] - n) / n < 0.1
+        # duplicates and NULLs must not move a single register
+        noisy = df.union(df).union(
+            spark.sql("SELECT CAST(NULL AS STRING) AS v")
+        )
+        row2 = hll_distinct(noisy, "v", p=8, hash_fn=md5_60bit).collect()[0]
+        assert row2 == row
+
+    def test_hll_rejects_bad_precision(self, spark):
+        import pytest as _pytest
+
+        from fhir_owl_spark.operators.sketches import hll_distinct
+
+        df = spark.range(3).selectExpr("concat('v', id) AS v")
+        with _pytest.raises(ValueError):
+            hll_distinct(df, "v", p=3)
+        with _pytest.raises(ValueError):
+            hll_distinct(df, "v", p=17)
+
 
 class TestPageRank:
     def test_mass_conservation_and_ordering(self, spark):
