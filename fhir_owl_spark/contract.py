@@ -502,6 +502,24 @@ def q_hll_orders(spark, sf_dir) -> DataFrame:
     return hll_distinct(vals, "cust", p=8, hash_fn=dedup.md5_60bit)
 
 
+def q_hll_users_by_type(spark, sf_dir) -> DataFrame:
+    """Per-key HyperLogLog (operators.sketches.hll_distinct_by):
+    approx distinct users per event type — the production GROUP-BY
+    sketch shape where the shuffle carries at most m register rows per
+    key instead of every (key, user) pair. p=4 (m=16) so BOTH estimator
+    branches run per group: raw at sf0.01 (150 users/type > 2.5m=40),
+    linear counting at sf0.001 (15 users/type)."""
+    from .operators.sketches import hll_distinct_by
+
+    events = _read(spark, sf_dir, "events")
+    vals = events.select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    return hll_distinct_by(
+        vals, "u", ("event_type",), p=4, hash_fn=dedup.md5_60bit
+    )
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1818,6 +1836,7 @@ QUERIES = {
     "concept_diff": q_concept_diff,
     "cms_vocab": q_cms_vocab,
     "hll_orders": q_hll_orders,
+    "hll_users_by_type": q_hll_users_by_type,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2231,6 +2250,33 @@ SELECT CAST(256 AS BIGINT) AS m,
        round(raw, 4) AS raw_est,
        round(CASE WHEN raw <= 640.0 AND v_empty > 0
                   THEN 256.0 * ln(256.0 / v_empty)
+                  ELSE raw END, 4) AS est
+FROM e
+""",
+        "hll_users_by_type": r"""
+WITH v AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s
+           FROM events WHERE user_id IS NOT NULL),
+h AS (SELECT event_type,
+             CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM v),
+r AS (SELECT event_type, h % 16 AS idx,
+             CASE WHEN (h >> 4) = 0 THEN 57
+                  ELSE 57 - length(bin(h >> 4)) END AS rho
+      FROM h),
+reg AS (SELECT event_type, idx, max(rho) AS mx FROM r GROUP BY event_type, idx),
+f AS (SELECT event_type, count(*) AS n_regs,
+             coalesce(sum(CAST(1 AS BIGINT) << CAST(40 - least(mx, 40) AS INT)), 0)
+               AS np
+      FROM reg GROUP BY event_type),
+e AS (SELECT event_type, 16 - n_regs AS v_empty,
+             189432659326271.5
+               / CAST(np + (16 - n_regs) * 1099511627776 AS DOUBLE) AS raw
+      FROM f)
+SELECT event_type,
+       CAST(16 AS BIGINT) AS m,
+       CAST(v_empty AS BIGINT) AS v_empty,
+       round(raw, 4) AS raw_est,
+       round(CASE WHEN raw <= 40.0 AND v_empty > 0
+                  THEN 16.0 * ln(16.0 / v_empty)
                   ELSE raw END, 4) AS est
 FROM e
 """,

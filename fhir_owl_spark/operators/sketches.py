@@ -138,6 +138,50 @@ def _hll_alpha(m: int) -> float:
 _HLL_RHO_CAP = 40
 
 
+def _hll_register_cols(col: str, p: int, hash_fn):
+    """(register index, rho) Column pair over the 60-bit hash: LOW p
+    bits pick the register, the HIGH w = 60-p bits carry
+    rho = position of the first 1 bit (1-indexed; w+1 if all zero)."""
+    w = 60 - p
+    h = _hash60(F.col(col), hash_fn)
+    idx = F.pmod(h, F.lit(1 << p))
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest))
+    )
+    return idx, rho
+
+
+def _hll_estimate_cols(m: int):
+    """Estimate Columns over the folded (_n_regs, _numer_present) pair.
+    The harmonic sum is the exact integer rational numer / 2^CAP, so
+    raw = alpha·m²·2^CAP / numer is ONE IEEE division; linear counting
+    (raw ≤ 2.5m with empty registers) is the one libm ln, absorbed by
+    4-decimal rounding."""
+    alpha_scaled = _hll_alpha(m) * float(m) * float(m) * float(1 << _HLL_RHO_CAP)
+    v_empty = F.lit(m) - F.col("_n_regs")
+    numer = F.coalesce(F.col("_numer_present"), F.lit(0)) + v_empty * F.lit(
+        1 << _HLL_RHO_CAP
+    )
+    raw = F.lit(alpha_scaled) / numer.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return [
+        F.lit(m).cast("long").alias("m"),
+        v_empty.cast("long").alias("v_empty"),
+        F.round(raw, 4).alias("raw_est"),
+        F.round(est, 4).alias("est"),
+    ]
+
+
+_HLL_TERM_SQL = (
+    "shiftleft(CAST(1 AS BIGINT), "
+    f"CAST({_HLL_RHO_CAP} - least(_m, {_HLL_RHO_CAP}) AS INT))"
+)
+
+
 def hll_distinct(
     df: DataFrame, col: str, p: int = 8, hash_fn=F.xxhash64
 ) -> DataFrame:
@@ -150,18 +194,11 @@ def hll_distinct(
     estimate). Completes the sketch trio with KMV (distinct via order
     statistics) and count-min (frequency).
 
-    Register math over the 60-bit hash: the LOW ``p`` bits pick the
-    register (m = 2^p), the HIGH w = 60−p bits carry the rank
-    rho = (position of the first 1 bit, 1-indexed; w+1 if zero), and
-    each register keeps max(rho). The harmonic mean is computed as an
-    exact integer rational: numer = Σ 2^(CAP−min(M,40)) + V·2^CAP over
-    a 2^CAP denominator, so raw_est = alpha·m²·2^CAP / numer is ONE
-    IEEE division — engine-independent to the last bit. Small-range
-    linear counting (raw ≤ 2.5m and empty registers exist) uses
-    m·ln(m/V); ln is the one libm call, absorbed by 4-decimal rounding
-    (≤ 1 ulp across libms at these magnitudes). Large-range correction
-    is intentionally absent: it exists for 32-bit hash saturation and
-    a 60-bit space never gets there.
+    Register math and estimator: see _hll_register_cols /
+    _hll_estimate_cols. Large-range correction is intentionally
+    absent: it exists for 32-bit hash saturation and a 60-bit space
+    never gets there. An EMPTY input estimates 0 (all registers empty
+    → linear counting of a full register file), it does not error.
 
     Scale shape: map-side (register, rho) projection → ONE m-row
     combiner-backed hash aggregate (the shuffle carries at most m rows
@@ -170,44 +207,43 @@ def hll_distinct(
     error ≈ 1.04/sqrt(m). NULLs are excluded (same contract as
     count_min_counts).
     """
+    return hll_distinct_by(df, col, (), p=p, hash_fn=hash_fn)
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    col: str,
+    key_cols,
+    p: int = 8,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Per-key HyperLogLog: approx distinct ``col`` per ``key_cols``
+    group — the production GROUP-BY shape (distinct users per event
+    type, distinct domains per language) where exact countDistinct
+    shuffles every (key, value) pair. Here the shuffle carries at most
+    m rows PER KEY (the register file), and the register aggregation
+    is mergeable by construction — the same max-fold that merges
+    partial register files across partitions merges sketches across
+    time windows or table partitions.
+
+    Output: key columns + (m, v_empty, raw_est, est) per key. Keys with
+    only-NULL values vanish (no registers), matching countDistinct's
+    treatment of empty groups under a WHERE. With ``key_cols=()`` this
+    is exactly ``hll_distinct``.
+    """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
-    w = 60 - p
-    alpha_scaled = _hll_alpha(m) * float(m) * float(m) * float(1 << _HLL_RHO_CAP)
-
-    h = _hash60(F.col(col), hash_fn)
-    idx = F.pmod(h, F.lit(m))
-    rest = F.shiftright(h, p)
-    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
-        F.lit(w + 1) - F.length(F.bin(rest))
-    )
+    keys = list(key_cols)
+    idx, rho = _hll_register_cols(col, p, hash_fn)
     regs = (
         df.filter(F.col(col).isNotNull())
-        .select(idx.alias("_r"), rho.alias("_rho"))
-        .groupBy("_r")
+        .select(*[F.col(k) for k in keys], idx.alias("_r"), rho.alias("_rho"))
+        .groupBy(*keys, "_r")
         .agg(F.max("_rho").alias("_m"))
     )
-    term = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), "
-        f"CAST({_HLL_RHO_CAP} - least(_m, {_HLL_RHO_CAP}) AS INT))"
-    )
-    folded = regs.agg(
+    folded = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n_regs"),
-        F.sum(term).alias("_numer_present"),
+        F.sum(F.expr(_HLL_TERM_SQL)).alias("_numer_present"),
     )
-    v_empty = F.lit(m) - F.col("_n_regs")
-    numer = F.coalesce(F.col("_numer_present"), F.lit(0)) + v_empty * F.lit(
-        1 << _HLL_RHO_CAP
-    )
-    raw = F.lit(alpha_scaled) / numer.cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
-    ).otherwise(raw)
-    return folded.select(
-        F.lit(m).cast("long").alias("m"),
-        v_empty.cast("long").alias("v_empty"),
-        F.round(raw, 4).alias("raw_est"),
-        F.round(est, 4).alias("est"),
-    )
+    return folded.select(*[F.col(k) for k in keys], *_hll_estimate_cols(m))

@@ -806,6 +806,42 @@ class TestSketches:
         row2 = hll_distinct(noisy, "v", p=8, hash_fn=md5_60bit).collect()[0]
         assert row2 == row
 
+    def test_hll_by_key_matches_per_group_model(self, spark):
+        from fhir_owl_spark.operators.dedup import md5_60bit
+        from fhir_owl_spark.operators.sketches import (
+            hll_distinct,
+            hll_distinct_by,
+        )
+
+        # group a: 600 values (raw path at p=6), group b: 9 (LC path)
+        df = spark.createDataFrame(
+            [("a", f"x{i}") for i in range(600)]
+            + [("b", f"y{i}") for i in range(9)],
+            ["g", "v"],
+        )
+        rows = {
+            r["g"]: (r["m"], r["v_empty"], r["raw_est"], r["est"])
+            for r in hll_distinct_by(
+                df, "v", ("g",), p=6, hash_fn=md5_60bit
+            ).collect()
+        }
+        assert rows["a"] == self._hll_model([f"x{i}" for i in range(600)], p=6)
+        assert rows["b"] == self._hll_model([f"y{i}" for i in range(9)], p=6)
+        # per-group must equal the single-group sketch of the slice
+        solo = hll_distinct(
+            df.filter("g = 'a'"), "v", p=6, hash_fn=md5_60bit
+        ).collect()[0]
+        assert rows["a"] == (
+            solo["m"], solo["v_empty"], solo["raw_est"], solo["est"]
+        )
+
+    def test_hll_empty_input_estimates_zero(self, spark):
+        from fhir_owl_spark.operators.sketches import hll_distinct
+
+        df = spark.sql("SELECT CAST(NULL AS STRING) AS v").filter("v IS NOT NULL")
+        row = hll_distinct(df, "v", p=8).collect()[0]
+        assert (row["v_empty"], row["est"]) == (256, 0.0)
+
     def test_hll_rejects_bad_precision(self, spark):
         import pytest as _pytest
 
