@@ -520,6 +520,30 @@ def q_hll_users_by_type(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_kmv_overlap_docs(spark, sf_dir) -> DataFrame:
+    """Two-corpus distinct-overlap estimation (operators.sketches.
+    kmv_overlap): shared 3-word-shingles between the even-doc_id and
+    odd-doc_id halves of the corpus, estimated from ONE merged bottom-k
+    sketch (Broder min-wise resemblance) — the "how much of the new
+    crawl is already in the corpus" curation question WITHOUT joining
+    the corpora. Every output number is floor/round of IEEE ops over
+    exact integers, so DuckDB replays the sketch bit-for-bit."""
+    from .operators.sketches import kmv_overlap
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(dedup.word_shingles_col("text", 3))
+        ).alias("s"),
+    )
+    a = sh.filter(F.col("doc_id") % 2 == 0).select("s")
+    b = sh.filter(F.col("doc_id") % 2 == 1).select("s")
+    return kmv_overlap(a, b, "s", k=128, hash_fn=dedup.md5_60bit)
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1837,6 +1861,7 @@ QUERIES = {
     "cms_vocab": q_cms_vocab,
     "hll_orders": q_hll_orders,
     "hll_users_by_type": q_hll_users_by_type,
+    "kmv_overlap_docs": q_kmv_overlap_docs,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2278,6 +2303,32 @@ SELECT event_type,
        round(CASE WHEN raw <= 40.0 AND v_empty > 0
                   THEN 16.0 * ln(16.0 / v_empty)
                   ELSE raw END, 4) AS est
+FROM e
+""",
+        "kmv_overlap_docs": f"""
+WITH {_oracle_shingles_cte()},
+ash AS (SELECT DISTINCT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM (SELECT unnest(sset) AS s FROM sh WHERE doc_id % 2 = 0)),
+bsh AS (SELECT DISTINCT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+        FROM (SELECT unnest(sset) AS s FROM sh WHERE doc_id % 2 = 1)),
+u AS (SELECT coalesce(ash.h, bsh.h) AS h,
+             (ash.h IS NOT NULL) AS ina, (bsh.h IS NOT NULL) AS inb
+      FROM ash FULL JOIN bsh ON ash.h = bsh.h),
+kk AS (SELECT * FROM u ORDER BY h LIMIT 128),
+f AS (SELECT count(*) AS n_sketch, max(h) AS kth,
+             coalesce(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0) AS in_both
+      FROM kk),
+e AS (SELECT n_sketch, in_both,
+             CASE WHEN n_sketch < 128 THEN CAST(n_sketch AS DOUBLE)
+                  ELSE floor(127.0 * 1152921504606846976.0 / kth) END AS union_est,
+             in_both / CAST(n_sketch AS DOUBLE) AS jacc
+      FROM f)
+SELECT CAST(n_sketch AS BIGINT) AS n_sketch,
+       CAST(in_both AS BIGINT) AS in_both,
+       CAST(union_est AS BIGINT) AS union_est,
+       round(jacc, 6) AS jaccard_est,
+       CAST(CASE WHEN n_sketch < 128 THEN in_both
+                 ELSE floor(jacc * union_est) END AS BIGINT) AS overlap_est
 FROM e
 """,
         "setsim_pairs": r"""

@@ -247,3 +247,76 @@ def hll_distinct_by(
         F.sum(F.expr(_HLL_TERM_SQL)).alias("_numer_present"),
     )
     return folded.select(*[F.col(k) for k in keys], *_hll_estimate_cols(m))
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 256,
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Distinct-overlap estimation between two corpora from ONE merged
+    bottom-k sketch (Broder 1997's min-wise resemblance, in KMV form):
+    the k smallest distinct hashes of A ∪ B are a uniform sample of the
+    union's distinct values, so the fraction of them present in BOTH
+    sides estimates Jaccard, and overlap_est = jaccard_est · union_est
+    answers the curation question "how many distinct items do these two
+    corpora share?" (vocabulary / shingle / URL overlap between a new
+    crawl and the existing corpus) without ever joining the corpora.
+
+    Output row: (n_sketch, in_both, union_est, jaccard_est,
+    overlap_est). Exact when the union has fewer than k distinct values
+    (the sketch IS the union). Every estimate is a deterministic
+    function of the data and the hash — floor/round of one or two IEEE
+    ops over exact integers — so the DuckDB oracle reproduces each
+    number bit-for-bit. Standard error on jaccard ≈ sqrt(J(1−J)/k).
+
+    Scale shape: each side is a map-side hash projection with a
+    membership flag; ONE hash-keyed aggregate OR-merges the flags
+    (8-byte keys, map-side combine); TakeOrderedAndProject keeps the
+    global bottom-k (per-partition heads merged on the driver); a
+    1-row fold computes the estimates. NULLs excluded on both sides.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def _side(df: DataFrame, a: int, b: int) -> DataFrame:
+        return df.filter(F.col(col).isNotNull()).select(
+            _hash60(F.col(col), hash_fn).alias("h"),
+            F.lit(a).alias("_a"),
+            F.lit(b).alias("_b"),
+        )
+
+    marked = (
+        _side(df_a, 1, 0)
+        .unionByName(_side(df_b, 0, 1))
+        .groupBy("h")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+    )
+    bottom = marked.orderBy("h").limit(k)
+    agg = bottom.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("_kth"),
+        F.sum(F.col("_a") * F.col("_b")).alias("in_both"),
+    )
+    union_est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.floor(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("_kth")))
+    jacc = F.when(
+        F.col("n_sketch") > 0,
+        F.col("in_both") / F.col("n_sketch").cast("double"),
+    )
+    # below saturation the sketch IS the union, so in_both IS the exact
+    # overlap — return it directly rather than floor(jacc·union), whose
+    # FP round-trip can lose 1 on exact ratios (e.g. floor((3/13)·13))
+    overlap = F.when(
+        F.col("n_sketch") < k, F.coalesce(F.col("in_both"), F.lit(0))
+    ).otherwise(F.floor(jacc * union_est))
+    return agg.select(
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.coalesce(F.col("in_both"), F.lit(0)).cast("long").alias("in_both"),
+        union_est.cast("long").alias("union_est"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        overlap.cast("long").alias("overlap_est"),
+    )

@@ -806,6 +806,47 @@ class TestSketches:
         row2 = hll_distinct(noisy, "v", p=8, hash_fn=md5_60bit).collect()[0]
         assert row2 == row
 
+    def test_kmv_overlap_exact_below_saturation(self, spark):
+        from fhir_owl_spark.operators.sketches import kmv_overlap
+
+        a = spark.createDataFrame([(f"x{i}",) for i in range(10)], ["v"])
+        b = spark.createDataFrame([(f"x{i}",) for i in range(7, 13)], ["v"])
+        row = kmv_overlap(a, b, "v", k=64).collect()[0]
+        # union 13 < k: the sketch IS the union — everything exact
+        assert (
+            row["n_sketch"], row["in_both"], row["union_est"], row["overlap_est"]
+        ) == (13, 3, 13, 3)
+        assert row["jaccard_est"] == round(3 / 13, 6)
+
+    def test_kmv_overlap_matches_python_model_when_saturated(self, spark):
+        import hashlib
+
+        from fhir_owl_spark.operators.dedup import md5_60bit
+        from fhir_owl_spark.operators.sketches import kmv_overlap
+
+        k = 256
+        a_vals = [f"x{i}" for i in range(1000)]
+        b_vals = [f"x{i}" for i in range(500, 1500)]  # J = 500/1500 = 1/3
+        a = spark.createDataFrame([(v,) for v in a_vals], ["v"])
+        b = spark.createDataFrame([(v,) for v in b_vals], ["v"])
+        row = kmv_overlap(a, b, "v", k=k, hash_fn=md5_60bit).collect()[0]
+
+        # independent replay: merged bottom-k over the md5-60bit hash
+        h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)  # noqa: E731
+        sa, sb = {h(v) for v in a_vals}, {h(v) for v in b_vals}
+        bottom = sorted(sa | sb)[:k]
+        in_both = sum(1 for x in bottom if x in sa and x in sb)
+        union_est = int((k - 1) * float(1 << 60) / bottom[-1])
+        jacc = in_both / k
+        assert row["n_sketch"] == k
+        assert row["in_both"] == in_both
+        assert row["union_est"] == union_est
+        assert row["jaccard_est"] == round(jacc, 6)
+        assert row["overlap_est"] == int(jacc * union_est)
+        # sanity: the estimates are near the truth (4 sigma on J≈1/3)
+        assert abs(row["jaccard_est"] - 1 / 3) < 0.12
+        assert abs(row["overlap_est"] - 500) / 500 < 0.5
+
     def test_hll_by_key_matches_per_group_model(self, spark):
         from fhir_owl_spark.operators.dedup import md5_60bit
         from fhir_owl_spark.operators.sketches import (
