@@ -544,6 +544,29 @@ def q_kmv_overlap_docs(spark, sf_dir) -> DataFrame:
     return kmv_overlap(a, b, "s", k=128, hash_fn=dedup.md5_60bit)
 
 
+def q_length_quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Per-source histogram quantile sketch (operators.sketches.
+    histogram_quantiles): p50/p90/p99 of document char length per
+    source from a fixed-width 64-bin histogram over [0, 1024) — the
+    MERGEABLE counterpart of length_percentiles' exact quantiles (bin
+    counts add across shards/days; the shuffle carries <= 64 counter
+    rows per key). Estimate = upper edge of the first bin whose
+    cumulative count reaches ceil(n*p/100); all-integer arithmetic, so
+    DuckDB replays every number bit-for-bit. Completes the sketch
+    family: KMV (distincts), HLL (registers), count-min (frequencies),
+    histogram (quantiles)."""
+    from .operators.sketches import histogram_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    lengths = docs.select(
+        "source", F.length(F.coalesce("text", F.lit(""))).alias("len")
+    )
+    return histogram_quantiles(
+        lengths, "len", percents=(50, 90, 99), lo=0, hi=1024, bins=64,
+        by=("source",),
+    )
+
+
 def q_setsim_pairs(spark, sf_dir) -> DataFrame:
     """EXACT token-set similarity self-join (operators.setsim.
     setsim_join): every pair with Jaccard >= 0.9 via prefix filtering —
@@ -1862,6 +1885,7 @@ QUERIES = {
     "hll_orders": q_hll_orders,
     "hll_users_by_type": q_hll_users_by_type,
     "kmv_overlap_docs": q_kmv_overlap_docs,
+    "length_quantile_sketch": q_length_quantile_sketch,
     "setsim_pairs": q_setsim_pairs,
     "burst_events": q_burst_events,
     "contamination_scores": q_contamination_scores,
@@ -2303,6 +2327,24 @@ SELECT event_type,
        round(CASE WHEN raw <= 40.0 AND v_empty > 0
                   THEN 16.0 * ln(16.0 / v_empty)
                   ELSE raw END, 4) AS est
+FROM e
+""",
+        "length_quantile_sketch": r"""
+WITH x AS (SELECT source, least(1023, length(coalesce(text, ''))) AS v
+           FROM documents),
+sk AS (SELECT source, v // 16 AS bin, count(*) AS c FROM x GROUP BY source, bin),
+cum AS (SELECT source, bin, sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum
+        FROM sk),
+tot AS (SELECT source, sum(c) AS n_rows FROM sk GROUP BY source),
+p AS (SELECT unnest([50, 90, 99]) AS p),
+r AS (SELECT source, p, n_rows, (n_rows * p + 99) // 100 AS target_rank
+      FROM tot, p),
+e AS (SELECT r.source, r.p, r.n_rows, r.target_rank, min(cum.bin) AS bin
+      FROM r JOIN cum ON cum.source = r.source AND cum.cum >= r.target_rank
+      GROUP BY 1, 2, 3, 4)
+SELECT source, CAST(p AS BIGINT) AS p, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(least(1024, (bin + 1) * 16) AS BIGINT) AS est
 FROM e
 """,
         "kmv_overlap_docs": f"""

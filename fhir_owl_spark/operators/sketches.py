@@ -320,3 +320,93 @@ def kmv_overlap(
         F.round(jacc, 6).alias("jaccard_est"),
         overlap.cast("long").alias("overlap_est"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    percents=(50, 90, 99),
+    lo: int = 0,
+    hi: int = 1024,
+    bins: int = 64,
+    by=(),
+) -> DataFrame:
+    """Fixed-width histogram quantile sketch — the mergeable distributed
+    percentile the exact form (`length_percentiles`' percentile_approx /
+    DuckDB quantile) cannot give you at 100 TB without a full sort:
+    values are binned into ``bins`` equal-width buckets over [lo, hi)
+    (outliers clamp into the edge bins), the per-bin counts ARE the
+    sketch (mergeable by addition — a GROUP BY over shards or days sums
+    to the corpus sketch), and the p-th percentile estimate is the UPPER
+    edge of the first bin whose cumulative count reaches
+    ceil(n·p/100). Guaranteed one-sided error ≤ one bin width
+    (width = (hi-lo)/bins) on clamped data; every output number is
+    integer arithmetic, so any engine replays it bit-for-bit.
+
+    ``by`` gives the GROUP-BY form: one sketch per key, the shuffle
+    carrying at most ``bins`` counter rows per key instead of every
+    value (same scale shape as hll_distinct_by).
+
+    Output rows: (*by, p, n_rows, target_rank, est) — one per key ×
+    percent; est is clamped to [lo+width, hi]. NULL values excluded.
+
+    Scale shape: ONE map-side-combinable hash aggregate on (*by, bin)
+    (≤ |keys|·bins distinct groups) is the only data-scale operation;
+    the cumulative-sum window, totals, and rank probe all run at sketch
+    size (like kmv_distinct's bottom-k fold).
+    """
+    if hi <= lo:
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi})")
+    if bins < 1 or (hi - lo) % bins != 0:
+        raise ValueError(
+            f"bins must divide hi-lo exactly, got {bins} over {hi - lo}"
+        )
+    width = (hi - lo) // bins
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    for p in percents:
+        if int(p) != p or not 1 <= p <= 100:
+            raise ValueError(f"percents must be integers in [1, 100], got {p}")
+
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("long")
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi - 1), v))
+    bin_idx = F.floor((clamped - F.lit(lo)) / F.lit(width)).cast("long")
+    sketch = (
+        df.filter(v.isNotNull())
+        .groupBy(*by, bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.select(*by, "bin", F.sum("c").over(w).alias("cum")).alias("cum")
+    totals = sketch.groupBy(*by).agg(F.sum("c").alias("n_rows"))
+    pcts = df.sparkSession.createDataFrame(
+        [(int(p),) for p in percents], "p bigint"
+    )
+    ranks = (
+        totals.crossJoin(F.broadcast(pcts))
+        .withColumn("target_rank", F.expr("(n_rows * p + 99) div 100"))
+        .alias("rk")
+    )
+    cond = F.col("cum.cum") >= F.col("rk.target_rank")
+    for k in by:
+        cond = cond & (F.col(f"cum.{k}") == F.col(f"rk.{k}"))
+    est = F.least(
+        F.lit(hi), F.lit(lo) + (F.col("_bin") + F.lit(1)) * F.lit(width)
+    ).cast("long")
+    return (
+        ranks.join(cum, cond)
+        .groupBy(
+            *[F.col(f"rk.{k}").alias(k) for k in by],
+            F.col("rk.p").alias("p"),
+            F.col("rk.n_rows").alias("n_rows"),
+            F.col("rk.target_rank").alias("target_rank"),
+        )
+        .agg(F.min("cum.bin").alias("_bin"))
+        .select(*by, "p", "n_rows", "target_rank", est.alias("est"))
+    )

@@ -895,6 +895,88 @@ class TestSketches:
             hll_distinct(df, "v", p=17)
 
 
+class TestHistogramQuantiles:
+    @staticmethod
+    def _model(vals, p, lo=0, hi=1024, bins=64):
+        from collections import Counter
+
+        width = (hi - lo) // bins
+        counts = Counter((max(lo, min(hi - 1, v)) - lo) // width for v in vals)
+        n = len(vals)
+        rk = (n * p + 99) // 100
+        cum = 0
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= rk:
+                return (n, rk, min(hi, lo + (b + 1) * width))
+
+    def test_matches_model_with_clamping(self, spark):
+        import random
+
+        from fhir_owl_spark.operators.sketches import histogram_quantiles
+
+        random.seed(7)
+        vals = [random.randint(0, 1200) for _ in range(5000)]  # >hi clamps
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        rows = {
+            r["p"]: (r["n_rows"], r["target_rank"], r["est"])
+            for r in histogram_quantiles(df, "v", (50, 90, 99)).collect()
+        }
+        for p in (50, 90, 99):
+            assert rows[p] == self._model(vals, p)
+            # one-bin-width guarantee vs the true clamped percentile
+            true_q = sorted(min(1023, v) for v in vals)[rows[p][1] - 1]
+            assert true_q <= rows[p][2] <= true_q + 16
+
+    def test_by_key_equals_per_slice_global(self, spark):
+        from fhir_owl_spark.operators.sketches import histogram_quantiles
+
+        vals = [(g, 31 * i % 700) for i in range(400) for g in ("a", "b")
+                if (g == "a") == (i % 3 == 0)]
+        df = spark.createDataFrame(vals, ["g", "v"])
+        by = {
+            (r["g"], r["p"]): (r["n_rows"], r["target_rank"], r["est"])
+            for r in histogram_quantiles(df, "v", (50, 99), by=("g",)).collect()
+        }
+        for g in ("a", "b"):
+            slice_vals = [v for k, v in vals if k == g]
+            for p in (50, 99):
+                assert by[(g, p)] == self._model(slice_vals, p)
+
+    def test_nulls_excluded_and_exact_when_narrow(self, spark):
+        from fhir_owl_spark.operators.sketches import histogram_quantiles
+
+        # width=1 bins: the sketch IS the exact distribution
+        df = spark.createDataFrame(
+            [(v,) for v in (3, 1, 4, 1, 5, 9, 2, 6)] + [(None,)], ["v"]
+        )
+        rows = {
+            r["p"]: r["est"]
+            for r in histogram_quantiles(
+                df, "v", (50, 100), lo=0, hi=16, bins=16
+            ).collect()
+        }
+        # est is the bin UPPER edge = value+1 at width 1
+        assert rows[50] == 3 + 1 and rows[100] == 9 + 1
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from fhir_owl_spark.operators.sketches import histogram_quantiles
+
+        df = spark.range(3).selectExpr("id AS v")
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "v", (50,), lo=10, hi=10)
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "v", (50,), lo=0, hi=100, bins=7)
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "v", ())
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "v", (0,))
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "v", (50.5,))
+
+
 class TestPageRank:
     def test_mass_conservation_and_ordering(self, spark):
         from fhir_owl_spark.operators.graph import pagerank
