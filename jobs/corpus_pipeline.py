@@ -51,6 +51,8 @@ Transcript-shaped inputs (conv_id, turn_idx, role, text, tool, ts):
   triangles   per-vertex triangle counts over an edge table
   walks       deterministic DeepWalk random walks over an edge table
               (--skipgrams WINDOW emits the training-pair extraction)
+  quantiles   mergeable histogram quantile sketch of a numeric column
+              (default: text length; --key-cols gives per-key sketches)
 
 Every stage is the library operator documented in COVERAGE.md — this CLI
 only wires io. One JSON status line is printed on success.
@@ -297,6 +299,20 @@ def parse_args(argv=None):
     wk.add_argument("--skipgrams", type=int, default=None, metavar="WINDOW",
                     help="emit (item_a, item_b, n_cooc, n_groups) skip-gram "
                          "pairs within WINDOW steps instead of raw walks")
+
+    qs = sub.add_parser("quantiles",
+                        help="mergeable histogram quantile sketch of a "
+                             "numeric column (per key with --key-cols)")
+    common(qs)
+    qs.add_argument("--value-col", default=None,
+                    help="numeric column; default: length of --text-col")
+    qs.add_argument("--key-cols", default="",
+                    help="comma-separated GROUP-BY key columns (optional)")
+    qs.add_argument("--percents", default="50,90,99",
+                    help="comma-separated integer percentiles in [1, 100]")
+    qs.add_argument("--lo", type=int, default=0)
+    qs.add_argument("--hi", type=int, default=1024)
+    qs.add_argument("--bins", type=int, default=64)
 
     return p.parse_args(argv)
 
@@ -611,6 +627,31 @@ def run(args) -> dict:
             )
         else:
             out = walks
+    elif args.cmd == "quantiles":
+        from fhir_owl_spark.operators.sketches import histogram_quantiles
+
+        by = tuple(k for k in args.key_cols.split(",") if k)
+        try:
+            percents = tuple(int(p) for p in args.percents.split(","))
+        except ValueError:
+            raise SystemExit(
+                f"--percents expects comma-separated integers, "
+                f"got {args.percents!r}"
+            ) from None
+        src = docs
+        vcol = args.value_col
+        if vcol is None:
+            vcol = "_len"
+            src = docs.withColumn(
+                vcol, F.length(F.coalesce(F.col(args.text_col), F.lit("")))
+            )
+        try:
+            out = histogram_quantiles(
+                src, vcol, percents=percents,
+                lo=args.lo, hi=args.hi, bins=args.bins, by=by,
+            )
+        except ValueError as exc:
+            raise SystemExit(str(exc)) from None
     else:  # pragma: no cover — argparse enforces the choice
         raise SystemExit(args.cmd)
 

@@ -612,6 +612,44 @@ def test_corpus_walks_subcommand(spark, tmp_path, capsys):
     assert s["rows_out"] > 0
 
 
+def test_corpus_quantiles_subcommand(spark, tmp_path, capsys):
+    import jobs.corpus_pipeline as cp
+
+    def run(argv):
+        rc = cp.main(argv)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        return json.loads(out)
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "g" if i % 2 else "h", "x" * (10 * i)) for i in range(1, 9)],
+        "doc_id long, src string, text string",
+    ).write.parquet(docs)
+
+    # default value column is length(text); per-key via --key-cols
+    s = run(["quantiles", "--input", docs, "--output", str(tmp_path / "q"),
+             "--key-cols", "src", "--percents", "50,100",
+             "--lo", "0", "--hi", "128", "--bins", "128"])
+    assert s["rows_out"] == 4  # 2 keys x 2 percents
+    rows = {(r["src"], r["p"]): r["est"]
+            for r in spark.read.parquet(str(tmp_path / "q")).collect()}
+    # width-1 bins: est = value + 1 (no clamping — max length 80 < 127);
+    # p100 of g (odd ids -> lengths 10,30,50,70) is 70+1, of h 80+1
+    assert rows[("g", 100)] == 71 and rows[("h", 100)] == 81
+    assert rows[("g", 50)] == 31 and rows[("h", 50)] == 41
+
+    # malformed params exit cleanly, not with a stack trace
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cp.main(["quantiles", "--input", docs,
+                 "--output", str(tmp_path / "q2"), "--percents", "fifty"])
+    with _pytest.raises(SystemExit):
+        cp.main(["quantiles", "--input", docs,
+                 "--output", str(tmp_path / "q3"), "--bins", "7",
+                 "--lo", "0", "--hi", "100"])
+
+
 def test_build_graph_refresh_from(spark, transcripts_path, tmp_path, capsys):
     """--refresh-from: identity refresh reproduces the v1 triples through
     the committed lineage layout (read_triples-compatible, chainable)."""
