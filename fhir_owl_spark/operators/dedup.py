@@ -222,7 +222,15 @@ def lsh_candidate_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    from ._persist import register_persisted, rotate_persisted
+
+    # evict the PREVIOUS call's cached signature/window frames so
+    # repeated pipeline invocations in one session stay bounded
+    # (round-5 ADVICE on the setsim twin of this persist)
+    rotate_persisted("lsh_candidate_pairs")
+    signatures = register_persisted(
+        "lsh_candidate_pairs", signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if sig_len is None:
         # probe one row (computes + caches one partition, not the corpus).
         # Callers that know the signature width pass sig_len to skip this —
@@ -324,7 +332,9 @@ def lsh_candidate_pairs(
     # times. LAZY cache computes the window once; footprint is
     # n_bands × rows × ~50 B, same magnitude as the signature cache,
     # MEMORY_AND_DISK spills instead of OOMing.
-    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = register_persisted(
+        "lsh_candidate_pairs", tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    )
     small = tagged.filter(F.col("_bsize") <= max_bucket_size)
     # the observe node lives ONLY on the big branch (a plan may not carry
     # the same CollectMetrics twice, and tagged feeds three subtrees);
@@ -621,9 +631,15 @@ def simhash_near_dup_pairs(
         )
         from pyspark import StorageLevel
 
+        from ._persist import register_persisted, rotate_persisted
+
         # same three-subtree reuse problem as lsh_candidate_pairs —
-        # cache so the window runs once
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        # cache so the window runs once; rotate so repeated calls in
+        # one session don't accumulate cached generations
+        rotate_persisted("simhash_blocks")
+        tagged = register_persisted(
+            "simhash_blocks", tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        )
         small = tagged.filter(F.col("_bsize") <= max_bucket_size)
         big = tagged.filter(F.col("_bsize") > max_bucket_size)
         left = small.select(

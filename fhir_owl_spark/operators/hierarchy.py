@@ -69,10 +69,25 @@ def transitive_closure(
         F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
     ).distinct()
     base = base.filter(F.col("child") != F.col("parent")).localCheckpoint(eager=True)
+    # out-degree ≤ 1 (functional graph / forest): every node has a UNIQUE
+    # upward path, so frontier_i is exactly the distance-(i+1) pair set —
+    # already distinct, and disjoint from every earlier part. The loop's
+    # distinct() and visited anti-join are then provably no-ops and the
+    # iteration body collapses to ONE map-only broadcast-join stage
+    # (guide §2.4: remove shuffles outright). Detected in the same probe
+    # job the AUTO broadcast sizing already pays. Cycle parity holds: on
+    # a functional graph a cycle surfaces as a child==parent pair within
+    # cycle-length iterations, which the existing probe aborts on; with
+    # allow_cycles the anti-join is load-bearing for termination, so the
+    # fast path is skipped.
+    single_parent = False
     if broadcast_edges is None:
-        # counts cached checkpoint blocks; only on the AUTO path so the
-        # explicit billion-edge-shuffle caller pays no extra job
-        broadcast_edges = base.count() <= BROADCAST_EDGE_ROW_LIMIT
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("child")).alias("nc"),
+        ).first()
+        broadcast_edges = stats["n"] <= BROADCAST_EDGE_ROW_LIMIT
+        single_parent = stats["n"] == stats["nc"] and not allow_cycles
 
     # Renamed-column copy avoids self-join alias ambiguity (aliases do not
     # survive localCheckpoint-ed plans reliably).
@@ -91,20 +106,19 @@ def transitive_closure(
     closure_parts = [base]
     frontier = base
     for _ in range(max_iterations):
-        stepped = (
-            frontier.join(hop, F.col("parent") == F.col("mid"))
-            .select("child", F.col("anc").alias("parent"))
-            .distinct()
+        stepped = frontier.join(hop, F.col("parent") == F.col("mid")).select(
+            "child", F.col("anc").alias("parent")
         )
-        visited = functools.reduce(DataFrame.union, closure_parts)
+        if not single_parent:
+            stepped = stepped.distinct()
+            visited = functools.reduce(DataFrame.union, closure_parts)
+            stepped = stepped.join(visited, ["child", "parent"], "left_anti")
         # LAZY checkpoint fused with the probe: the probe action both
         # materializes the frontier's cached blocks and returns the
         # emptiness+cycle stats — ONE job per round instead of an eager
         # checkpoint job followed by a probe job (measured 25% of loop
         # wall-time at sf0.1)
-        frontier = stepped.join(visited, ["child", "parent"], "left_anti").localCheckpoint(
-            eager=False
-        )
+        frontier = stepped.localCheckpoint(eager=False)
         probe = frontier.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(F.when(F.col("child") == F.col("parent"), F.col("child"))).alias("cyc"),

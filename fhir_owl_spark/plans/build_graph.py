@@ -139,6 +139,34 @@ def concept_triples(
     return out
 
 
+def materialize_ontology_inputs(
+    concepts: DataFrame, edges: DataFrame, synonyms: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize the three ontology tables in ONE job.
+
+    The ontology side is broadcast-class by contract (≤10^7 rows) but
+    feeds MANY small jobs downstream (dictionary aggregation, the
+    hierarchy's bounded probes, parent metadata, linkable-term collect).
+    Re-evaluating the caller's source plan for each of those jobs is
+    the dominant fixed cost of the whole ontology stage — measured
+    0.4–1.0 s PER JOB on driver-built inputs (each task round-trips the
+    pickled rows through a Python worker), ~0.05–0.2 s once cached.
+    Three LAZY localCheckpoints + one union-count action materialize
+    all three in a single job while every frame keeps its exact input
+    schema (guide §5: cache what is reused; §2.4: fewer jobs)."""
+    concepts = concepts.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
+    synonyms = synonyms.localCheckpoint(eager=False)
+    one = F.lit(1).alias("_x")
+    (
+        concepts.select(one)
+        .unionByName(edges.select(one))
+        .unionByName(synonyms.select(one))
+        .count()
+    )
+    return concepts, edges, synonyms
+
+
 def validate_turn_ordering(transcripts: DataFrame) -> DataFrame:
     """W2 invariant check: within each conv_id, turn_idx must be unique
     (stable ordering ⇒ per-turn text equality is well-defined). Returns the
@@ -193,10 +221,15 @@ def build_graph(
                 f"turn_idx={bad[0]['turn_idx']}"
             )
 
+    concepts, edges, synonyms = materialize_ontology_inputs(
+        concepts, edges, synonyms
+    )
     dictionary = build_concept_dictionary(concepts, synonyms, cfg)
     # The dictionary is consumed twice (triples + mention broadcast) and is
-    # small by design — materialize once.
-    dictionary = dictionary.localCheckpoint(eager=True)
+    # small by design — materialize once. LAZY: the checkpoint's blocks are
+    # computed inside the first consumer's job (the linkable-term collect
+    # in extract_mentions) instead of a dedicated eager job.
+    dictionary = dictionary.localCheckpoint(eager=False)
 
     direct = build_hierarchy(concepts, edges, cfg)
     onto = concept_triples(dictionary, direct, concepts, cfg)

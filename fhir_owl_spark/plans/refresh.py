@@ -39,25 +39,57 @@ from ..config import PipelineConfig
 from ..operators.dictionary import build_concept_dictionary
 from ..operators.hierarchy import build_hierarchy
 from ..operators.mentions import extract_mentions
-from .build_graph import concept_triples, triple_key_col, triples_with_key
+from .build_graph import (
+    concept_triples,
+    materialize_ontology_inputs,
+    triple_key_col,
+    triples_with_key,
+)
 
 TRIPLE_COLS = ("subj", "pred", "obj", "obj_type", "conv_id")
 
 
 def affected_codes(old_triples: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """Codes whose mention-relevant TERM SET (display ∪ synonyms)
-    differs between the v1 output and the v2 dictionary — includes
-    added and removed codes. One ontology-scale aggregation per side."""
+    """Codes whose mention-relevant state differs between the v1 output
+    and the v2 dictionary — the TERM SET (display ∪ synonyms) plus the
+    DEPRECATED flag, which gates linkability when link_deprecated=False
+    (linkable_terms filters ~deprecated; a v1→v2 deprecation flip with
+    unchanged terms must re-run the delta or stale mentions carry over —
+    round-5 ADVICE). The flag rides as a '\\x1f'-prefixed marker token
+    in the same set (unit separator cannot occur in labels), recovered
+    on the v1 side from its 'deprecated' triples. Includes added and
+    removed codes. One ontology-scale aggregation per side."""
+    dep_marker = "\x1fdep:"
     v1 = (
-        old_triples.filter(F.col("pred").isin("has-display", "synonym-of"))
+        old_triples.filter(
+            F.col("pred").isin("has-display", "synonym-of", "deprecated")
+        )
         .groupBy(F.col("subj").alias("code"))
-        .agg(F.array_sort(F.collect_set("obj")).alias("_t1"))
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("pred") == "deprecated",
+                        F.concat(F.lit(dep_marker), F.col("obj")),
+                    ).otherwise(F.col("obj"))
+                )
+            ).alias("_t1")
+        )
     )
     v2 = dictionary.select(
         "code",
         F.array_sort(
             F.array_distinct(
-                F.concat(F.array(F.col("display")), F.col("synonyms"))
+                F.concat(
+                    F.array(F.col("display")),
+                    F.col("synonyms"),
+                    F.array(
+                        F.concat(
+                            F.lit(dep_marker),
+                            F.when(F.col("deprecated"), "true").otherwise("false"),
+                        )
+                    ),
+                )
             )
         ).alias("_t2"),
     )
@@ -107,7 +139,13 @@ def refresh_graph(
             "recipe plans/build_graph.py documents for the chunked path"
         )
 
+    concepts, edges, synonyms = materialize_ontology_inputs(
+        concepts, edges, synonyms
+    )
     dictionary = build_concept_dictionary(concepts, synonyms, cfg)
+    # eager here (unlike build_graph): the very next consumer is the
+    # affected_codes checkpoint whose job would otherwise recompute the
+    # dictionary shuffle on both sides of its full-outer join
     dictionary = dictionary.localCheckpoint(eager=True)
     direct = build_hierarchy(concepts, edges, cfg)
     onto = concept_triples(dictionary, direct, concepts, cfg)

@@ -133,8 +133,13 @@ def burst_stream(
         # the output schema declares the key as STRING; cast here so any
         # batch-supported key type (ints, dates) streams too — the
         # equivalence contract is vs batch burst_detection over the
-        # string-cast key
-        events.select(ts_col, F.col(key_col).cast("string").alias(key_col))
+        # string-cast key. Null timestamps are dropped up front: a NaT
+        # reaching pd.Timestamp(ts).floor() would otherwise produce an
+        # INT64_MIN garbage bucket (round-5 ADVICE); the batch operator
+        # emits a null-bucket row for them instead — documented
+        # divergence on null-ts feeds.
+        events.filter(F.col(ts_col).isNotNull())
+        .select(ts_col, F.col(key_col).cast("string").alias(key_col))
         .groupBy(key_col)
         .applyInPandasWithState(
             update,

@@ -589,9 +589,12 @@ def run(args) -> dict:
     elif args.cmd == "burst":
         from fhir_owl_spark.operators.temporal import burst_detection
 
+        burst_keys = tuple(k for k in args.key_cols.split(",") if k)
+        if not burst_keys:
+            raise SystemExit("burst: --key-cols must name at least one column")
         out = burst_detection(
             docs,
-            key_cols=tuple(args.key_cols.split(",")),
+            key_cols=burst_keys,
             ts_col=args.ts_col,
             resolution=args.resolution,
             baseline_buckets=args.baseline_buckets,

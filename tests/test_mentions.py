@@ -73,7 +73,7 @@ EXPECTED = {
 }
 
 
-@pytest.mark.parametrize("strategy", ["regex", "ahocorasick"])
+@pytest.mark.parametrize("strategy", ["regex", "trieregex", "ahocorasick"])
 def test_matching_semantics(spark, strategy):
     assert run(spark, TEXTS, strategy) == EXPECTED
 
@@ -88,7 +88,24 @@ def test_strategies_agree_on_fixture_corpus(spark):
     tdf = transcripts_df(spark, turns(*texts))
     a = {tuple(r) for r in extract_mentions(tdf, d, cfg, strategy="regex").collect()}
     b = {tuple(r) for r in extract_mentions(tdf, d, cfg, strategy="ahocorasick").collect()}
-    assert a == b and a
+    c = {tuple(r) for r in extract_mentions(tdf, d, cfg, strategy="trieregex").collect()}
+    assert a == b == c and a
+
+
+def test_trie_pattern_language():
+    """The trie-factored pattern matches exactly the flat alternation's
+    language, including prefix-nested same-layer terms and regex
+    metacharacters in terms."""
+    import re
+
+    from fhir_owl_spark.operators.mentions import _trie_pattern
+
+    terms = ["scan", "scanner", "scans", "s.c", "a-b", "a-bc", "x", "xy z"]
+    pat = re.compile("^(?:" + _trie_pattern(terms) + ")$")
+    for t in terms:
+        assert pat.match(t), t
+    for bad in ["sca", "scann", "s c", "ab", "a-", "xy", "xy  z", ""]:
+        assert not pat.match(bad), bad
 
 
 def test_layering():

@@ -109,3 +109,36 @@ def test_refresh_exposes_delta_count(spark, v1_world):
     c2, e2, s2 = fx.ontology_dfs(spark, ont)
     out = refresh_graph(spark, v1, c2, e2, s2, tdf, cfg)
     assert out._refresh_delta_codes == 0
+
+
+def test_refresh_deprecation_flip_include_deprecated(spark):
+    """include_deprecated=True + link_deprecated=False: a v1→v2
+    deprecation flip with UNCHANGED terms must still enter the delta
+    (linkability depends on the flag, not just the term set) — the
+    refresh must equal the full rebuild in both flip directions
+    (round-5 ADVICE item)."""
+    import dataclasses
+
+    ont, cfg = fx.pizza_fixture()
+    cfg = dataclasses.replace(cfg, include_deprecated=True, link_deprecated=False)
+    turns = fx.make_transcripts(ont, cfg, n_conv=30, seed=7)
+    tdf = fx.transcripts_df(spark, turns).localCheckpoint(eager=True)
+    c1, e1, s1 = fx.ontology_dfs(spark, ont)
+    v1 = build_graph(spark, c1, e1, s1, tdf, cfg).localCheckpoint(eager=True)
+
+    # flip a mentioned, previously-active concept to deprecated (terms
+    # unchanged) and un-deprecate one previously-deprecated concept
+    ont2 = copy.deepcopy(ont)
+    active = next(c for c in ont2.concepts if not c["deprecated"] and c["label"])
+    active["deprecated"] = True
+    dep = next((c for c in ont2.concepts if c["deprecated"] and c["label"]), None)
+    if dep is not None and dep is not active:
+        dep["deprecated"] = False
+
+    c2, e2, s2 = fx.ontology_dfs(spark, ont2)
+    d2 = build_concept_dictionary(c2, s2, cfg)
+    aff = {r.code for r in affected_codes(v1, d2).collect()}
+    assert aff, "deprecation flip with unchanged terms must enter the delta"
+    assert _rows(refresh_graph(spark, v1, c2, e2, s2, tdf, cfg)) == _rows(
+        build_graph(spark, c2, e2, s2, tdf, cfg)
+    )
