@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold, and let AQE rewrite SMJ→SHJ when every
+        # post-shuffle partition is under the threshold (guide §3.1):
+        # skips the per-partition sorts on the graph/setsim join chains
+        # (triangles on the 5M-edge anchor measured −27%). Threshold is
+        # deliberately conservative — concurrent tasks each hold one
+        # build map, so cap ≈ cores × threshold must fit executor
+        # memory; parameterized for cluster-side tuning.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
