@@ -65,29 +65,49 @@ def transitive_closure(
     base is localCheckpoint-ed anyway. Pass False explicitly for the
     billion-edge shuffle path.
     """
-    base = edges.select(
-        F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
-    ).distinct()
-    base = base.filter(F.col("child") != F.col("parent")).localCheckpoint(eager=True)
     # out-degree ≤ 1 (functional graph / forest): every node has a UNIQUE
     # upward path, so frontier_i is exactly the distance-(i+1) pair set —
     # already distinct, and disjoint from every earlier part. The loop's
     # distinct() and visited anti-join are then provably no-ops and the
     # iteration body collapses to ONE map-only broadcast-join stage
     # (guide §2.4: remove shuffles outright). Detected in the same probe
-    # job the AUTO broadcast sizing already pays. Cycle parity holds: on
-    # a functional graph a cycle surfaces as a child==parent pair within
-    # cycle-length iterations, which the existing probe aborts on; with
-    # allow_cycles the anti-join is load-bearing for termination, so the
-    # fast path is skipped.
+    # job the AUTO broadcast sizing already pays; the same probe also
+    # skips the base dedup SHUFFLE entirely when the raw edge rows are
+    # already unique (the common case for edge tables). Cycle parity
+    # holds: on a functional graph a cycle surfaces as a child==parent
+    # pair within cycle-length iterations, which the existing probe
+    # aborts on; with allow_cycles the anti-join is load-bearing for
+    # termination, so the fast path is skipped.
     single_parent = False
+    raw = (
+        edges.select(
+            F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
+        )
+        .filter(F.col(child_col) != F.col(parent_col))
+    )
     if broadcast_edges is None:
-        stats = base.agg(
+        # a narrow input (one small parquet file → 1-2 scan partitions)
+        # must not starve the loop: when the dedup shuffle is skipped
+        # below, ITS partitioning was what spread the frontier over the
+        # cluster — restore it with a plain round-robin repartition
+        # (same shuffle bytes, no aggregation)
+        default_par = edges.sparkSession.sparkContext.defaultParallelism
+        if raw.rdd.getNumPartitions() < default_par:
+            raw = raw.repartition(default_par)
+        raw = raw.localCheckpoint(eager=True)
+        stats = raw.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("child"), F.col("parent")).alias("np"),
             F.count_distinct(F.col("child")).alias("nc"),
         ).first()
-        broadcast_edges = stats["n"] <= BROADCAST_EDGE_ROW_LIMIT
-        single_parent = stats["n"] == stats["nc"] and not allow_cycles
+        base = raw if stats["n"] == stats["np"] else (
+            raw.distinct().localCheckpoint(eager=True)
+        )
+        broadcast_edges = stats["np"] <= BROADCAST_EDGE_ROW_LIMIT
+        single_parent = stats["np"] == stats["nc"] and not allow_cycles
+    else:
+        # explicit broadcast choice: no probe job — dedup unconditionally
+        base = raw.distinct().localCheckpoint(eager=True)
 
     # Renamed-column copy avoids self-join alias ambiguity (aliases do not
     # survive localCheckpoint-ed plans reliably).

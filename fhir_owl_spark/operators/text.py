@@ -435,6 +435,15 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    # fan-out guard: the token explode multiplies rows ~2 orders of
+    # magnitude, so a narrow input (one small parquet file, or an
+    # AQE-coalesced upstream output of 1-2 partitions) would run the
+    # whole explode+aggregate on as many cores. Repartitioning the
+    # PRE-explode rows is a cheap shuffle of the compact form (same
+    # pattern as minhash_signatures).
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < default_par:
+        df = df.repartition(default_par)
     tokens = (
         df.select(
             F.col(id_col),
