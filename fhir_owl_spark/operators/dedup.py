@@ -452,11 +452,24 @@ def _verify_pairs(
     sets_a = sets.withColumnsRenamed({id_col: "id_a", "_sset": "_sa"})
     sets_b = sets.withColumnsRenamed({id_col: "id_b", "_sset": "_sb"})
     pairs = _jaccard(cands.join(sets_a, "id_a").join(sets_b, "id_b"))
+    if not re_star:
+        return pairs.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+    # the scored frame feeds BOTH the passed filter and the failed-star
+    # recovery branch — without materialization the two candidate-scale
+    # verification joins (and their array payloads) execute twice per
+    # action. Project away the shingle arrays first so only the slim
+    # (ids, star flag, jaccard) rows are stored; lazy checkpoint, so the
+    # caller's first action computes the join exactly once (measured
+    # ~1 s off the 10×-docs pipeline; the candidate join, not the
+    # verification, dominates that anchor).
+    pairs = pairs.select("id_a", "id_b", "_is_star", "jaccard").localCheckpoint(
+        eager=False
+    )
     passed = pairs.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
-    if not re_star:
-        return passed
     failed_star = pairs.filter(
         (F.col("jaccard") < threshold) & F.col("_is_star")
     ).select("id_a", "id_b")

@@ -106,6 +106,36 @@ def setsim_join(
         .agg(F.count(F.lit(1)).alias("_df"))
     )
 
+    # Dedup placement is ADAPTIVE. On a high-entropy (Zipfian text)
+    # corpus the positional filter admits almost only the first common
+    # prefix token per pair (measured 0.5% duplicate candidates at 52k
+    # docs), so a candidate-scale pair-distinct is a pure ~6 s Exchange
+    # tax and dedup belongs AFTER the threshold filter on the tiny
+    # survivor set. On a degenerate low-vocabulary corpus every pair
+    # shares MANY qualifying prefix tokens; skipping the pre-dedup
+    # multiplies verification by the duplication factor (measured 5-10×
+    # wall). Decide from two cheap aggregates over the cached frames:
+    # expected prefix-token fan-out ≈ (Σ prefix lengths) / vocabulary —
+    # small ⇒ a pair rarely shares more than one prefix token ⇒ late
+    # dedup (52k-doc Zipfian anchor: ≈30 → late; 31-word degenerate
+    # corpus: ≈650 → pre).
+    stats = toks.select(
+        # per-token weight summing to the doc's prefix length, so the
+        # post-explode sum recovers Σ_docs plen in the same pass that
+        # sketches the vocabulary (approx_count_distinct suffices for a
+        # placement heuristic and costs one map-side HLL, no shuffle)
+        (
+            (F.col("_size") - F.floor(F.col("_size") * F.lit(threshold)) + F.lit(1))
+            / F.col("_size")
+        ).alias("_pw"),
+        F.explode("_toks").alias("_tok"),
+    ).agg(
+        F.sum("_pw").alias("_p"),
+        F.approx_count_distinct("_tok").alias("_v"),
+    ).first()
+    prefix_rows, n_vocab = stats["_p"] or 0.0, stats["_v"] or 0
+    late_dedup = n_vocab > 0 and (prefix_rows / n_vocab) <= 64
+
     # per-document tokens re-collected in (df, token) order. The join is
     # token-keyed (AQE-skew-safe); the re-collect is one doc-keyed agg.
     ordered = (
@@ -166,15 +196,8 @@ def setsim_join(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     )
-
-    # NOTE: no pair-distinct here. The positional filter already admits
-    # (almost) only the FIRST common prefix token of each pair — measured
-    # 0.5% duplicate candidates on the 52k-doc Zipfian anchor — so a
-    # full candidate-scale Exchange+HashAggregate (~20 s there, the
-    # single most expensive stage) bought nothing. Duplicates ride
-    # through verification (computing the identical Jaccard twice for
-    # 0.5% of pairs) and are collapsed by the distinct() on the
-    # SURVIVOR set below, which is orders of magnitude smaller.
+    if not late_dedup:
+        cand = cand.distinct()
 
     # verification: exact Jaccard on candidate pairs only — the token
     # arrays travel once per surviving pair, keyed by id.
@@ -186,7 +209,7 @@ def setsim_join(
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union_size = F.col("_sa") + F.col("_sb") - F.col("inter")
-    return (
+    out = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("inter", inter)
@@ -196,7 +219,9 @@ def setsim_join(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "inter", "union_size", "jaccard")
+    )
+    if late_dedup:
         # duplicate candidates produce byte-identical rows (same pair ⇒
         # same inter/union/jaccard) — dedup on the tiny survivor set
-        .distinct()
-    )
+        out = out.distinct()
+    return out
