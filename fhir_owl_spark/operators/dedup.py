@@ -1034,15 +1034,13 @@ def duplicate_span_stats(
     bytes; k-gram hashing keeps rows at 20 bytes each, and min_docs
     filtering happens AFTER the frequency agg so no candidate is lost.
     """
-    # collapse to per-(doc, gram-hash) occurrence counts FIRST: the gram
-    # explode then runs exactly once (the raw segs subtree previously fed
-    # both the frequency agg and the verdict join under different shuffle
-    # keys, so the explode was computed twice), the frequency table needs
-    # a plain count over the already-(id,_h)-distinct rows instead of a
-    # two-level count_distinct, and the verdict join's g-side Exchange on
-    # _h is the SAME exchange the frequency agg reads — reused, not
-    # recomputed. Occurrence semantics are preserved exactly by summing
-    # the per-doc counts (measured 6.1 s → 4.6 s on the 10× span anchor).
+    # collapse to per-(doc, gram-hash) occurrence counts FIRST: the
+    # frequency table then needs one plain count over already-distinct
+    # (id,_h) rows instead of the two-level count_distinct rewrite, the
+    # verdict join probes per-(doc,gram) rows instead of per-OCCURRENCE
+    # rows, and the per-doc rollup aggregates the collapsed counts.
+    # Occurrence semantics are preserved exactly by summing the per-doc
+    # counts (measured 6.1 s → 4.6 s on the 10× span anchor).
     segs, _ = _dup_span_segments(df, k, text_col, id_col)
     g = segs.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
     freq = g.groupBy("_h").agg(F.count(F.lit(1)).alias("_nd"))

@@ -12,10 +12,15 @@ at i-1 and j are NOT in [a-z0-9]. ASCII word-boundary semantics —
 documented, deterministic, SQL-expressible for the DuckDB oracle when the
 corpus is space-separated.
 
-Two strategies, switched on dictionary size:
-  * ``regex``  — one compiled pattern per term, vectorized
-    ``pd.Series.str.count`` (C-speed). O(n_terms × corpus); wins while the
-    dictionary is small (≤ ~64 terms).
+Three strategies, switched on dictionary size:
+  * ``regex``     — flat alternation per prefix layer, vectorized
+    ``pd.Series.str.findall`` (C-speed). O(n_terms × corpus); wins while
+    the dictionary is small (≤ 256 terms).
+  * ``trieregex`` — the same vectorized scan over a PREFIX-FACTORED
+    (trie) pattern, so matching cost is independent of term count while
+    staying in the C regex engine (~4× the Python automaton at 24k
+    terms, identical hits); the default for 256 < terms ≤ 65k. Compile
+    cost grows with total dictionary characters — cached per worker.
   * ``ahocorasick`` — pure-Python Aho-Corasick automaton with output links
     (reports ALL dictionary occurrences, including terms nested inside
     longer terms — alternation regexes cannot). O(corpus + hits),
