@@ -119,20 +119,36 @@ def setsim_join(
     # small ⇒ a pair rarely shares more than one prefix token ⇒ late
     # dedup (52k-doc Zipfian anchor: ≈30 → late; 31-word degenerate
     # corpus: ≈650 → pre).
-    stats = toks.select(
-        # per-token weight summing to the doc's prefix length, so the
-        # post-explode sum recovers Σ_docs plen in the same pass that
-        # sketches the vocabulary (approx_count_distinct suffices for a
-        # placement heuristic and costs one map-side HLL, no shuffle)
-        (
-            (F.col("_size") - F.floor(F.col("_size") * F.lit(threshold)) + F.lit(1))
-            / F.col("_size")
-        ).alias("_pw"),
-        F.explode("_toks").alias("_tok"),
-    ).agg(
-        F.sum("_pw").alias("_p"),
-        F.approx_count_distinct("_tok").alias("_v"),
-    ).first()
+    # The probe deliberately RE-DERIVES the token sets from the raw input
+    # instead of reading ``toks``: probing the persisted frame would
+    # materialize its cache before the main pipeline is planned, and the
+    # then-known InMemoryRelation statistics flip downstream join
+    # strategies (measured 28 s → 74-136 s on the Zipfian anchor when the
+    # cache was warm at plan time). A non-matching plan fragment is never
+    # cache-substituted, so the probe scans the source once (~2-4 s at
+    # 52k docs) and the main pipeline plans exactly as before.
+    probe_sets = tokenize_set(F.col(text_col), split_pattern)
+    probe_size = F.size(probe_sets)
+    stats = (
+        df.filter(probe_size > 0)
+        .select(
+            # per-token weight summing to the doc's prefix length, so the
+            # post-explode sum recovers Σ_docs plen in the same pass that
+            # sketches the vocabulary (approx_count_distinct is one
+            # map-side HLL, no shuffle — it only gates a branch whose two
+            # outputs are identical)
+            (
+                (probe_size - F.floor(probe_size * F.lit(threshold)) + F.lit(1))
+                / probe_size
+            ).alias("_pw"),
+            F.explode(probe_sets).alias("_tok"),
+        )
+        .agg(
+            F.sum("_pw").alias("_p"),
+            F.approx_count_distinct("_tok").alias("_v"),
+        )
+        .first()
+    )
     prefix_rows, n_vocab = stats["_p"] or 0.0, stats["_v"] or 0
     late_dedup = n_vocab > 0 and (prefix_rows / n_vocab) <= 64
 
