@@ -182,11 +182,15 @@ def linkable_terms(dictionary: DataFrame, cfg: PipelineConfig) -> list[tuple[str
         .filter(F.col("term").isNotNull())
         .select(F.lower("term").alias("term"), "code")
         .filter(F.length("term") >= cfg.min_term_chars)
-        .distinct()
     )
     stop = {t.lower() for t in cfg.link_stop_terms}
+    # dedup DRIVER-side (a Python set over the collected rows): the
+    # collect is ontology-bounded with or without a distinct, and
+    # dropping the distinct removes one Exchange + aggregate from every
+    # mention-pass construction (mentions/kg_build/pmi/refresh all pay
+    # this collect) — the explode→collect is then a single map-only job
     pairs = sorted(
-        (r["term"], r["code"]) for r in terms.collect() if r["term"] not in stop
+        {(r[0], r[1]) for r in terms.collect() if r[0] not in stop}
     )
     return pairs
 
