@@ -94,7 +94,10 @@ def transitive_closure(
         default_par = edges.sparkSession.sparkContext.defaultParallelism
         if raw.rdd.getNumPartitions() < default_par:
             raw = raw.repartition(default_par)
-        raw = raw.localCheckpoint(eager=True)
+        # LAZY checkpoint fused with the stats probe (same trick as the
+        # loop body): the agg's job materializes the blocks — one job
+        # instead of an eager-checkpoint job followed by the probe job
+        raw = raw.localCheckpoint(eager=False)
         stats = raw.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col("child"), F.col("parent")).alias("np"),
