@@ -224,13 +224,10 @@ def lsh_candidate_pairs(
 
     from ._persist import register_persisted, rotate_persisted
 
-    # evict the PREVIOUS call's cached signature/window frames so
-    # repeated pipeline invocations in one session stay bounded
-    # (round-5 ADVICE on the setsim twin of this persist)
+    # evict the PREVIOUS call's cached banded/window frames so repeated
+    # pipeline invocations in one session stay bounded (round-5 ADVICE
+    # on the setsim twin of this persist)
     rotate_persisted("lsh_candidate_pairs")
-    signatures = register_persisted(
-        "lsh_candidate_pairs", signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    )
     if sig_len is None:
         # probe one row (computes + caches one partition, not the corpus).
         # Callers that know the signature width pass sig_len to skip this —
@@ -262,6 +259,20 @@ def lsh_candidate_pairs(
             )
         ).cast("long")
     )
+    # The banded frame is repartitioned on the bucket key and THAT is
+    # what gets cached (LAZY — the first action populates it): every
+    # consumer — the bucket-size probe's aggregation, both sides of the
+    # candidate self-join, and the star path's window — needs exactly
+    # this HashPartitioning, so with the cache reporting it none of them
+    # plans its own Exchange (guide §2.4: two operations keyed the same
+    # way share one exchange). Replaces the former signature-frame
+    # persist: signatures feed nothing but the banding, while the banded
+    # cache is (id, band_idx, band_hash) per band — the same O(rows ×
+    # n_bands) magnitude, spilled by MEMORY_AND_DISK instead of OOMing.
+    # Trade-off, documented: a co-partitioned join has no exchange for
+    # AQE to re-split, so the oversized-bucket cap (on by default) is
+    # the skew defense; max_bucket_size=None callers opt into quadratic
+    # buckets with or without AQE.
     banded = (
         signatures.select(
             F.col(id_col),
@@ -276,7 +287,10 @@ def lsh_candidate_pairs(
             ).alias("band_idx", "_slice"),
         )
         .select(F.col(id_col), "band_idx", band_hash.alias("band_hash"))
+        .repartition("band_idx", "band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("lsh_candidate_pairs", banded)
     static_metrics = None
     if max_bucket_size is not None and eager_probe:
         # one cheap probe action (map + two-level agg over cached
