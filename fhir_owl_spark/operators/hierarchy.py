@@ -44,6 +44,99 @@ class HierarchyCycleError(RuntimeError):
 BROADCAST_EDGE_ROW_LIMIT = 5_000_000
 
 
+def _closure_functional(
+    base: DataFrame,
+    pairs_pdf,
+    child_col: str,
+    parent_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Closure of a FUNCTIONAL graph (out-degree ≤ 1) in one map stage.
+
+    Every node has a unique upward chain, so the closure is exactly
+    {(n, anc) : anc on n's chain} — computable per edge row with a
+    broadcast child→parent map, no joins. The driver walk validates the
+    same invariants the iterative loop probes for, raising the same
+    HierarchyCycleError at operator-construction time: a reachable
+    cycle, or a chain deeper than ``max_iterations``. Driver memory is
+    the class the loop already commits to — the broadcast hash relation
+    the loop builds per probe job collects the identical rows.
+    ``pairs_pdf`` is the deduplicated pandas edge frame the caller
+    already pulled for the stats probe.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    # tolist() unboxes np scalars to plain Python values: a dict of
+    # np.int64 pickles ~20x larger/slower (one reconstruct per scalar),
+    # which taxes the broadcast on the driver AND every worker unpickle
+    parent: dict = dict(
+        zip(pairs_pdf.iloc[:, 0].tolist(), pairs_pdf.iloc[:, 1].tolist())
+    )
+    # depth/cycle validation on the UNIQUE frontier: step the distinct
+    # ancestor set in lockstep up to max_iterations (chains converge, so
+    # the set shrinks fast); anything still alive is a reachable cycle
+    # or a too-deep chain — re-walk the survivors in plain Python to
+    # tell the two apart (rare path, cost irrelevant).
+    frontier = set(parent.values())
+    steps = 1
+    while steps <= max_iterations:
+        frontier = {parent[x] for x in frontier if x in parent}
+        if not frontier:
+            break
+        steps += 1
+    if frontier:
+        for n0 in frontier:
+            on_path: set = set()
+            c = n0
+            while c in parent:
+                if c in on_path:
+                    raise HierarchyCycleError(
+                        f"Cycle found in hierarchy involving: {c}"
+                    )
+                on_path.add(c)
+                c = parent[c]
+        raise HierarchyCycleError(
+            f"Hierarchy deeper than {max_iterations} levels — cycle suspected"
+        )
+
+    sc = base.sparkSession.sparkContext
+    bparent = sc.broadcast(parent)
+    child_t = base.schema[base.columns[0]].dataType
+    parent_t = base.schema[base.columns[1]].dataType
+    out_schema = StructType(
+        [StructField("child", child_t), StructField("parent", parent_t)]
+    )
+
+    def expand(batches):
+        pm = bparent.value
+        for pdf in batches:
+            pdf = pdf.rename(
+                columns={pdf.columns[0]: "child", pdf.columns[1]: "parent"}
+            )
+            outs = [pdf[["child", "parent"]]]
+            # object dtype: missing keys become None instead of coercing
+            # int64 values through float64 (lossy past 2^53); Arrow casts
+            # the object columns back to the declared schema exactly
+            cc = pdf["child"].astype(object)
+            pp = pdf["parent"].astype(object)
+            for _ in range(max_iterations):
+                nxt = pp.map(pm)
+                mask = nxt.notna()
+                if not mask.any():
+                    break
+                cc = cc[mask]
+                pp = nxt[mask]
+                outs.append(
+                    pd.DataFrame({"child": cc.values, "parent": pp.values})
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return base.mapInPandas(expand, out_schema).select(
+        F.col("child").alias(child_col), F.col("parent").alias(parent_col)
+    )
+
+
 def transitive_closure(
     edges: DataFrame,
     max_iterations: int = 64,
@@ -94,20 +187,49 @@ def transitive_closure(
         default_par = edges.sparkSession.sparkContext.defaultParallelism
         if raw.rdd.getNumPartitions() < default_par:
             raw = raw.repartition(default_par)
-        # LAZY checkpoint fused with the stats probe (same trick as the
-        # loop body): the agg's job materializes the blocks — one job
+        # LAZY checkpoint fused with the first probe (same trick as the
+        # loop body): the probe's job materializes the blocks — one job
         # instead of an eager-checkpoint job followed by the probe job
         raw = raw.localCheckpoint(eager=False)
-        stats = raw.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col("child"), F.col("parent")).alias("np"),
-            F.count_distinct(F.col("child")).alias("nc"),
-        ).first()
-        base = raw if stats["n"] == stats["np"] else (
-            raw.distinct().localCheckpoint(eager=True)
-        )
-        broadcast_edges = stats["np"] <= BROADCAST_EDGE_ROW_LIMIT
-        single_parent = stats["np"] == stats["nc"] and not allow_cycles
+        n_rows = raw.count()
+        if n_rows <= BROADCAST_EDGE_ROW_LIMIT:
+            # The raw rows fit the broadcast limit, i.e. the loop below
+            # would ship them to the driver anyway to build its broadcast
+            # hash relation — pull them ONCE over Arrow and derive the
+            # distinct/out-degree stats in pandas instead of paying the
+            # count_distinct Expand aggregation (3x the rows through two
+            # exchanges; measured ~2x the plain count's cost).
+            edge_pdf = raw.toPandas()
+            pairs_pdf = edge_pdf.drop_duplicates()
+            n_pairs = len(pairs_pdf)
+            broadcast_edges = True
+            single_parent = (
+                n_pairs == pairs_pdf.iloc[:, 0].nunique() and not allow_cycles
+            )
+            base = raw if n_rows == n_pairs else (
+                raw.distinct().localCheckpoint(eager=True)
+            )
+            if single_parent:
+                # Functional graph: validate cycles/depth eagerly on the
+                # driver (same HierarchyCycleError timing as the loop's
+                # probes), then expand every node's UNIQUE ancestor chain
+                # in one map-only Arrow stage over the cached edge frame:
+                # zero joins, zero shuffles, one job for the caller's
+                # action instead of a probe-per-batch loop.
+                return _closure_functional(
+                    base, pairs_pdf, child_col, parent_col, max_iterations
+                )
+        else:
+            stats = raw.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("child"), F.col("parent")).alias("np"),
+                F.count_distinct(F.col("child")).alias("nc"),
+            ).first()
+            base = raw if stats["n"] == stats["np"] else (
+                raw.distinct().localCheckpoint(eager=True)
+            )
+            broadcast_edges = stats["np"] <= BROADCAST_EDGE_ROW_LIMIT
+            single_parent = stats["np"] == stats["nc"] and not allow_cycles
     else:
         # explicit broadcast choice: no probe job — dedup unconditionally
         base = raw.distinct().localCheckpoint(eager=True)
