@@ -224,6 +224,16 @@ def build_graph(
     concepts, edges, synonyms = materialize_ontology_inputs(
         concepts, edges, synonyms
     )
+    if cfg.has_imports is None:
+        # derive once here: both build_concept_dictionary and
+        # concept_triples would otherwise run their own probe job for
+        # the same answer (derive_has_imports returns cfg.has_imports
+        # verbatim when it is set, so this is semantics-preserving)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, has_imports=derive_has_imports(concepts, cfg)
+        )
     dictionary = build_concept_dictionary(concepts, synonyms, cfg)
     # The dictionary is consumed twice (triples + mention broadcast) and is
     # small by design — materialize once. LAZY: the checkpoint's blocks are
