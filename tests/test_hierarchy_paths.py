@@ -98,3 +98,65 @@ class TestKHop:
         full = {r["node"]
                 for r in reachable_set(e, ["1"], direction="down").collect()}
         assert khop_nodes == full
+
+
+class TestFunctionalClosureFastPath:
+    """The single-map functional-graph closure (AUTO path, edge table
+    within the broadcast limit, out-degree ≤ 1) must agree with the
+    iterative loop in rows, schema and guard behavior."""
+
+    def test_matches_loop_on_forest_with_duplicates_and_strings(self, spark):
+        rows = [("a", "r"), ("b", "a"), ("c", "b"), ("d", "r")]
+        e = spark.createDataFrame(rows + rows[:2], ["child", "parent"])
+        kw = dict(child_col="child", parent_col="parent")
+        fast = transitive_closure(e, **kw)
+        loop = transitive_closure(e, broadcast_edges=True, **kw)
+        fp = sorted(map(tuple, fast.collect()))
+        lp = sorted(map(tuple, loop.collect()))
+        assert fp == lp
+        # duplicate input edges must not produce duplicate closure rows
+        assert len(fp) == len(set(fp))
+        assert fast.schema == loop.schema
+
+    def test_depth_guard_boundary(self, spark):
+        import pytest
+
+        from fhir_owl_spark.operators.hierarchy import HierarchyCycleError
+
+        chain = spark.createDataFrame(
+            [(f"n{i}", f"n{i+1}") for i in range(10)], ["child", "parent"]
+        )
+        kw = dict(child_col="child", parent_col="parent")
+        # depth == max_iterations is legal (chain of 10 edges → 55 pairs)
+        assert transitive_closure(chain, max_iterations=10, **kw).count() == 55
+        with pytest.raises(HierarchyCycleError):
+            transitive_closure(chain, max_iterations=9, **kw)
+
+    def test_functional_cycle_raises_eagerly(self, spark):
+        import pytest
+
+        from fhir_owl_spark.operators.hierarchy import HierarchyCycleError
+
+        cyc = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a")],
+            ["child", "parent"],
+        )
+        kw = dict(child_col="child", parent_col="parent")
+        with pytest.raises(HierarchyCycleError):
+            transitive_closure(cyc, **kw)
+        # allow_cycles must fall back to the anti-join loop and terminate
+        n = transitive_closure(cyc, allow_cycles=True, **kw).count()
+        assert n == 12  # every node reaches every cycle member
+
+    def test_int64_ids_beyond_float53(self, spark):
+        # ids that float64 cannot represent exactly: the chain walk must
+        # not round-trip values through float64
+        big = 2**60
+        rows = [(big + 1, big + 2), (big + 2, big + 3)]
+        e = spark.createDataFrame(rows, ["child", "parent"])
+        got = sorted(
+            map(tuple, transitive_closure(e, child_col="child", parent_col="parent").collect())
+        )
+        assert got == [
+            (big + 1, big + 2), (big + 1, big + 3), (big + 2, big + 3)
+        ]

@@ -1971,3 +1971,48 @@ class TestPackByRealTokens:
         for d in sorted(counts):
             assert packed[d][1] == prefix // 4
             prefix += max(1, counts[d])
+
+
+class TestBandedCachePlanAndProbeInvariance:
+    """The banded LSH frame is cached co-partitioned on the bucket key:
+    the eager-probe (lean) and probe-free (star-machinery) plans must
+    produce identical candidate sets, and the candidate join must
+    consume the cached partitioning rather than plan its own exchange."""
+
+    def test_probe_on_off_same_output(self, docs):
+        sigs = dedup.minhash_signatures(docs)
+        a = dedup.lsh_candidate_pairs(
+            sigs, sig_len=64, max_bucket_size=256, eager_probe=True
+        )
+        sigs2 = dedup.minhash_signatures(docs)
+        b = dedup.lsh_candidate_pairs(
+            sigs2, sig_len=64, max_bucket_size=256, eager_probe=False
+        )
+        pa = sorted((r["id_a"], r["id_b"]) for r in a.collect())
+        pb = sorted((r["id_a"], r["id_b"]) for r in b.collect())
+        assert pa == pb
+
+    def test_join_inputs_carry_no_exchange_above_cache(self, spark, docs):
+        # with broadcast disabled the self-join must still plan no
+        # Exchange on its inputs — both sides read the co-partitioned
+        # cached banded frame. This relies on the eager probe having
+        # MATERIALIZED the cache before the candidate plan is built
+        # (an unmaterialized cached plan reports unknown partitioning
+        # and consumers re-exchange — the probe-free plan does exactly
+        # that, which is one of the reasons the probe pays for itself).
+        # Exchanges inside the cache-materialization plan are expected
+        # and excluded by looking above the first InMemoryTableScan.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            sigs = dedup.minhash_signatures(docs)
+            cands = dedup.lsh_candidate_pairs(
+                sigs, sig_len=64, max_bucket_size=256, eager_probe=True
+            )
+            plan = cands._jdf.queryExecution().executedPlan().treeString()
+            above = plan.split("InMemoryTableScan")[0]
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert "Exchange hashpartitioning(band_idx" not in above
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
